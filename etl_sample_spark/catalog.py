@@ -1,0 +1,64 @@
+"""Table catalog over the driver's synthetic parquet star schema.
+
+Replaces the reference's ad-hoc source handling (blob list + download to
+local disk + ``os.scandir``, ``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:769-796``)
+with direct parquet scans: Spark reads object-store paths natively, so
+there is no staging hop, and Catalyst pushes filters/projections into the
+scan (verified via ``.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor — region
+# and nation are fixed-size in TPC-H-ish schemas; supplier/part grow with
+# sf but stay orders of magnitude under fact tables. Join helpers use this
+# to pick broadcast hints.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one table. Column pruning + predicate pushdown are
+    Catalyst's job — callers just select/filter declaratively."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in the driver's parquet, which Spark's
+    # vectorized reader rejects. With spark.sql.legacy.parquet.nanosAsLong
+    # (set in session.tune) it surfaces as bigint nanos; normalize back to
+    # a microsecond TimestampType with exact integer division (`div`, not
+    # `/` — ns epoch values exceed 2^53 so double math would corrupt them).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` text queries
+    work against the same catalog names the DuckDB oracle uses."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,78 @@
+"""Text-analysis column functions (SURVEY §2.12 L4; driver north_star).
+
+All pure Catalyst expressions (split / higher-order array functions) so
+they run JVM-side at 100 TB — no Python in the hot path. Definitions are
+deliberately engine-portable (same arithmetic is expressible in ANSI SQL)
+so the DuckDB oracle can verify them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list: enough for ratio features on the synthetic
+# corpus; a production deployment would broadcast a real per-language list.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop / F.size(toks)
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """N-gram-free language-ID heuristic: stopword density → 'en', tech
+    jargon density → 'tech', else 'unknown'.
+
+    A real deployment would use char-n-gram profiles per language; the
+    point here is the *shape* — a deterministic, JVM-side classifier
+    column — which is what scales.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    tech_r = F.size(F.filter(toks, lambda t: t.isin("spark", "vector", "hash", "query"))) / n
+    return (
+        F.when(stop_r > F.lit(0.08), "en")
+        .when(tech_r > F.lit(0.12), "tech")
+        .otherwise("unknown")
+    )
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Document quality in [0,1]: length saturation + non-stopword mass.
+
+    Mirrors the standard pretraining-data quality heuristics
+    (length / punctuation / stopword ratios) in pure SQL arithmetic.
+    """
+    length_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    return F.round(length_score * 0.5 + (1.0 - stopword_ratio(text)) * 0.5, 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: position-weighted token hash
+    mod a large prime (a rolling-hash analog that is portable across
+    engines — no engine-specific hash function).
+
+    fingerprint = sum_i (i+1) * (131*len(tok_i) + ascii(tok_i)) mod p
+    """
+    toks = tokens(text)
+    terms = F.transform(
+        toks,
+        lambda t, i: (i + F.lit(1)).cast("bigint") * (F.length(t) * 131 + F.ascii(t)).cast("bigint"),
+    )
+    total = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return (total % FINGERPRINT_MOD).alias("fingerprint")

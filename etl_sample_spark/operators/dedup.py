@@ -1,0 +1,233 @@
+"""Deduplication operators (driver north_star; SURVEY §2.12 L1/L2).
+
+Exact dedup is a hash-groupBy. Near-dup (MinHash / SimHash / n-gram
+Jaccard) follows the standard pretraining-corpus pipeline shape:
+shingle → signature → band → bucket-join — the bucket-join replaces the
+quadratic all-pairs comparison, which is the only formulation that
+survives 100 TB.
+
+Portability note: signatures use an *arithmetic* token hash (length /
+ascii / reverse arithmetic — see ``_token_hash``) instead of an
+engine-specific hash function, so the DuckDB oracle can reproduce the
+exact same signatures. Swap in ``xxhash64`` for production quality; the
+plumbing (shingling, band explode, candidate join) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+# (a, b) parameters of the k=4 universal-hash family used for MinHash.
+MINHASH_COEFFS = ((7, 3), (13, 17), (31, 29), (61, 47))
+SIMHASH_BITS = 16
+
+
+def _token_hash(s: Column) -> Column:
+    """Deterministic, engine-portable integer hash of a short string:
+    ``(131*len + ascii(first)) * 1000003 + ascii(reverse first) * 31``.
+
+    Weak by design (no char loop) but identical in Spark and ANSI SQL,
+    which is what the cross-engine oracle requires.
+    """
+    return (
+        (F.length(s) * 131 + F.ascii(s)).cast("bigint") * 1000003
+        + F.ascii(F.reverse(s)).cast("bigint") * 31
+    )
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """n-token shingles as strings; empty array when doc has < n tokens."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# L1: exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], tie_break: str) -> DataFrame:
+    """Keep exactly one row per distinct value of ``cols`` — the one with
+    the smallest ``tie_break``. Deterministic (unlike ``dropDuplicates``,
+    which keeps an arbitrary row) so results are oracle-checkable.
+
+    Scale: one shuffle on a fixed-width hash of the dedup columns (not on
+    the possibly-huge raw text), then a per-group top-1.
+    """
+    key = F.sha2(F.concat_ws("\x1f", *cols), 256)
+    w = Window.partitionBy(key).orderBy(F.col(tie_break).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """id + k MinHash signature columns ``h0..h{k-1}``.
+
+    Entirely higher-order array functions — per-row, no shuffle, no
+    Python: at 100 TB this is a map-only stage.
+    """
+    sh = _shingles(F.col(text_col))
+    out = df.select(id_col, sh.alias("__sh"))
+    for j, (a, b) in enumerate(MINHASH_COEFFS):
+        hj = F.array_min(
+            F.transform(F.col("__sh"), lambda s: (_token_hash(s) * a + b) % MINHASH_PRIME)
+        )
+        out = out.withColumn(f"h{j}", F.coalesce(hj, F.lit(-1)).cast("bigint"))
+    return out.drop("__sh")
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs: docs whose signatures collide in at
+    least one LSH band (bands of 2 rows over the k=4 signature).
+
+    The band explode (k/2 rows per doc) + self-join on the band key is the
+    scalable substitute for all-pairs: cost is Σ bucket² instead of n².
+    """
+    sig = minhash_signature_df(df, text_col, id_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.concat_ws(":", "h0", "h1").alias("key")),
+                F.struct(F.lit(1).alias("band"), F.concat_ws(":", "h2", "h3").alias("key")),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: SimHash
+# --------------------------------------------------------------------------
+
+
+def _bit(x: Column, b: int) -> Column:
+    # Exact bitwise extraction; b is a Python literal so shiftright's
+    # numBits requirement is satisfied. Matches `(x >> b) & 1` in SQL.
+    return F.shiftright(x, b).bitwiseAND(F.lit(1))
+
+
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """id + 16-bit SimHash of the token stream.
+
+    Per-bit majority vote over token hashes, folded entirely inside
+    higher-order functions: map-only, no explode, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    zero = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
+
+    def bitvec(t: Column) -> Column:
+        x = _token_hash(t)
+        return F.array(
+            *[
+                F.when(_bit(x, b) == 1, F.lit(1).cast("bigint")).otherwise(F.lit(-1).cast("bigint"))
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+
+    votes = F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bitvec(t), lambda a, v: a + v))
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.element_at(votes, b + 1) > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return df.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: block on the top byte of the signature so the self-join is
+    bucket-local (near-identical docs share high bits with high
+    probability), then exact Hamming check.
+    """
+    sig = simhash_df(df, text_col, id_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    The shingle-equality join IS the candidate pruning: pairs with no
+    common shingle (Jaccard 0) never materialize, so the join output is
+    Σ per-shingle bucket² — the standard inverted-index trick, shuffle on
+    the shingle key.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY §2.12 L3).
+
+Two tiers:
+- ``brute_force_topk``: exact cosine top-k. One broadcast of the query
+  vector, one map stage, ``TakeOrderedAndProject`` — no shuffle of the
+  corpus. Correctness baseline, and fine even at 100 TB when k is small
+  (the scan dominates, and the scan is unavoidable for exact search).
+- ``lsh_bucketed_topk``: random-hyperplane LSH. Signatures are computed
+  map-only; only the query's bucket (plus optional hamming-1 probes) is
+  scanned exactly. This is the scale path: candidate set shrinks by
+  ~2^n_planes.
+
+Deterministic hyperplanes are derived arithmetically from (plane, dim)
+indices so results are reproducible with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sample_spark.functions.vectors import cosine_similarity
+
+N_PLANES = 8
+
+
+def _plane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane component values in
+    [-1, 1): an arithmetic hash of (plane, dim) index — reproducible in
+    any engine, no RNG."""
+    return [(((p * 73856093 + i * 19349663 + 83492791) % 2001) - 1000) / 1000.0 for i in range(dim)]
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    sim = cosine_similarity(F.col(vec_col), q)
+    # Order by the unrounded similarity (rounding only the output) so the
+    # top-k cutoff matches an oracle that also ranks on exact values.
+    return (
+        embeddings.select(F.col(id_col), sim.alias("__sim"))
+        .orderBy(F.desc("__sim"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("__sim", 6).alias("cosine"))
+    )
+
+
+def _bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sign bit of the dot product with each hyperplane."""
+    bucket = F.lit(0).cast("bigint")
+    v = vec.cast("array<double>")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _plane(p, dim)])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = N_PLANES,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: restrict the exact scan to the query's
+    LSH bucket (and, with ``multiprobe``, all buckets at Hamming distance
+    1 — the standard recall fix for boundary vectors)."""
+    dim = dim or len(query_vec)
+    import math
+
+    def py_bucket(vec: list[float]) -> int:
+        b = 0
+        for p in range(n_planes):
+            plane = _plane(p, dim)
+            if sum(x * y for x, y in zip(vec, plane)) > 0:
+                b |= 1 << p
+        return b
+
+    qb = py_bucket(query_vec)
+    probes = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if multiprobe else [])
+
+    bucketed = embeddings.withColumn("__bucket", _bucket(F.col(vec_col), dim, n_planes))
+    candidates = bucketed.where(F.col("__bucket").isin(probes))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-bucket the corpus, compare only
+    within buckets (Σ bucket² instead of n²), keep cosine ≥ threshold.
+
+    Fewer planes than search (6 → 64 buckets) because near-dup recall
+    needs collisions to be *likely* for truly-close pairs.
+    """
+    sig = embeddings.select(
+        F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col), dim, n_planes).alias("__bucket")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pair_sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.round(pair_sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,404 @@
+"""LLM-training-data pipeline queries (driver north_star; SURVEY §2.12):
+dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity search,
+text analysis, multimodal metadata.
+
+Wherever the semantics are SQL-expressible the oracle reproduces the
+exact arithmetic (portable token hash — see operators/dedup.py); the
+genuinely non-SQL ops (LSH bucketed search) are registered without an
+oracle → driver's rows-only check + pytest recall checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.functions.text import (
+    FINGERPRINT_MOD,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id_heuristic,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from etl_sample_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signature_df,
+    ngram_jaccard_pairs,
+    simhash_df,
+)
+from etl_sample_spark.operators.multimodal import attach_fake_media
+from etl_sample_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from etl_sample_spark.plans.registry import register
+from etl_sample_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return catalog.table(spark, sf_dir, name)
+
+
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+# Portable token hash — MUST stay in sync with operators/dedup.py::_token_hash.
+_HASH_SQL = "((131*length({t})+ascii({t}))*1000003 + ascii(reverse({t}))*31)"
+
+
+# --------------------------------------------------------------------------
+# L1: exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT text,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*)                    AS n_copies
+    FROM documents
+    GROUP BY text
+    ORDER BY keep_id
+    """,
+    doc="L1: exact-duplicate groups — representative id + multiplicity",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").cast("bigint").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id
+    """,
+    doc="L1: the exact_dedup operator (sha2 bucket + deterministic top-1)",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@register(
+    "dedup_sha256_content_hash",
+    """
+    SELECT doc_id, sha256(text) AS content_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="L1: content-addressable hash column (identical hex in both engines)",
+)
+def dedup_sha256_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4: text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           n_chars,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           ROUND(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LENGTH(t)))
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="L4: length / token-count / avg token length / stopword ratio",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    total_len = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.round(total_len / F.size(toks), 6).alias("avg_token_len"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_and_lang",
+    f"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             t -> t IN ('spark','vector','hash','query'))) AS n_tech
+      FROM documents)
+    SELECT doc_id,
+           ROUND(LEAST(1.0, n_chars / 500.0) * 0.5 + (1.0 - n_stop / n) * 0.5, 6) AS quality,
+           CASE WHEN n_stop / n > 0.08  THEN 'en'
+                WHEN n_tech / n > 0.12  THEN 'tech'
+                ELSE 'unknown' END AS lang_guess
+    FROM base
+    ORDER BY doc_id
+    """,
+    doc="L4: quality score + language-ID heuristic (deterministic, JVM-side)",
+)
+def text_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        lang_id_heuristic(F.col("text")).alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_bpe_ish",
+    """
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' '))                         AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))       AS n_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="L4: whitespace + BPE-ish regex token counting",
+)
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT d.doc_id,
+           CAST(SUM((r.i + 1) * (131*length(d.l[r.i + 1]) + ascii(d.l[r.i + 1]))) % {FINGERPRINT_MOD}
+                AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents) d,
+         UNNEST(RANGE(LEN(d.l))) AS r(i)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="L4: order-sensitive rolling-hash document fingerprint",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# L2: near-dup signatures + candidates
+# --------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    h = _HASH_SQL.format(t="sh.s")
+    sig_cols = ",\n             ".join(
+        f"CAST(MIN(({h} * {a} + {b}) % 2147483647) AS BIGINT) AS h{j}"
+        for j, (a, b) in enumerate(((7, 3), (13, 17), (31, 29), (61, 47)))
+    )
+    out_cols = ",\n           ".join(f"COALESCE(h{j}, -1) AS h{j}" for j in range(4))
+    # LEFT JOIN back to documents so docs with < 3 tokens (no shingles)
+    # still appear, with the same -1 sentinel the Spark side emits.
+    return f"""
+    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    sig AS (
+      SELECT sh.doc_id,
+             {sig_cols}
+      FROM sh
+      GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           {out_cols}
+    FROM documents d
+    LEFT JOIN sig USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "minhash_signatures",
+    _minhash_oracle(),
+    doc="L2: k=4 MinHash signatures over 3-token shingles (portable hash — "
+    "bit-identical in the oracle)",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signature_df(docs).orderBy("doc_id")
+
+
+@register(
+    "minhash_lsh_candidate_pairs",
+    None,  # pair-join over banded signatures: rows-only check + pytest
+    doc="L2: LSH banding (2 bands × 2 rows) → candidate near-dup pairs",
+)
+def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs)
+
+
+@register(
+    "simhash_signatures",
+    f"""
+    WITH toks AS (
+      SELECT d.doc_id, u.t
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents) d, UNNEST(d.l) AS u(t)),
+    hashed AS (SELECT doc_id, {_HASH_SQL.format(t="t")} AS x FROM toks),
+    votes AS (
+      SELECT doc_id, r.b,
+             SUM(CASE WHEN (x >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, UNNEST(RANGE(16)) AS r(b)
+      GROUP BY doc_id, r.b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="L2: 16-bit SimHash (per-bit majority vote, map-only in Spark)",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_df(docs).orderBy("doc_id")
+
+
+@register(
+    "ngram_jaccard_sample_pairs",
+    """
+    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id < 100),
+    sh AS (
+      SELECT DISTINCT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+    ORDER BY a_id, b_id
+    """,
+    doc="L2: exact n-gram Jaccard via inverted-index join (bounded sample "
+    "doc_id<100 keeps the oracle's pair count scale-invariant)",
+)
+def ngram_jaccard_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+
+
+# --------------------------------------------------------------------------
+# L3: similarity search
+# --------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (
+      SELECT CAST(UNNEST(embedding) AS DOUBLE) AS qx, GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS ex, GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings),
+    sims AS (
+      SELECT e.vec_id,
+             SUM(e.ex * q.qx) / (SQRT(SUM(e.ex * e.ex)) * SQRT(SUM(q.qx * q.qx))) AS c
+      FROM e JOIN q USING (i)
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(c, 6) AS cosine
+    FROM sims
+    ORDER BY c DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "similarity_bruteforce_top10",
+    _COSINE_ORACLE,
+    doc="L3: exact cosine top-k vs the vec_id=0 query vector (broadcast "
+    "query, map-only scan, TakeOrderedAndProject)",
+)
+def similarity_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, list(qvec), k=10)
+
+
+@register(
+    "similarity_lsh_top10",
+    None,  # approximate: rows-only check; pytest asserts recall vs brute force
+    doc="L3: LSH-bucketed approximate top-k (scale path: scan only the "
+    "query bucket + hamming-1 probes)",
+)
+def similarity_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_bucketed_topk(emb, list(qvec), k=10)
+
+
+@register(
+    "embedding_neardup_pairs",
+    None,  # LSH-pruned: rows-only check; pytest compares against brute force
+    doc="L2/L3: near-duplicate vector pairs (cosine ≥ 0.9 within LSH buckets)",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# L5: multimodal metadata
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_media_meta",
+    """
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(FROM_HEX(MD5(text))) AS INT)  AS n_bytes,
+           CAST(32 + n_chars % 224 AS INT)                 AS width,
+           CAST(32 + (n_chars * 7) % 224 AS INT)           AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="L5: multimodal ingest shape — binary payload + typed metadata "
+    "struct; payload is a deterministic fake (md5 bytes), plumbing is real",
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return media.select(
+        "doc_id",
+        F.length("media_bytes").cast("int").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.format").alias("format"),
+    ).orderBy("doc_id")

@@ -1,0 +1,539 @@
+"""Relational core: scans, filters, joins (J1-J5), aggregations (A1-A5).
+
+The reference performs no runtime joins or aggregations — it *prepares*
+joins by stamping FK columns on every child table (SURVEY §2.6,
+``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:47-49`` etc.) and
+delegates them to the downstream SQL server. This module supplies the
+join/agg surface those keys exist to serve, expressed declaratively so
+Catalyst picks broadcast-hash vs sort-merge, pushes predicates into the
+parquet scan, and runs partial (map-side) aggregation automatically.
+
+Scale notes (100 TB):
+- small dims (region, nation) get explicit ``F.broadcast`` hints; the
+  big fact-fact joins (orders⋈lineitem) shuffle on the join key, which is
+  the right plan — AQE splits skewed partitions at runtime.
+- every aggregate is expressed as groupBy().agg() → Tungsten
+  HashAggregateExec with partial aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.plans.registry import register
+from etl_sample_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return catalog.table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q3-shaped shipping-priority query (SURVEY §7 minimum slice)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="scan→filter→join→agg→sort→limit in one query (driver smoke twin)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-06-01")
+    lineitem = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A1/A5: grouped aggregation — TPC-H Q1-shaped pricing summary
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Tungsten hash agg with partial aggregation; filter pushed to scan",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-09-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 + broadcast: 6-way star join (TPC-H Q5-shaped)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="star join; region/nation/supplier broadcast, fact-fact shuffle join",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    # Dims reduced first, then broadcast: the fact tables never shuffle on
+    # dim keys, only on the orders⋈lineitem key.
+    dim = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (lineitem.l_suppkey == dim.s_suppkey) & (customer.c_nationkey == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: outer joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer_customer_orders",
+    """
+    SELECT c_custkey,
+           c_name,
+           COUNT(o_orderkey)                              AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2)     AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    doc="left outer join preserving customers with no orders (count=0)",
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer_nation_sides",
+    """
+    SELECT COALESCE(cn.nk, sn.nk)     AS nationkey,
+           COALESCE(cn.n_cust, 0)     AS n_cust,
+           COALESCE(sn.n_supp, 0)     AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sn
+      ON cn.nk = sn.nk
+    ORDER BY nationkey
+    """,
+    doc="full outer join over two aggregated sides with coalesced keys",
+)
+def join_full_outer_nation_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    doc="left semi join (EXISTS); no row multiplication from the right side",
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="left anti join (NOT EXISTS)",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4: cross join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_cross_region_nation_grid",
+    """
+    SELECT r.r_name, n.n_name,
+           CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+    doc="cross join of two small dims (BroadcastNestedLoopJoin physical)",
+)
+def join_cross_region_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select(
+            "r_name",
+            "n_name",
+            F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_home"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J5: theta / non-equi join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_theta_customer_outbalances_supplier",
+    """
+    SELECT c.c_custkey, s.s_suppkey,
+           ROUND(c.c_acctbal - s.s_acctbal, 2) AS balance_gap
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
+    ORDER BY c.c_custkey, s.s_suppkey
+    """,
+    doc="mixed equi + non-equi predicate: hash join on nationkey, theta filter after",
+)
+def join_theta_customer_outbalances_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(s), (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .select("c_custkey", "s_suppkey", F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("balance_gap"))
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: distinct + count-distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct_per_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey)        AS n_nations,
+           COUNT(*)                           AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="count-distinct (expand + two-phase agg under the hood)",
+)
+def agg_count_distinct_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "distinct_order_status_priority",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="distinct (hash aggregate on all columns)",
+)
+def distinct_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3: rollup / cube / grouping sets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_region_nation",
+    """
+    SELECT COALESCE(r_name, 'ALL')  AS region_name,
+           COALESCE(n_name, 'ALL')  AS nation_name,
+           COUNT(*)                 AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+    doc="rollup hierarchy region→nation→grand total",
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="cube over two dims (all 4 grouping sets)",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4: collect_list / collect_set (re-nest; inverse of explode, SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_collect_set_priorities_per_status",
+    """
+    SELECT o_orderstatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="collect_set + sort + join→string: deterministic re-nesting check",
+)
+def agg_collect_set_priorities_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias("priorities"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: percentiles / stddev
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentile_stddev_prices",
+    """
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4)  AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4)  AS p90_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4)         AS sd_price,
+           ROUND(MIN(o_totalprice), 2)                 AS min_price,
+           ROUND(MAX(o_totalprice), 2)                 AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="exact interpolated percentiles + sample stddev",
+)
+def agg_percentile_stddev_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (decorrelated by Catalyst)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "subquery_above_avg_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_extendedprice > (SELECT AVG(l_extendedprice) * 1.8 FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="scalar subquery in predicate (broadcast of 1-row aggregate)",
+)
+def subquery_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    threshold = li.agg((F.avg("l_extendedprice") * 1.8).alias("thr"))
+    return (
+        li.join(F.broadcast(threshold))
+        .where(F.col("l_extendedprice") > F.col("thr"))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )

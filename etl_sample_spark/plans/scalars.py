@@ -1,0 +1,370 @@
+"""Scalar function surface (SURVEY §2.5): string / date / math / array /
+map / json, including the reference's specific transforms re-expressed as
+built-in (JVM-side, codegen-friendly) expressions:
+
+- F2  account masking ``'XXXX' + account[3:]``
+  (``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:115,494`` — we
+  implement the *intent*, not the Series-slicing bug at :94,471)
+- F3  compact-date reassembly ``YYYYMMDD + HHMMSS → timestamp``
+  (``...-10-03-2019.py:162``) — normalized to a real TimestampType, not
+  the reference's ad-hoc ``'YYYY-MM-DD HH:MM.SS'`` string
+- F7  multi-source fallback chains via ``coalesce``
+  (``...-10-03-2019.py:378-387,399-402``)
+- R1  regex routing (``...-10-03-2019.py:798-805``)
+- R2  key derivation by regex (``...-10-03-2019.py:35,156``)
+
+Everything here is built-in ``pyspark.sql.functions`` — no Python UDFs —
+so the whole expression tree stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.functions.scalar import mask_account, reassemble_compact_timestamp
+from etl_sample_spark.plans.registry import register
+from etl_sample_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return catalog.table(spark, sf_dir, name)
+
+
+@register(
+    "str_functions_part",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand)                          AS brand_upper,
+           LOWER(p_type)                           AS type_lower,
+           TRIM(CONCAT('  ', p_name, '  '))        AS name_trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0')   AS size_padded,
+           SUBSTRING(p_name, 1, 5)                 AS name_prefix,
+           (p_type LIKE '%BRASS%')                 AS is_brass,
+           LENGTH(p_name)                          AS name_len
+    FROM part
+    ORDER BY p_partkey
+    """,
+    doc="upper/lower/trim/lpad/substr/like/length",
+)
+def str_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.col("p_type").like("%BRASS%").alias("is_brass"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "mask_account_numbers",
+    """
+    SELECT c_custkey,
+           c_name,
+           'XXXX' || SUBSTRING(c_name, 4) AS masked_name
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="F2: the reference's account-masking intent ('XXXX' + s[3:])",
+)
+def mask_account_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", mask_account(F.col("c_name")).alias("masked_name"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "date_functions_orders",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)                        AS order_year,
+           CAST(MONTH(o_orderdate) AS INT)                       AS order_month,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2024-12-31') AS INT) AS days_to_eoy,
+           STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS due_date
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="year/month/date_trunc/datediff/date arithmetic",
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+            F.datediff(F.lit("2024-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_eoy"),
+            F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "ts_reassemble_compact",
+    """
+    SELECT event_id,
+           STRFTIME(ts, '%Y%m%d') AS date_part,
+           STRFTIME(ts, '%H%M%S') AS time_part,
+           STRFTIME(STRPTIME(STRFTIME(ts, '%Y%m%d') || STRFTIME(ts, '%H%M%S'),
+                             '%Y%m%d%H%M%S'),
+                    '%Y-%m-%d %H:%M:%S') AS reassembled
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="F3: compact Date+Time strings reassembled into a real timestamp "
+    "(reference does this with 6 string slices at pipeline.py:162)",
+)
+def ts_reassemble_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    date_part = F.date_format("ts", "yyyyMMdd")
+    time_part = F.date_format("ts", "HHmmss")
+    return ev.select(
+        "event_id",
+        date_part.alias("date_part"),
+        time_part.alias("time_part"),
+        F.date_format(
+            reassemble_compact_timestamp(date_part, time_part), "yyyy-MM-dd HH:mm:ss"
+        ).alias("reassembled"),
+    ).orderBy("event_id")
+
+
+@register(
+    "math_functions_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6)  AS net_price,
+           ROUND(ABS(l_discount - 0.05), 4)              AS disc_dev,
+           CAST(FLOOR(l_quantity) AS BIGINT)             AS qty_floor,
+           CAST(CEIL(l_quantity) AS BIGINT)              AS qty_ceil,
+           ROUND(POW(1 + l_tax, 2), 6)                   AS tax_sq,
+           ROUND(SQRT(l_extendedprice), 4)               AS price_sqrt,
+           CAST(l_quantity AS INT) % 7                   AS qty_mod7
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="round/abs/floor/ceil/pow/sqrt/mod",
+)
+def math_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("net_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "array_functions_documents",
+    """
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' '))                             AS n_tokens,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark')          AS has_spark,
+           ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], ' ')       AS first3,
+           ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')[1:3]), ' ') AS first3_sorted
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="split/size/array_contains/slice/sort_array on the token array",
+)
+def array_functions_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(F.sort_array(F.slice(toks, 1, 3)), " ").alias("first3_sorted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "array_higher_order_functions",
+    """
+    SELECT doc_id,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 4))                 AS n_long_tokens,
+           ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT(text, ' ')[1:3], t -> UPPER(t)), ' ') AS first3_upper,
+           CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LENGTH(t))) AS BIGINT) AS total_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="higher-order array fns: filter / transform / aggregate (all JVM-side)",
+)
+def array_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)), " ").alias("first3_upper"),
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "json_functions_events",
+    """
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS prop_k,
+           (CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) >= 50) AS k_high
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="get_json_object / from_json over the events.props JSON string",
+)
+def json_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("prop_k"),
+        (k >= 50).alias("k_high"),
+    ).orderBy("event_id")
+
+
+@register(
+    "from_json_typed_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="from_json with explicit schema then aggregate on the parsed field",
+)
+def from_json_typed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("p.k")).cast("bigint").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "coalesce_fallback_chain",
+    """
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_name END,
+                    CASE WHEN c_mktsegment = 'BUILDING' THEN 'builder' END,
+                    'Not specified') AS resolved_name
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="F7: multi-source fallback chain (reference's customer_name logic at "
+    "pipeline.py:378-387 — BankScrapeData.name → CustomerInformation → "
+    "TU_FFR names → 'Not specified')",
+)
+def coalesce_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_name")),
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit("builder")),
+            F.lit("Not specified"),
+        ).alias("resolved_name"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "regex_route_events",
+    """
+    SELECT CASE WHEN REGEXP_MATCHES(event_type, '^(click|view)$') THEN 'browse'
+                WHEN REGEXP_MATCHES(event_type, 'purchase')        THEN 'txn'
+                WHEN REGEXP_MATCHES(event_type, 'error')           THEN 'fault'
+                ELSE 'other' END AS route,
+           COUNT(*)              AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY route
+    """,
+    doc="R1: the reference's 4-way regex dispatch (pipeline.py:798-805) as a "
+    "declarative routing column instead of an imperative if/elif chain",
+)
+def regex_route_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type").rlike("^(click|view)$"), "browse")
+        .when(F.col("event_type").rlike("purchase"), "txn")
+        .when(F.col("event_type").rlike("error"), "fault")
+        .otherwise("other")
+    )
+    return ev.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n")).orderBy("route")
+
+
+@register(
+    "regexp_extract_source_id",
+    """
+    SELECT doc_id,
+           source,
+           REGEXP_EXTRACT(source, 'src(\\d+)', 1)                  AS source_num,
+           CAST(REGEXP_EXTRACT(source, 'src(\\d+)', 1) AS INT) % 4 AS source_bucket
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="R2: key derivation by regex from an identifier string "
+    "(reference slices filenames at pipeline.py:35,156)",
+)
+def regexp_extract_source_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    num = F.regexp_extract("source", r"src(\d+)", 1)
+    return docs.select(
+        "doc_id",
+        "source",
+        num.alias("source_num"),
+        (num.cast("int") % 4).alias("source_bucket"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "conditional_case_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END            AS bucket,
+           o_orderstatus,
+           COUNT(*)                         AS n,
+           ROUND(AVG(o_totalprice), 2)      AS avg_price
+    FROM orders
+    GROUP BY 1, o_orderstatus
+    ORDER BY bucket, o_orderstatus
+    """,
+    doc="CASE WHEN bucketing + grouped agg",
+)
+def conditional_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("bucket", "o_orderstatus")
+    )

@@ -1,0 +1,157 @@
+"""Event-time / temporal operators over the ``events`` table: tumbling,
+sliding and session windows (SURVEY §2.10 T2/T3, batch twins of the
+streaming versions in ``etl_sample_spark.streaming``), and the as-of join
+(§2.6 J6).
+
+The tumbling/sliding/session queries here are the *batch* semantics
+checkable by the DuckDB oracle; the streaming module applies the same
+expressions under watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.operators.joins import asof_join
+from etl_sample_spark.plans.registry import register
+from etl_sample_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return catalog.table(spark, sf_dir, name)
+
+
+@register(
+    "window_tumbling_hourly",
+    """
+    SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="T2: tumbling 1h event-time window (epoch-aligned in both engines)",
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "window_sliding_2h_1h",
+    """
+    WITH buckets AS (
+      SELECT TIME_BUCKET(INTERVAL '1 hour', ts)                     AS w, value FROM events
+      UNION ALL
+      SELECT TIME_BUCKET(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS w, value FROM events
+    )
+    SELECT STRFTIME(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM buckets
+    GROUP BY w
+    ORDER BY window_start
+    """,
+    doc="T2: sliding window 2h every 1h — each event lands in 2 windows",
+)
+def window_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "window_session_30m",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*)                                AS n_events,
+           ROUND(SUM(value), 2)                    AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="T3: session windows with 30m gap (session_window in Spark; "
+    "gaps-and-islands in the oracle)",
+)
+def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "asof_join_purchase_to_click",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           ROUND(p.value, 4)  AS purchase_value,
+           ROUND(c.value, 4)  AS value_asof,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="J6: as-of join — latest prior click per purchase, implemented "
+    "shuffle-once via union-sort (operators/joins.py), checked against "
+    "DuckDB's native ASOF JOIN",
+)
+def asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value", "ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("value_asof", 4).alias("value_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    ).orderBy("event_id")

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference is single-node / single-thread by design
+(``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py`` driver loop at
+lines 769-816; README.md:3 concedes it "benchmarks poorly"). This module
+is the replacement execution substrate: one SparkSession whose defaults
+are chosen so the same code runs on ``local[N]`` in tests and on a
+1000-executor cluster unchanged — AQE handles runtime re-planning, skew
+joins, and partition coalescing; the session timezone is pinned to UTC so
+timestamp semantics are deterministic across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "etl-sample-spark") -> SparkSession:
+    """Build (or fetch) the session.
+
+    Local-mode sizing comes from ``SPARK_GRAFT_CPUS``; on a real cluster the
+    same configs apply per-executor and AQE re-plans at runtime.
+    """
+    builder = (
+        SparkSession.builder.master(f"local[{_cpus()}]")
+        .appName(app_name)
+        # Adaptive execution: runtime shuffle-partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching. Essential at 100 TB,
+        # harmless at sf0.001.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas_udf / toPandas path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    tune(spark)
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an *existing* session.
+
+    The grading driver constructs its own SparkSession and passes it into
+    ``queries()`` callables — this makes its behavior match ours for the
+    confs that can still be changed after JVM start.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+    # nanosecond timestamp type — read as long, catalog.table converts.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    return spark

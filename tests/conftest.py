@@ -1,0 +1,94 @@
+"""Shared test fixtures: one SparkSession per test session, a DuckDB
+connection with the testdata views pre-registered (mirroring the driver's
+oracle setup), and a cross-engine comparison helper."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_sample_spark import get_spark
+from etl_sample_spark.catalog import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("etl-sample-spark-tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_value(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{round(v, 9):.9f}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    try:  # Decimal → float path
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{round(float(v), 9):.9f}"
+    except ImportError:
+        pass
+    return str(v)
+
+
+def normalize_result(columns, rows):
+    """Order-insensitive, column-name-sorted normalization — a local stand-in
+    for the driver's value-hash comparison."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols_sorted = [columns[i] for i in order]
+    normed = sorted(tuple(_norm_value(r[i]) for i in order) for r in rows)
+    return cols_sorted, normed
+
+
+def assert_matches_oracle(spark_df, duck_con, sql):
+    """Compare a Spark DataFrame against DuckDB output the way the driver
+    does: row count, sorted column names, order-insensitive values."""
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    rel = duck_con.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    _, s_norm = normalize_result(spark_cols, spark_rows)
+    _, d_norm = normalize_result(duck_cols, duck_rows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
