@@ -1,0 +1,67 @@
+"""JSON document corpus reader (SURVEY §2.1 S1-S3, §2.2 R1-R2).
+
+The reference lists blobs, downloads each to local disk, then dispatches
+per-file by filename-suffix regex
+(``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:769-805``). Spark
+reads object-store paths directly, so the whole loop collapses to one
+(or four, one per form) schema'd multiLine JSON scans; per-file identity
+survives as ``input_file_name()`` and the Salesforce-ID prefix is a
+regex over it (the declarative form of ``str(json_file)[:-17]`` at :35
+and ``[:-19]`` at :156).
+
+Scale: a directory of millions of JSON documents becomes a partitioned
+file scan — no driver-side listing loop, no local staging hop; schema
+enforcement (PERMISSIVE) replaces per-document inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# Route → filename regex, in the reference's dispatch order (:798-805).
+ROUTE_PATTERNS = (
+    ("bank_scrape", r"_bank_scrape\.json$"),
+    ("credit_report", r"_credit_report\.json$"),
+    ("action", r"_action\.json$"),
+    ("combined", r"\.json$"),  # fallthrough: everything else → jsonpipe
+)
+
+_SF_ID_RE = r"([^/]+?)(?:_bank_scrape|_credit_report|_action)?\.json$"
+
+
+def sf_id_column() -> Column:
+    """Salesforce id = filename minus route suffix (R2, :35,:156)."""
+    return F.regexp_extract(F.input_file_name(), _SF_ID_RE, 1)
+
+
+def route_column() -> Column:
+    """4-way dispatch as a column (R1, :798-805) — useful when all forms
+    land in one directory and downstream filters per route."""
+    col = None
+    fname = F.input_file_name()
+    for name, pattern in ROUTE_PATTERNS[:-1]:
+        branch = F.when(fname.rlike(pattern), F.lit(name))
+        col = branch if col is None else col.when(fname.rlike(pattern), F.lit(name))
+    return col.otherwise(F.lit(ROUTE_PATTERNS[-1][0])).alias("route")
+
+
+def read_form(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    with_sf_id: bool = True,
+) -> DataFrame:
+    """Scan one document form: multiLine JSON (one document per file,
+    S1) with an explicit schema — missing sections become nulls, which
+    downstream specs treat as 'skip this table for this doc'."""
+    df = (
+        spark.read.option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .json(path)
+    )
+    if with_sf_id:
+        df = df.withColumn("sf_id", sf_id_column())
+    return df

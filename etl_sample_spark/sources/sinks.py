@@ -1,0 +1,104 @@
+"""Table sinks (SURVEY §2.1 S4): parquet/catalog sinks for tests and
+analytics, a JDBC sink matching the reference's 41 ``to_sql(...,
+if_exists='append')`` calls, and an idempotent-append variant that fixes
+the reference's duplicate-on-retry gap (at-least-once blob loop + blind
+appends, ``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:28,807-816``).
+
+Multi-output single-pass (SURVEY §4): the reference fans one document out
+to 22 sink calls; in Spark each table write is an action, so
+``write_all`` caches the shared document scan once — without it the JSON
+corpus would be re-read per table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def stringify_complex_columns(df: DataFrame) -> DataFrame:
+    """JSON-encode array/map/struct columns for SQL-server compatibility.
+
+    The reference stringifies the list-typed ``flags`` column before its
+    SQL append (:122,:497 ``transactions.flags.astype(str)``). The engine
+    keeps complex types native end-to-end (SURVEY §1.2) and converts only
+    at this sink boundary, with ``to_json`` — structured, not Python
+    ``str()`` repr.
+    """
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            out = out.withColumn(field.name, F.to_json(field.name))
+    return out
+
+
+def write_parquet_tables(
+    tables: dict[str, DataFrame], base_dir: str, mode: str = "append", cache_source: DataFrame | None = None
+) -> dict[str, str]:
+    """Write every normalized table under ``base_dir/<name>``.
+
+    ``cache_source``: the shared document scan; cached before the first
+    action and released after the last so the corpus is read once.
+    """
+    if cache_source is not None:
+        cache_source.cache()
+    try:
+        paths = {}
+        for name, df in tables.items():
+            path = os.path.join(base_dir, name)
+            df.write.mode(mode).parquet(path)
+            paths[name] = path
+        return paths
+    finally:
+        if cache_source is not None:
+            cache_source.unpersist()
+
+
+def write_jdbc_tables(
+    tables: dict[str, DataFrame],
+    url: str,
+    db_schema: str = "sample_main",
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+    cache_source: DataFrame | None = None,
+) -> None:
+    """JDBC append sink: ``df.write.jdbc`` opens one connection per
+    partition on the executors (the reference opened one SQLAlchemy
+    engine per table on its single node, :662). ``createTableOptions``/
+    credentials ride in ``options``. Complex columns are JSON-encoded at
+    this boundary only."""
+    if cache_source is not None:
+        cache_source.cache()
+    try:
+        for name, df in tables.items():
+            writer = stringify_complex_columns(df).write.format("jdbc").mode(mode)
+            writer = writer.option("url", url).option("dbtable", f"{db_schema}.{name}")
+            for k, v in (options or {}).items():
+                writer = writer.option(k, v)
+            writer.save()
+    finally:
+        if cache_source is not None:
+            cache_source.unpersist()
+
+
+def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
+    """Append only rows whose ``keys`` are not already present — a
+    retry-safe sink (left anti join against the existing data). The
+    reference's at-least-once loop + blind append duplicates rows on
+    re-run (SURVEY §2.9 O5); this is the dedup-keyed fix.
+
+    Scale: the anti join shuffles on the key columns only; at very large
+    existing-table sizes, partition the sink by a key prefix so the anti
+    join prunes partitions.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).select(*keys).distinct()
+    except Exception:
+        df.write.mode("append").parquet(path)
+        return
+    fresh = df.join(existing, on=keys, how="left_anti")
+    fresh.write.mode("append").parquet(path)

@@ -1,0 +1,83 @@
+"""Streaming document ingest (SURVEY §2.10 T1, T6; §3.1).
+
+The reference's outermost lifecycle is a hand-rolled at-least-once
+micro-batch loop: list blobs → download → process → archive → delete
+(``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:769-816``). Failure
+between process and delete re-processes files into append sinks →
+duplicates. The Structured Streaming file source is strictly stronger:
+checkpointed exactly-once file tracking, ``cleanSource='archive'`` for
+the archival step (:807-809), and ``foreachBatch`` for the 22-table
+fan-out (:662-763) with one cached read per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import StructType
+
+from etl_sample_spark.normalize import TableSpec, normalize
+from etl_sample_spark.sources.documents import sf_id_column
+
+
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of JSON documents with optional source
+    archival — the exactly-once replacement for the blob loop."""
+    reader = (
+        spark.readStream.option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path).withColumn("sf_id", sf_id_column())
+
+
+def foreach_batch_normalize(
+    specs: list[TableSpec], out_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """T6 multi-table fan-out: one micro-batch → every normalized table,
+    appended as parquet under ``out_dir/<table>``.
+
+    The batch is cached so the 15+ table writes share one materialization
+    of the micro-batch (the single-pass design decision, SURVEY §4)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.cache()
+        try:
+            for name, table in normalize(batch_df, specs).items():
+                table.write.mode("append").parquet(os.path.join(out_dir, name))
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def run_ingest_available_now(
+    docs_stream: DataFrame,
+    specs: list[TableSpec],
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Process everything currently in the source, then stop — the
+    streaming equivalent of one reference driver-loop iteration, but
+    exactly-once."""
+    writer: DataStreamWriter = (
+        docs_stream.writeStream.foreachBatch(foreach_batch_normalize(specs, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    return writer.start()

@@ -1,0 +1,185 @@
+"""Golden tests for the normalization layer (SURVEY §5.3-5.4): the four
+document forms in, the reference's 22 output tables out, including every
+tolerance variant the reference advertises (omitted sections, empty
+arrays, absent optional fields, unknown keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sample_spark import schemas
+from etl_sample_spark.forms import (
+    action_form_specs,
+    bank_form_specs,
+    combined_form_specs,
+    credit_form_specs,
+)
+from etl_sample_spark.normalize import normalize
+from etl_sample_spark.sources.documents import read_form
+from tests.fixtures import ACTION_DOCS, BANK_DOCS, COMBINED_DOCS, CREDIT_DOCS, write_docs
+
+
+@pytest.fixture(scope="module")
+def bank_tables(spark, tmp_path_factory):
+    d = write_docs(str(tmp_path_factory.mktemp("bank")), BANK_DOCS)
+    docs = read_form(spark, d, schemas.BANK_SCRAPE_SCHEMA)
+    return {k: v.collect() for k, v in normalize(docs, bank_form_specs()).items()}
+
+
+@pytest.fixture(scope="module")
+def credit_tables(spark, tmp_path_factory):
+    d = write_docs(str(tmp_path_factory.mktemp("credit")), CREDIT_DOCS)
+    docs = read_form(spark, d, schemas.CREDIT_REPORT_SCHEMA)
+    return {k: v.collect() for k, v in normalize(docs, credit_form_specs()).items()}
+
+
+@pytest.fixture(scope="module")
+def combined_tables(spark, tmp_path_factory):
+    d = write_docs(str(tmp_path_factory.mktemp("combined")), COMBINED_DOCS)
+    docs = read_form(spark, d, schemas.COMBINED_SCHEMA)
+    return {k: v.collect() for k, v in normalize(docs, combined_form_specs()).items()}
+
+
+# ---------------------------------------------------------------- bank form
+
+
+def test_bank_scrape_info_one_row_per_doc(bank_tables):
+    rows = bank_tables["bank_scrape_info"]
+    assert len(rows) == 3
+    by_id = {r["SF_ID"]: r for r in rows}
+    # SF_ID derived from filename minus '_bank_scrape.json' (R2)
+    assert set(by_id) == {"ACCT001", "ACCT002", "ACCT003"}
+    assert by_id["ACCT001"]["Report_date"] == "2019-10-03 12:30:00"
+    # nested payloads dropped (P2)
+    assert "accounts" not in rows[0].asDict() and "contacts" not in rows[0].asDict()
+
+
+def test_bank_misc_contact_explode_and_stamp(bank_tables):
+    rows = bank_tables["misc_contact"]
+    assert len(rows) == 3  # 2 + 1 + 0
+    jane = [r for r in rows if r["SF_ID"] == "ACCT001"]
+    assert {r["contact_type"] for r in jane} == {"email", "phone"}
+    assert all(r["name"] == "Jane Doe" for r in jane)
+
+
+def test_bank_account_statistics_pluck_and_mask(bank_tables):
+    rows = bank_tables["bank_account"]
+    assert len(rows) == 3  # 2 accounts + 0 + 1
+    acc = {r["account"]: r for r in rows}
+    # F2 masking intent: 'XXXX' + account[3:]
+    assert acc["123456789"]["mask_id"] == "XXXX456789"
+    assert acc["987654321"]["mask_id"] == "XXXX654321"
+    # P7 known-key extraction; unknown extra key ignored by the schema
+    assert acc["987654321"]["mean_close"] == 40.0
+    assert acc["987654321"]["mean_close_30"] == 45.0
+    assert "statistics" not in acc["123456789"].asDict()
+    assert "transactions" not in acc["123456789"].asDict()
+
+
+def test_bank_transactions_nested_explode_key_carry(bank_tables):
+    rows = bank_tables["transactions"]
+    assert len(rows) == 3  # ACCT001: 2+1; ACCT002: none; ACCT003: txn-less
+    coffee = next(r for r in rows if r["description"] == "coffee")
+    assert coffee["account_id"] == "123456789"
+    assert coffee["mask_id"] == "XXXX456789"
+    assert coffee["sf_id"] == "ACCT001"
+    assert coffee["Report_Date"] == "2019-10-03 12:30:00"
+    # flags kept native (array), not stringified until the JDBC boundary
+    assert coffee["flags"] == ["posted"]
+
+
+# --------------------------------------------------------------- credit form
+
+
+def test_base_credit_stamps_and_optional_filedate(credit_tables):
+    rows = {r["SF_ID"]: r for r in credit_tables["base_credit"]}
+    assert set(rows) == {"MEM001", "MEM002"}
+    r1 = rows["MEM001"]
+    assert r1["Credit_Member_ID"] == "MC01"
+    assert r1["TU_FFR_HIT"] == "Y"
+    # F3: compact Date+Time → real timestamp
+    assert str(r1["Report_Date"]) == "2019-10-03 14:30:00"
+    assert r1["FFR_filedate"] == "2018-01-01"
+    # FIXTURES variant 4: OnFileDate absent → null (np.nan in the reference)
+    assert rows["MEM002"]["FFR_filedate"] is None
+
+
+def test_credit_children_fk_stamped_and_skipped_when_absent(credit_tables):
+    trades = credit_tables["trades"]
+    assert len(trades) == 3  # 2 (MEM001) + 1 (MEM002)
+    assert {r["Credit_Member_ID"] for r in trades} == {"MC01", "MC02"}
+    # MEM002 has no Bankruptcies section → contributes no rows
+    assert {r["Credit_Member_ID"] for r in credit_tables["bankruptcy"]} == {"MC01"}
+    # reg_items IS written by the credit form (live path, pipeline.py:301)
+    assert len(credit_tables["reg_items"]) == 1
+
+
+def test_credit_summary_struct_flatten(credit_tables):
+    rows = {r["Credit_Member_ID"]: r for r in credit_tables["credit_summary"]}
+    assert rows["MC01"]["TotalAccounts"] == 5
+    assert rows["MC02"]["TotalBalance"] == 10.0
+
+
+# ------------------------------------------------------------- combined form
+
+
+def test_master_table_name_fallback_chain(combined_tables):
+    rows = {r["SalesforceID"]: r for r in combined_tables["master_table"]}
+    assert len(rows) == 4
+    assert rows["SF001"]["name"] == "Jane D. (bank)"  # BankScrapeData.name
+    assert rows["SF002"]["name"] == "John Smith"  # CustomerInformation
+    assert rows["SF003"]["name"] == "Tu Names"  # TU_FFR_Report[0].Names
+    assert rows["SF004"]["name"] == "Not specified"  # final fallback
+    assert rows["SF001"]["Credit_Member_ID"] == "MC01"
+    assert rows["SF004"]["Credit_Member_ID"] == "Not found"
+    for col in ("BankScrapeData", "CustomerInformation", "CreditReportData", "Recommendations"):
+        assert col not in rows["SF001"].asDict()
+
+
+def test_combined_sections_skipped_when_absent(combined_tables):
+    # customer_info only for docs with CustomerInformation
+    assert {r["SF_ID"] for r in combined_tables["customer_info"]} == {"SF001", "SF002"}
+    # bank tables only for SF001 (the only doc with BankScrapeData)
+    assert {r["SF_ID"] for r in combined_tables["bank_scrape_info"]} == {"SF001"}
+    assert {r["sf_id"] for r in combined_tables["transactions"]} == {"SF001"}
+    # base_credit for docs with CreditReportData.TU_FFR_Report
+    assert {r["SF_ID"] for r in combined_tables["base_credit"]} == {"SF001", "SF002", "SF003"}
+    # jsonpipe children stamp SF_ID (not Credit_Member_ID)
+    assert {r["SF_ID"] for r in combined_tables["trades"]} == {"SF001", "SF002", "SF003"}
+    # reg_items is NOT produced by the combined form (dead path, :640)
+    assert "reg_items" not in combined_tables
+
+
+def test_action_form(spark, tmp_path_factory):
+    d = write_docs(str(tmp_path_factory.mktemp("action")), ACTION_DOCS)
+    docs = read_form(spark, d, schemas.ACTION_SCHEMA)
+    rows = normalize(docs, action_form_specs())["reccomendation_action"].collect()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "call" and rows[0]["reason"] == "overdue"
+
+
+# ---------------------------------------------------- properties (SURVEY §5.4)
+
+
+def test_roundtrip_renest_transactions(spark, tmp_path_factory):
+    """A4 collect_list(struct) re-nests the exploded transactions back to
+    per-account arrays with the original cardinalities."""
+    d = write_docs(str(tmp_path_factory.mktemp("bank_rt")), BANK_DOCS)
+    docs = read_form(spark, d, schemas.BANK_SCRAPE_SCHEMA)
+    flat = normalize(docs, bank_form_specs())["transactions"]
+    renested = (
+        flat.groupBy("account_id")
+        .agg(F.sort_array(F.collect_list(F.struct("date", "description", "amount"))).alias("txns"))
+        .collect()
+    )
+    sizes = {r["account_id"]: len(r["txns"]) for r in renested}
+    assert sizes == {"123456789": 2, "987654321": 1}
+
+
+def test_fk_integrity_children_join_back(bank_tables):
+    """Every child row's SF_ID joins back to exactly one parent row."""
+    parents = {r["SF_ID"] for r in bank_tables["bank_scrape_info"]}
+    for child in ("misc_contact", "bank_account"):
+        assert {r["SF_ID"] for r in bank_tables[child]} <= parents
+    assert {r["sf_id"] for r in bank_tables["transactions"]} <= parents

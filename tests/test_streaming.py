@@ -1,0 +1,152 @@
+"""Streaming tests (SURVEY §5.5): exactly-once file ingest with
+multi-table fan-out, stateful dedup, watermarked window aggregation with
+late-data drop."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sample_spark import schemas
+from etl_sample_spark.forms import bank_form_specs
+from etl_sample_spark.streaming.ingest import run_ingest_available_now, stream_documents
+from etl_sample_spark.streaming.windows import (
+    dedup_within_watermark,
+    watermarked_window_counts,
+)
+from tests.fixtures import BANK_DOCS, write_docs
+
+
+def _await(query, timeout=120):
+    assert query.awaitTermination(timeout), "stream did not finish in time"
+
+
+def test_ingest_fan_out_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first_two = {k: BANK_DOCS[k] for k in list(BANK_DOCS)[:2]}
+    write_docs(src, first_two)
+
+    stream = stream_documents(spark, src, schemas.BANK_SCRAPE_SCHEMA)
+    _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt))
+    n1 = spark.read.parquet(os.path.join(out, "bank_scrape_info")).count()
+    assert n1 == 2
+
+    # second run with the SAME checkpoint: old files must NOT reprocess
+    # (the reference's loop would re-append them → duplicates)
+    third = {k: BANK_DOCS[k] for k in list(BANK_DOCS)[2:]}
+    write_docs(src, third)
+    stream = stream_documents(spark, src, schemas.BANK_SCRAPE_SCHEMA)
+    _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt))
+
+    info = spark.read.parquet(os.path.join(out, "bank_scrape_info"))
+    assert info.count() == 3  # 2 + 1, no duplicates
+    assert info.select("SF_ID").distinct().count() == 3
+    # fan-out produced the full star schema for the processed docs
+    assert spark.read.parquet(os.path.join(out, "transactions")).count() == 3
+    assert spark.read.parquet(os.path.join(out, "bank_account")).count() == 3
+
+
+def _write_events_json(path: str, rows: list[dict], fname: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+EVENT_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 10:00:01", "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "view", "value": 2.0},
+        {"event_id": 2, "ts": "2024-01-01 10:01:30", "user_id": 8, "event_type": "view", "value": 2.5},
+        {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 9, "event_type": "click", "value": 3.0},
+    ]
+    _write_events_json(src, rows, "batch1.json")
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+
+def test_watermarked_window_drops_late_data(spark, tmp_path):
+    """Two checkpointed runs: run 2 advances the watermark far past the
+    10:00 window AND carries a too-late 10:00-window row; the emitted
+    window must count only the on-time rows."""
+    src = str(tmp_path / "ev2")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "click", "value": 2.0},
+    ]
+    _write_events_json(src, batch1, "b1.json")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        agg = watermarked_window_counts(stream, window="1 hour", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_once()
+
+    # batch 2: advances the watermark to ~13:50 (> the 10:00 window's end),
+    # so the 10:00 window is flushed and its state evicted.
+    _write_events_json(
+        src,
+        [{"event_id": 3, "ts": "2024-01-01 14:00:00", "user_id": 3, "event_type": "click", "value": 4.0}],
+        "b2.json",
+    )
+    run_once()
+
+    # batch 3: a 10:30 row arriving AFTER the watermark passed 11:00 —
+    # this is genuinely late and must be dropped (watermark advances only
+    # after a batch, which is why it rides alone here).
+    _write_events_json(
+        src,
+        [{"event_id": 4, "ts": "2024-01-01 10:30:00", "user_id": 4, "event_type": "click", "value": 8.0}],
+        "b3.json",
+    )
+    run_once()
+
+    # batch 4: push the watermark further so any (incorrectly) accepted
+    # late-window state would have been flushed by now.
+    _write_events_json(
+        src,
+        [{"event_id": 5, "ts": "2024-01-01 15:00:00", "user_id": 5, "event_type": "click", "value": 1.0}],
+        "b4.json",
+    )
+    run_once()
+
+    emitted = spark.read.parquet(out).collect()
+    ten = [r for r in emitted if str(r["window_start"]).startswith("2024-01-01 10:00")]
+    assert len(ten) == 1
+    # the late 10:30 row (value 8.0) must NOT be in the flushed window
+    assert ten[0]["n"] == 2
+    assert ten[0]["total_value"] == pytest.approx(3.0)
