@@ -11,5 +11,7 @@ from etl_sample_spark.plans import scalars  # noqa: E402,F401
 from etl_sample_spark.plans import setops  # noqa: E402,F401
 from etl_sample_spark.plans import llm  # noqa: E402,F401
 from etl_sample_spark.plans import temporal  # noqa: E402,F401
+from etl_sample_spark.plans import tpch  # noqa: E402,F401
+from etl_sample_spark.plans import analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

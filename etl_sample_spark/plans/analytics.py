@@ -1,0 +1,208 @@
+"""Analytic surface beyond the core windows module: distribution window
+functions, value windows, RANGE frames, pivot, GROUPING SETS, and
+MapType extraction.
+
+All [EXT] per SURVEY §2 — the reference has no window functions
+(verified over the whole of
+``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py``); its only
+map-shaped operation is plucking known keys out of the ``statistics``
+dict (``pipeline.py:80-88,457-465``), which map_props_extract
+re-expresses as a typed MapType lookup.
+
+Determinism discipline: every window ordering carries a unique tie-break
+key; RANGE frames order on an integer day offset so Spark's numeric
+rangeBetween and DuckDB's RANGE ... PRECEDING agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.plans.registry import register
+from etl_sample_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return catalog.table(spark, sf_dir, name)
+
+
+@register(
+    "win_percent_rank_cume_dist",
+    """
+    SELECT c_nationkey, c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+    """,
+    doc="W1: distribution functions percent_rank / cume_dist per nation "
+    "(single window exchange for both)",
+)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@register(
+    "win_first_last_value_suppliers",
+    """
+    SELECT s_nationkey, s_suppkey,
+           FIRST_VALUE(s_name) OVER w AS richest_name,
+           LAST_VALUE(s_name)  OVER w AS poorest_name
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY s_nationkey, s_suppkey
+    """,
+    doc="W2: first_value/last_value over a full-partition frame (the "
+    "default frame would make last_value degenerate — frame is explicit)",
+)
+def win_first_last_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            F.first("s_name").over(w).alias("richest_name"),
+            F.last("s_name").over(w).alias("poorest_name"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+@register(
+    "win_range_30d_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY DATE_DIFF('day', TIMESTAMP '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="W3: trailing-30-day RANGE frame — ordered on integer day offset "
+    "so both engines frame identically; same-day rows share a frame",
+)
+def win_range_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_offset = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    w = Window.partitionBy("o_custkey").orderBy(day_offset).rangeBetween(-30, 0)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="pivot: long→wide with an explicit value list (explicit values "
+    "keep the schema static — mandatory at scale, avoids a discovery pass)",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "grouping_sets_supplier_geo",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*)                AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    ORDER BY region_name, nation_name
+    """,
+    doc="A3: explicit GROUPING SETS (not derivable from rollup/cube) via "
+    "Spark SQL over temp views — one Expand node, single shuffle",
+)
+def grouping_sets_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("supplier", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"gs_{name}")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*)                AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_bal
+        FROM gs_supplier
+        JOIN gs_nation ON s_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY region_name, nation_name
+        """
+    )
+
+
+@register(
+    "map_props_extract",
+    """
+    SELECT event_id,
+           ARRAY_TO_STRING(LIST_SORT(json_keys(props)), '|')       AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)      AS k_value
+    FROM events
+    WHERE event_id <= 200
+    ORDER BY event_id
+    """,
+    doc="MapType surface: props JSON → map<string,int>, sorted key list + "
+    "known-key lookup — the reference's statistics-dict pluck "
+    "(pipeline.py:80-88) as a typed, vectorized expression",
+)
+def map_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.from_json("props", "map<string,int>")
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 200)
+        .select(
+            "event_id",
+            F.array_join(F.sort_array(F.map_keys(m)), "|").alias("prop_keys"),
+            F.element_at(m, "k").alias("k_value"),
+        )
+        .orderBy("event_id")
+    )
