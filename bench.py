@@ -20,7 +20,11 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_quantity_orders",
     "join_left_outer_customer_orders",
+    "skewjoin_revenue_by_priority",
+    "interval_join_clicks_after_purchase",
     "win_top3_orders_per_customer",
     "win_running_sum_customer_spend",
     "window_tumbling_hourly",

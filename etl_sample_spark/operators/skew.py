@@ -1,0 +1,55 @@
+"""Skew-mitigation join strategies (100-TB scale path).
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``,
+on by default in ``session.tune``) handles most skew at runtime, but it
+only helps sort-merge joins and only after a shuffle has materialized.
+``salted_join`` is the explicit pre-shuffle fix for the pathological
+case — a handful of hot keys owning a large fraction of a 100 TB fact
+table: the big side's rows are spread across ``n_salts`` sub-keys
+deterministically, and the small side is replicated ``n_salts``× so
+every sub-key still finds its match. Join semantics are unchanged
+(verified against the plain-join oracle in plans/tpch.py's
+``skewjoin_revenue_by_priority``).
+
+The reference has no joins at all (SURVEY §2.6) — this is [EXT] scale
+infrastructure for the star schema its FK-stamping prepares.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting: ``big`` rows get a deterministic salt
+    in [0, n_salts) hashed from the whole row (xxhash64 — cheap,
+    JVM-side, no rand() so re-runs and retried tasks agree); ``small`` is
+    exploded into one copy per salt value. The shuffle then distributes
+    each hot key over ``n_salts`` reducers instead of one.
+
+    Use when a key's row count exceeds what one task should own
+    (~shuffle-partition-size / row-width). For dims that fit in memory,
+    prefer ``F.broadcast`` — salting is for the mid-size skewed case
+    where neither broadcast nor an even shuffle works.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    salted_big = big.withColumn("_salt", salt)
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    joined = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key]) & (salted_big["_salt"] == salted_small["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

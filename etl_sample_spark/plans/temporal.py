@@ -155,3 +155,46 @@ def asof_join_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_asof", 4).alias("value_asof"),
         F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     ).orderBy("event_id")
+
+
+@register(
+    "interval_join_clicks_after_purchase",
+    """
+    SELECT p.event_id, p.user_id, COUNT(c.event_id) AS n_clicks_30m
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts
+     AND c.ts <= p.ts + INTERVAL 30 MINUTE
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+    doc="J5: interval/range join — clicks within 30 minutes after each "
+    "purchase; hash-join on user_id with the time band as post-join "
+    "filter (the streaming twin is a stream-stream join with watermarks)",
+)
+def interval_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (p.p_user_id == c.c_user_id)
+            & (c.c_ts > p.p_ts)
+            & (c.c_ts <= p.p_ts + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .groupBy("p_event_id", "p_user_id")
+        .agg(F.count("c_event_id").alias("n_clicks_30m"))
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            F.col("p_user_id").alias("user_id"),
+            "n_clicks_30m",
+        )
+        .orderBy("event_id")
+    )

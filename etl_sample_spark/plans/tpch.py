@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
+from etl_sample_spark.operators.skew import salted_join
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
 
@@ -523,4 +524,35 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "skewjoin_revenue_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)                                          AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem, orders
+    WHERE l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="skew path: the fact-fact join executed through salted_join "
+    "(operators/skew.py) — semantics identical to the plain join the "
+    "oracle runs; the salt spreads hot keys over n_salts reducers",
+)
+def skewjoin_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(lineitem, orders, "l_orderkey", "o_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_revenue()), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the scale contract, checked mechanically.
+
+Correctness says the operators compute the right answer; these tests pin
+down that they compute it with the *plan* we want at 100 TB — filters
+pushed into the parquet scan, columns pruned, small sides broadcast, no
+row-at-a-time Python in any oracle-checked query, no accidental
+cartesian products. A refactor that silently de-optimizes a query fails
+here even though its results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_sample_spark.plans import REGISTRY
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir))
+    assert "PushedFilters" in plan
+    # All three predicate columns reach the scan as pushed filters.
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_columns_pruned(spark, sf_dir):
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir))
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines, "no ReadSchema in plan"
+    # 4 of lineitem's 11 columns are needed; the widest unused ones must
+    # not be read.
+    for col in ("l_returnflag", "l_partkey", "l_tax", "l_orderkey"):
+        assert col not in schema_lines[0], f"{col} read but unused"
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(REGISTRY["q5_local_supplier_volume"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_no_cartesian(spark, sf_dir):
+    plan = plan_of(REGISTRY["q3_shipping_priority"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    # AQE's formatted explain shows the *initial* plan without codegen
+    # annotations; run the query and inspect the final executed plan.
+    df = REGISTRY["q1_pricing_summary"].spark(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen stages in the executed plan.
+    assert "*(" in executed, "no whole-stage codegen stage in executed plan"
+    # Tungsten hash aggregation with a map-side partial pass before the shuffle.
+    assert "HashAggregate" in executed
+    assert "partial_sum" in executed
+
+
+@pytest.mark.parametrize("name", sorted(n for n, s in REGISTRY.items() if s.oracle is not None))
+def test_no_python_row_udfs_anywhere(spark, sf_dir, name):
+    """Every oracle-checked query must stay JVM-side: BatchEvalPython
+    (row-at-a-time Python UDF) is banned outright; ArrowEvalPython /
+    MapInPandas are reserved for the multimodal codec stubs, which are
+    not oracle-checked queries."""
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF on an oracle path"
+    assert "MapInPandas" not in plan, f"{name} uses mapInPandas on an oracle path"
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    """The salted join's shuffle key must include the salt column, and the
+    small side must be replicated via explode."""
+    from etl_sample_spark import catalog
+    from etl_sample_spark.operators.skew import salted_join
+
+    li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = catalog.table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4)
+    assert "_salt" not in joined.columns
+    plan = plan_of(joined)
+    assert "explode" in plan.lower() or "Generate" in plan
+    # Same row count as the plain join — salting must not change semantics.
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert joined.count() == plain
