@@ -127,3 +127,65 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine) — the IVF
+    coarse quantization pass, entirely JVM-side: per-centroid similarity
+    via zip_with/aggregate, argmax via array_position(array_max).
+
+    At 100 TB this is the one full-corpus map pass; persist the result
+    partitioned by ``__cell`` so queries scan only their probed cells'
+    files (partition pruning does the index lookup).
+    """
+    sims = F.array(
+        *[
+            cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]).cast("array<double>"))
+            for _, c in centroids
+        ]
+    )
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return embeddings.withColumn("__cell", cell)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, then run the exact scan over only the
+    ``n_probe`` cells whose centroids are closest to the query —
+    the standard inverted-file ANN trade (probe fraction ≈ recall knob).
+
+    Centroid selection here is a deterministic corpus sample (first
+    ``n_centroids`` ids) standing in for a k-means training pass — the
+    Spark-side plumbing (assignment pass, cell pruning, probed exact
+    scan) is identical to a trained quantizer and is what's under test.
+    """
+    import math
+
+    centroid_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = [(r[id_col], [float(x) for x in r[vec_col]]) for r in centroid_rows]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i][1]))
+    probe_cells = ranked[:n_probe]
+
+    assigned = ivf_assign_cells(embeddings, centroids, vec_col)
+    candidates = assigned.where(F.col("__cell").isin(probe_cells))
+    return brute_force_topk(candidates, query_vec, k, id_col, vec_col)

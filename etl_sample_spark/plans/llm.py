@@ -402,3 +402,19 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.height").alias("height"),
         F.col("media_meta.format").alias("format"),
     ).orderBy("doc_id")
+
+
+@register(
+    "similarity_ivf_top10",
+    None,  # approximate (probe-limited): rows-only check; pytest asserts
+    # full-probe == brute force and partial-probe recall
+    doc="L3: IVF approximate top-k — coarse-quantize into cells, exact-scan "
+    "only the n_probe nearest cells (at scale: persist partitioned by cell "
+    "so partition pruning is the index lookup)",
+)
+def similarity_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4)

@@ -66,3 +66,48 @@ def dedup_within_watermark(
     """T5: stateful exactly-once-per-key dedup with bounded state — the
     streaming fix for the reference's duplicate-on-retry appends."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def running_user_totals_stateful(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
+    §2.10/§2.11): per-user running event count + value total maintained
+    as explicit GroupState across micro-batches — the shape for
+    operators that watermarked windows can't express (lifetime
+    accumulators, custom session logic, fraud counters).
+
+    Arrow-batched like every pandas exchange; state is one small tuple
+    per key, so at 100 TB state size is O(distinct keys), not O(rows).
+    Emits one updated row per key per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} BIGINT, n_events BIGINT, total_value DOUBLE"
+    state_schema = "n BIGINT, total DOUBLE"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -143,3 +143,26 @@ def test_multimodal_frame_sampling_expands_rows(spark, sf_dir):
     expected = sum((n + 3) // 4 for n in n_frames.values())
     assert len(frames) == expected
     assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_ivf_topk_overlaps_bruteforce(spark, sf_dir):
+    from etl_sample_spark.operators.similarity import ivf_topk
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, qvec, k=10, n_centroids=16, n_probe=4).collect()]
+    assert 0 in approx  # query's own cell is always the top probe
+    assert len(set(exact) & set(approx)) >= 3  # probe-limited recall floor
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """Probing every cell must recover the exact result — the IVF scan is
+    a partition of the corpus, not a lossy sketch."""
+    from etl_sample_spark.operators.similarity import ivf_topk
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=8).collect()]
+    assert exact == full

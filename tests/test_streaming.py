@@ -150,3 +150,54 @@ def test_watermarked_window_drops_late_data(spark, tmp_path):
     # the late 10:30 row (value 8.0) must NOT be in the flushed window
     assert ten[0]["n"] == 2
     assert ten[0]["total_value"] == pytest.approx(3.0)
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Custom stateful operator: per-user running totals must accumulate
+    ACROSS micro-batches (state survives the batch boundary via the
+    checkpoint), which no stateless map can do."""
+    from etl_sample_spark.streaming.windows import running_user_totals_stateful
+
+    src = str(tmp_path / "ev_state")
+    ckpt = str(tmp_path / "state_ckpt")
+    out = str(tmp_path / "state_out")
+
+    def run_once(name):
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        totals = running_user_totals_stateful(stream)
+        # memory sink can't recover from a checkpoint; foreachBatch +
+        # parquet append supports both update-mode rows and recovery.
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    _write_events_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 8, "event_type": "click", "value": 5.0},
+        ],
+        "s1.json",
+    )
+    run_once("state_sink_1")
+
+    _write_events_json(
+        src,
+        [{"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 7, "event_type": "click", "value": 4.0}],
+        "s2.json",
+    )
+    run_once("state_sink_2")
+
+    emitted = spark.read.parquet(out).collect()
+    # user 7's state carried n=2,total=3.0 across the restart, then +1 event
+    final_u7 = max((r for r in emitted if r["user_id"] == 7), key=lambda r: r["n_events"])
+    assert final_u7["n_events"] == 3
+    assert final_u7["total_value"] == pytest.approx(7.0)

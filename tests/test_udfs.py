@@ -1,0 +1,70 @@
+"""UDF-tier equivalence: every Python-tier UDF (SURVEY §2.11) must agree
+bit-for-bit with its JVM built-in twin, so using the escape hatch never
+changes semantics — only performance."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.functions.scalar import mask_account
+from etl_sample_spark.functions.udfs import (
+    mask_account_pandas,
+    mask_account_rowudf,
+    weighted_mean_price,
+    zscore_per_group,
+)
+
+
+def test_pandas_scalar_udf_matches_builtin(spark, sf_dir):
+    part = catalog.table(spark, sf_dir, "part").select(F.col("p_name").alias("account"))
+    both = part.select(
+        mask_account(F.col("account")).alias("jvm"),
+        mask_account_pandas()(F.col("account")).alias("arrow"),
+        mask_account_rowudf()(F.col("account")).alias("row"),
+    )
+    assert both.where(
+        (F.col("jvm") != F.col("arrow")) | (F.col("jvm") != F.col("row"))
+    ).count() == 0
+
+
+def test_grouped_agg_pandas_udf_matches_builtin(spark, sf_dir):
+    li = catalog.table(spark, sf_dir, "lineitem")
+    arrow = (
+        li.groupBy("l_returnflag")
+        .agg(weighted_mean_price()("l_extendedprice", "l_quantity").alias("wm"))
+        .collect()
+    )
+    jvm = (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")).alias(
+                "wm"
+            )
+        )
+        .collect()
+    )
+    a = {r["l_returnflag"]: r["wm"] for r in arrow}
+    j = {r["l_returnflag"]: r["wm"] for r in jvm}
+    assert a.keys() == j.keys()
+    for k in a:
+        assert math.isclose(a[k], j[k], rel_tol=1e-9), (k, a[k], j[k])
+
+
+def test_apply_in_pandas_zscore_matches_window(spark, sf_dir):
+    ev = catalog.table(spark, sf_dir, "events")
+    py = zscore_per_group(ev, "user_id", "value")
+    w = Window.partitionBy("user_id")
+    jvm = ev.select(
+        "user_id",
+        "value",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias(
+            "zscore"
+        ),
+    )
+    a = sorted((r["user_id"], round(r["value"], 9), round(r["zscore"], 6)) for r in py.collect())
+    b = sorted((r["user_id"], round(r["value"], 9), round(r["zscore"], 6)) for r in jvm.collect())
+    assert a == b
