@@ -1,0 +1,51 @@
+"""Routing (SURVEY §2.2 R1/R2): one mixed directory of all four document
+forms must dispatch each file to the right pipeline, and the sf_id must
+come out of the filename exactly as the reference slices it
+(``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:35,156,798-805``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sample_spark import schemas
+from etl_sample_spark.sources.documents import read_form, route_column, sf_id_column
+from tests.fixtures import ACTION_DOCS, BANK_DOCS, COMBINED_DOCS, CREDIT_DOCS, write_docs
+
+
+@pytest.fixture(scope="module")
+def mixed_dir(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("mixed"))
+    for docs in (BANK_DOCS, CREDIT_DOCS, ACTION_DOCS, COMBINED_DOCS):
+        write_docs(base, docs)
+    return base
+
+
+def test_route_column_dispatches_all_four_forms(spark, mixed_dir):
+    # Text-mode scan is enough to route: routing reads only the filename.
+    df = spark.read.text(f"{mixed_dir}/*.json").select(
+        route_column(), sf_id_column().alias("sf_id")
+    )
+    routes = {r["sf_id"]: r["route"] for r in df.distinct().collect()}
+    assert routes["ACCT001"] == "bank_scrape"
+    assert routes["MEM001"] == "credit_report"
+    assert routes["SF009"] == "action"
+    assert routes["SF001"] == "combined"
+    counts = {r["route"]: r["n"] for r in df.groupBy("route").agg(F.countDistinct("sf_id").alias("n")).collect()}
+    assert counts == {
+        "bank_scrape": len(BANK_DOCS),
+        "credit_report": len(CREDIT_DOCS),
+        "action": len(ACTION_DOCS),
+        "combined": len(COMBINED_DOCS),
+    }
+
+
+def test_sf_id_strips_route_suffixes(spark, mixed_dir):
+    df = read_form(spark, f"{mixed_dir}/*_bank_scrape.json", schemas.BANK_SCRAPE_SCHEMA)
+    ids = sorted(r["sf_id"] for r in df.select("sf_id").collect())
+    assert ids == ["ACCT001", "ACCT002", "ACCT003"]
+
+
+def test_per_form_glob_reads_only_its_route(spark, mixed_dir):
+    credit = read_form(spark, f"{mixed_dir}/*_credit_report.json", schemas.CREDIT_REPORT_SCHEMA)
+    assert credit.count() == len(CREDIT_DOCS)
