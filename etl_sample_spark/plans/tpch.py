@@ -605,3 +605,84 @@ def agg_hll_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q16_supplier_count_by_part_attrs",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#12'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem as the partsupp surrogate): distinct "
+    "supplier counts per part attribute with a NOT-IN anti-join exclusion "
+    "list (broadcast anti join on the filtered supplier set)",
+)
+def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_suppliers = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad_suppliers),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_suppliers_with_excess_stock",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND p_name LIKE '%blue%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape: suppliers who moved > 100 units of blue parts "
+    "in 1996 — grouped HAVING subquery, IN as a left-semi join",
+)
+def q20_suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%blue%")).select("p_partkey")
+    lineitem = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    movers = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            F.broadcast(movers), supplier.s_suppkey == movers.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -52,16 +52,46 @@ def read_form(
     path: str,
     schema: StructType,
     with_sf_id: bool = True,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Scan one document form: multiLine JSON (one document per file,
     S1) with an explicit schema — missing sections become nulls, which
-    downstream specs treat as 'skip this table for this doc'."""
-    df = (
-        spark.read.option("multiLine", "true")
-        .option("mode", "PERMISSIVE")
-        .schema(schema)
-        .json(path)
-    )
+    downstream specs treat as 'skip this table for this doc'.
+
+    ``corrupt_col``: when set, malformed documents surface as rows whose
+    ``corrupt_col`` holds the raw text (all other fields null) instead
+    of being dropped — the principled version of the reference's bare
+    ``try/except`` swallow (pipeline.py:12,29-30): failures are
+    *quarantinable*, not silent. Split with ``quarantine_corrupt``.
+    """
+    reader = spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType
+
+        schema = StructType(schema.fields[:]).add(corrupt_col, StringType())
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    df = reader.schema(schema).json(path)
+    if corrupt_col is not None:
+        # Stamped at scan time: input_file_name() is only defined while
+        # the file scan runs — evaluated later over a cached relation
+        # (as quarantine_corrupt does) it returns ''.
+        df = df.withColumn("source_file", F.input_file_name())
     if with_sf_id:
         df = df.withColumn("sf_id", sf_id_column())
     return df
+
+
+def quarantine_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined): clean rows lose the corrupt column; the
+    quarantine keeps raw text + source file for replay after a fix.
+
+    The parse result is cached first: Spark disallows queries that
+    reference only the internal corrupt-record column of a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    halves re-scan the corpus otherwise anyway."""
+    df = df.cache()
+    corrupt = df.where(F.col(corrupt_col).isNotNull()).select(
+        "source_file", F.col(corrupt_col).alias("raw")
+    )
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col, "source_file")
+    return clean, corrupt

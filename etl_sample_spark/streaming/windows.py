@@ -111,3 +111,41 @@ def running_user_totals_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    clicks the same user made within ``attribution_window`` before it —
+    the streaming twin of plans/temporal.py's
+    interval_join_clicks_after_purchase.
+
+    Both sides carry watermarks and the join predicate bounds event time
+    in BOTH directions, so Spark can compute how long either side's rows
+    must be retained and evict join state — without the time bound the
+    state would grow forever (the 100-TB streaming failure mode).
+    """
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col(key).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col(key).alias("c_user"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias(key), "purchase_ts", "click_ts")

@@ -49,3 +49,28 @@ def test_sf_id_strips_route_suffixes(spark, mixed_dir):
 def test_per_form_glob_reads_only_its_route(spark, mixed_dir):
     credit = read_form(spark, f"{mixed_dir}/*_credit_report.json", schemas.CREDIT_REPORT_SCHEMA)
     assert credit.count() == len(CREDIT_DOCS)
+
+
+def test_corrupt_documents_quarantined_not_dropped(spark, tmp_path_factory):
+    """A malformed JSON document must neither kill the batch (the
+    reference's failure mode without try/except) nor vanish silently
+    (its failure mode WITH bare except) — it lands in a quarantine
+    DataFrame with the source file for replay."""
+    import os
+
+    from etl_sample_spark.sources.documents import quarantine_corrupt
+
+    base = str(tmp_path_factory.mktemp("corrupt"))
+    write_docs(base, BANK_DOCS)
+    with open(os.path.join(base, "BROKEN_bank_scrape.json"), "w") as f:
+        f.write('{"name": "truncated", "accounts": [')
+
+    df = read_form(
+        spark, f"{base}/*_bank_scrape.json", schemas.BANK_SCRAPE_SCHEMA, corrupt_col="_corrupt_record"
+    )
+    clean, quarantined = quarantine_corrupt(df)
+    assert clean.count() == len(BANK_DOCS)
+    bad = quarantined.collect()
+    assert len(bad) == 1
+    assert "BROKEN_bank_scrape.json" in bad[0]["source_file"]
+    assert bad[0]["raw"].startswith('{"name": "truncated"')

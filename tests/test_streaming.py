@@ -201,3 +201,44 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     final_u7 = max((r for r in emitted if r["user_id"] == 7), key=lambda r: r["n_events"])
     assert final_u7["n_events"] == 3
     assert final_u7["total_value"] == pytest.approx(7.0)
+
+
+def test_stream_stream_interval_join_attributes_clicks(spark, tmp_path):
+    from etl_sample_spark.streaming.windows import stream_stream_click_attribution
+
+    psrc = str(tmp_path / "p_stream")
+    csrc = str(tmp_path / "c_stream")
+    _write_events_json(
+        psrc,
+        [
+            {"event_id": 100, "ts": "2024-01-01 10:30:00", "user_id": 7, "event_type": "purchase", "value": 20.0},
+            {"event_id": 101, "ts": "2024-01-01 12:00:00", "user_id": 8, "event_type": "purchase", "value": 5.0},
+        ],
+        "p1.json",
+    )
+    _write_events_json(
+        csrc,
+        [
+            # in-window for purchase 100 (10:05 and 10:29)
+            {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 7, "event_type": "click", "value": 0.0},
+            {"event_id": 2, "ts": "2024-01-01 10:29:00", "user_id": 7, "event_type": "click", "value": 0.0},
+            # out of window (too early) and wrong user
+            {"event_id": 3, "ts": "2024-01-01 09:00:00", "user_id": 7, "event_type": "click", "value": 0.0},
+            {"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 9, "event_type": "click", "value": 0.0},
+        ],
+        "c1.json",
+    )
+    purchases = spark.readStream.schema(EVENT_SCHEMA).json(psrc)
+    clicks = spark.readStream.schema(EVENT_SCHEMA).json(csrc)
+    joined = stream_stream_click_attribution(purchases, clicks)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.sql("SELECT purchase_id, click_id FROM attrib_sink").collect()
+    pairs = sorted((r["purchase_id"], r["click_id"]) for r in got)
+    assert pairs == [(100, 1), (100, 2)]
