@@ -102,3 +102,14 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
         return
     fresh = df.join(existing, on=keys, how="left_anti")
     fresh.write.mode("append").parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet layout: one directory per partition
+    value. At 100 TB this is the coarsest and cheapest pruning lever —
+    a filter on a partition column skips whole directories before any
+    file I/O (PartitionFilters in the scan, verified in
+    tests/test_partition_pruning.py). Partition by low-cardinality
+    columns only (date, type); high-cardinality partitioning produces
+    the small-files problem."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
