@@ -227,7 +227,10 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        # Unrounded: the ratio of exact integer counts is the same double
+        # in every engine, while ROUND diverges on 2^a*5^b half-boundary
+        # values (HALF_UP vs HALF_EVEN).
+        .select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")
     )

@@ -33,14 +33,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "win_percent_rank_cume_dist",
     """
     SELECT c_nationkey, c_custkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER w, 6) AS cume
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     ORDER BY c_nationkey, c_custkey
     """,
     doc="W1: distribution functions percent_rank / cume_dist per nation "
-    "(single window exchange for both)",
+    "(single window exchange for both). Emitted UNROUNDED: both engines "
+    "compute the identical double from exact integer ratios, while "
+    "rounding diverges on 2^a*5^b boundary values (e.g. 41/640 = "
+    ".0640625 → HALF_UP .064063 vs HALF_EVEN .064062).",
 )
 def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
@@ -49,8 +52,8 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_nationkey",
             "c_custkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
         )
         .orderBy("c_nationkey", "c_custkey")
     )

@@ -301,7 +301,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT a_id, b_id,
-           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = a_id
     JOIN sizes sb ON sb.doc_id = b_id

@@ -85,32 +85,50 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)  AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
-           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
-           COUNT(*)                                                         AS count_order
+           SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,6)))                 AS sum_disc_price,
+           SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                         AS DECIMAL(18,6))
+                    * (1 + CAST(l_tax AS DECIMAL(18,4)))
+                    AS DECIMAL(28,10)))                AS sum_charge,
+           AVG(l_quantity)                             AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)              AS avg_price,
+           ROUND(AVG(l_discount), 6)                   AS avg_disc,
+           COUNT(*)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-01'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="Tungsten hash agg with partial aggregation; filter pushed to scan",
+    doc="Tungsten hash agg with partial aggregation; filter pushed to "
+    "scan. Money SUMs are exact DECIMAL: at sf0.1 the charge sum is "
+    "~4.4e9 where one double ulp (~4.8e-7) exceeds any sub-6dp rounding "
+    "grid, so double sums can't be compared across engines — decimal "
+    "arithmetic is order-independent and bit-identical. AVGs stay "
+    "double (magnitude ~1e4; 6dp rounding is far above ulp).",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-09-01")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = F.col("l_discount").cast("decimal(18,4)")
+    tax_dec = F.col("l_tax").cast("decimal(18,4)")
+    disc_price_dec = (price_dec * (1 - disc_dec)).cast("decimal(18,6)")
+    charge_dec = (disc_price_dec * (1 + tax_dec)).cast("decimal(28,10)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(price_dec).alias("sum_base_price"),
+            F.sum(disc_price_dec).alias("sum_disc_price"),
+            F.sum(charge_dec).alias("sum_charge"),
+            # Unrounded: integral quantities sum exactly in double in any
+            # order, so avg is bit-identical across engines; rounding an
+            # exact rational risks HALF_UP/HALF_EVEN divergence on grid hits.
+            F.avg("l_quantity").alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

@@ -686,3 +686,51 @@ def q20_suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFra
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q2_min_cost_supplier_per_part",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(AVG(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rn
+      FROM costs)
+    SELECT r.l_partkey AS partkey, r.l_suppkey AS suppkey,
+           r.unit_cost, s_name
+    FROM ranked r JOIN supplier ON s_suppkey = r.l_suppkey
+    WHERE rn = 1 AND r.l_partkey <= 200
+    ORDER BY partkey
+    """,
+    doc="TPC-H Q2 shape (lineitem as partsupp surrogate): cheapest "
+    "supplier per part — argmin-per-group as rank-1 over a rounded cost "
+    "(rounding before ranking makes the cross-engine order exact); "
+    "partkey cap keeps the oracle result bounded at any sf",
+)
+def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    costs = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("l_partkey") <= 200))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "unit_cost",
+            "s_name",
+        )
+        .orderBy("partkey")
+    )
