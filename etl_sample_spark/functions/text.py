@@ -59,7 +59,10 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     (length / punctuation / stopword ratios) in pure SQL arithmetic.
     """
     length_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
-    return F.round(length_score * 0.5 + (1.0 - stopword_ratio(text)) * 0.5, 6)
+    # Unrounded: every term is an exact integer ratio, so both engines
+    # produce the identical double; ROUND would diverge (HALF_UP vs
+    # HALF_EVEN) when the exact rational lands on a rounding boundary.
+    return length_score * 0.5 + (1.0 - stopword_ratio(text)) * 0.5
 
 
 def doc_fingerprint(text: Column) -> Column:

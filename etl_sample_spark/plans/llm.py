@@ -119,10 +119,10 @@ def dedup_sha256_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            n_chars,
            LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
-           ROUND(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LENGTH(t)))
-                 / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len,
-           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
-                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio
+           LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> LENGTH(t)))
+             / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
+             / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
     FROM documents
     ORDER BY doc_id
     """,
@@ -136,8 +136,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.size(toks).alias("n_tokens"),
-        F.round(total_len / F.size(toks), 6).alias("avg_token_len"),
-        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        # Unrounded exact-integer ratios: bit-identical across engines.
+        (total_len / F.size(toks)).alias("avg_token_len"),
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
     ).orderBy("doc_id")
 
 
@@ -152,7 +153,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                              t -> t IN ('spark','vector','hash','query'))) AS n_tech
       FROM documents)
     SELECT doc_id,
-           ROUND(LEAST(1.0, n_chars / 500.0) * 0.5 + (1.0 - n_stop / n) * 0.5, 6) AS quality,
+           LEAST(1.0, n_chars / 500.0) * 0.5 + (1.0 - n_stop / n) * 0.5 AS quality,
            CASE WHEN n_stop / n > 0.08  THEN 'en'
                 WHEN n_tech / n > 0.12  THEN 'tech'
                 ELSE 'unknown' END AS lang_guess
