@@ -209,3 +209,49 @@ def map_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "unpivot_order_measures",
+    """
+    SELECT o_orderkey, measure, value
+    FROM (
+      SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+      FROM orders WHERE o_orderkey <= 500
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 500)
+    ORDER BY o_orderkey, measure
+    """,
+    doc="unpivot/melt: wide→long, the inverse of pivot — Spark's native "
+    "unpivot (Expand node, no shuffle, no scan duplication; the UNION-ALL "
+    "oracle form would scan twice)",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", F.col("o_totalprice").alias("totalprice"), F.col("o_custkey").cast("double").alias("custkey"))
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "value")
+        .orderBy("o_orderkey", "measure")
+    )
+
+
+@register(
+    "posexplode_token_positions",
+    """
+    SELECT d.doc_id, r.i AS pos, d.l[r.i + 1] AS token
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id < 20) d,
+         UNNEST(RANGE(LEN(d.l))) AS r(i)
+    ORDER BY doc_id, pos
+    """,
+    doc="posexplode: array→rows with ordinality (the order-preserving "
+    "explode the reference's per-row loops imply; generator runs inline "
+    "in the scan stage, no shuffle)",
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
