@@ -734,3 +734,34 @@ def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("partkey")
     )
+
+
+@register(
+    "q11_important_part_values",
+    """
+    WITH part_value AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, ROUND(value, 4) AS value
+    FROM part_value
+    WHERE value > (SELECT AVG(value) * 1.2 FROM part_value)
+    ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 shape (lineitem as partsupp surrogate): per-part value "
+    "exceeding a global threshold — grouped agg + 1-row scalar aggregate "
+    "broadcast into the HAVING filter. Threshold is 1.2x the mean part "
+    "value (scale-free; Q11's fixed total-fraction threshold selects "
+    "nothing once part count grows with sf)",
+)
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part_value = lineitem.groupBy("l_partkey").agg(F.sum(_revenue()).alias("value"))
+    threshold = part_value.agg((F.avg("value") * 1.2).alias("thr"))
+    return (
+        part_value.join(F.broadcast(threshold))
+        .where(F.col("value") > F.col("thr"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("value", 4).alias("value"))
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )

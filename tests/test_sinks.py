@@ -1,0 +1,49 @@
+"""Batch sink contracts (SURVEY §2.1 S4/S6, §2.9 O5): multi-table
+single-pass fan-out and the idempotent append that fixes the reference's
+duplicate-on-retry gap."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_sample_spark import schemas
+from etl_sample_spark.forms import bank_form_specs
+from etl_sample_spark.normalize import normalize
+from etl_sample_spark.sources.documents import read_form
+from etl_sample_spark.sources.sinks import idempotent_append, write_parquet_tables
+from tests.fixtures import BANK_DOCS, write_docs
+
+
+def test_write_parquet_tables_fans_out_all_tables(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    write_docs(src, BANK_DOCS)
+    raw = read_form(spark, src, schemas.BANK_SCRAPE_SCHEMA)
+    tables = normalize(raw, bank_form_specs())
+    paths = write_parquet_tables(tables, out, mode="overwrite", cache_source=raw)
+    assert set(paths) == set(tables)
+    for name in tables:
+        assert spark.read.parquet(os.path.join(out, name)).count() == tables[name].count()
+    # the shared scan was released after the fan-out
+    assert not raw.is_cached
+
+
+def test_idempotent_append_no_duplicates_on_retry(spark, tmp_path):
+    out = str(tmp_path / "idem")
+    batch1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, payload STRING"
+    )
+    idempotent_append(batch1, out, keys=["id"])
+    # retry of the SAME batch (the reference's at-least-once failure mode)
+    idempotent_append(batch1, out, keys=["id"])
+    assert spark.read.parquet(out).count() == 2
+
+    # a new batch overlapping an old key appends only the new key
+    batch2 = spark.createDataFrame(
+        [(2, "b-retry"), (3, "c")], "id BIGINT, payload STRING"
+    )
+    idempotent_append(batch2, out, keys=["id"])
+    rows = {r["id"]: r["payload"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
