@@ -62,3 +62,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     work against the same catalog names the DuckDB oracle uses."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_as_managed(spark: SparkSession, sf_dir: str, name: str, table_name: str | None = None) -> str:
+    """Materialize a testdata table as a managed catalog table so it can
+    carry statistics (parquet path scans can't persist ANALYZE output)."""
+    table_name = table_name or f"managed_{name}"
+    table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(table_name)
+    return table_name
+
+
+def analyze(spark: SparkSession, table_name: str, columns: list[str] | None = None) -> None:
+    """Compute table + column statistics for the cost-based optimizer.
+
+    At 100 TB, CBO statistics are what let Catalyst (a) pick broadcast
+    sides by real size instead of file-size guesses, (b) reorder
+    multi-way joins by selectivity, and (c) estimate distinct counts for
+    aggregate planning. Run after large loads; AQE covers the gaps at
+    runtime but only per-stage, after shuffles already happened.
+    """
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")

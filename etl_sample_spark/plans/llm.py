@@ -419,3 +419,50 @@ def similarity_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_topk(emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "tfidf_sample_docs",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, u.t AS term
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+            FROM documents WHERE doc_id < 50) d,
+           UNNEST(d.l) AS u(t)),
+    tf AS (
+      SELECT doc_id, term,
+             COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+      FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf, df, n
+    WHERE tf.term = df.term AND tf.tf * LN((n.n + 1.0) / (df.df + 1.0)) > 0.02
+    ORDER BY tf.doc_id, tf.term
+    """,
+    doc="L4: TF-IDF over a bounded doc sample — term frequency via a "
+    "windowed count share, smoothed IDF, salient terms only. All "
+    "JVM-side (explode + two grouped aggs + one broadcast of the "
+    "doc-frequency dim); the ml.feature.HashingTF/IDF pipeline is the "
+    "approximate alternative when term cardinality explodes",
+)
+def tfidf_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = counts.withColumn(
+        "tf", F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n"))
+    tfidf = F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .where(tfidf > 0.02)
+        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+        .orderBy("doc_id", "term")
+    )

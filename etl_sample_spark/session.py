@@ -36,6 +36,7 @@ def get_spark(app_name: str = "etl-sample-spark") -> SparkSession:
         # splitting, and dynamic join-strategy switching. Essential at 100 TB,
         # harmless at sf0.001.
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
@@ -63,6 +64,10 @@ def tune(spark: SparkSession) -> SparkSession:
     # nanosecond timestamp type — read as long, catalog.table converts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Cost-based optimizer: lets ANALYZE TABLE statistics (row counts,
+    # NDVs) drive join reordering and broadcast selection. No-op for
+    # tables without stats; essential once the catalog carries them.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
