@@ -548,7 +548,7 @@ def skewjoin_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     return (
-        salted_join(lineitem, orders, "l_orderkey", "o_orderkey", n_salts=8)
+        salted_join(lineitem, orders, "l_orderkey", "o_orderkey", n_salts=4)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
