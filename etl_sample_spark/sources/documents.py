@@ -16,6 +16,8 @@ enforcement (PERMISSIVE) replaces per-document inference.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -53,6 +55,7 @@ def read_form(
     schema: StructType,
     with_sf_id: bool = True,
     corrupt_col: str | None = None,
+    allow_empty: bool = False,
 ) -> DataFrame:
     """Scan one document form: multiLine JSON (one document per file,
     S1) with an explicit schema — missing sections become nulls, which
@@ -64,6 +67,20 @@ def read_form(
     ``try/except`` swallow (pipeline.py:12,29-30): failures are
     *quarantinable*, not silent. Split with ``quarantine_corrupt``.
     """
+    if allow_empty:
+        # A glob matching zero files raises PATH_NOT_FOUND; an arrival
+        # directory that's currently empty is a normal state for the
+        # ingest loop, not an error — return an empty typed DataFrame.
+        import glob as _glob
+
+        matched = _glob.glob(path) if any(ch in path for ch in "*?[") else (
+            [path] if os.path.exists(path) else []
+        )
+        if not matched:
+            empty = spark.createDataFrame([], schema)
+            if with_sf_id:
+                empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
+            return empty
     reader = spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
     if corrupt_col is not None:
         from pyspark.sql.types import StringType

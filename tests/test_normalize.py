@@ -183,3 +183,61 @@ def test_fk_integrity_children_join_back(bank_tables):
     for child in ("misc_contact", "bank_account"):
         assert {r["SF_ID"] for r in bank_tables[child]} <= parents
     assert {r["sf_id"] for r in bank_tables["transactions"]} <= parents
+
+
+def test_empty_corpus_yields_empty_typed_tables(spark, tmp_path_factory):
+    """An empty arrival directory is a normal ingest state, not an
+    error: every output table exists, typed, with zero rows."""
+    from etl_sample_spark import schemas
+    from etl_sample_spark.forms import bank_form_specs
+    from etl_sample_spark.normalize import normalize
+    from etl_sample_spark.sources.documents import read_form
+
+    base = str(tmp_path_factory.mktemp("empty_corpus"))
+    raw = read_form(spark, f"{base}/*.json", schemas.BANK_SCRAPE_SCHEMA, allow_empty=True)
+    tables = normalize(raw, bank_form_specs())
+    assert set(tables) >= {"bank_scrape_info", "bank_account", "transactions", "misc_contact"}
+    for name, df in tables.items():
+        assert df.count() == 0, name
+        assert df.columns, name
+
+
+def test_combined_form_volume_fan_out(spark, tmp_path_factory):
+    """200 combined documents through the full 15+-table fan-out: row
+    counts must scale exactly with the corpus (the whole-corpus batch
+    model replacing the reference's per-document loop)."""
+    import copy
+    import json
+    import os
+
+    from etl_sample_spark import schemas
+    from etl_sample_spark.forms import combined_form_specs
+    from etl_sample_spark.normalize import normalize
+    from etl_sample_spark.sources.documents import read_form
+    from tests.fixtures import COMBINED_DOCS
+
+    base = str(tmp_path_factory.mktemp("volume"))
+    template = COMBINED_DOCS["SF001.json"]
+    n = 200
+    for i in range(n):
+        doc = copy.deepcopy(template)
+        doc["SalesforceID"] = f"SFV{i:04d}"
+        with open(os.path.join(base, f"SFV{i:04d}.json"), "w") as f:
+            json.dump(doc, f)
+
+    raw = read_form(spark, base, schemas.COMBINED_SCHEMA)
+    tables = normalize(raw, combined_form_specs())
+    assert tables["master_table"].count() == n
+    # template has 1 account with 2 transactions, 2 contacts, 2 trades
+    assert tables["bank_account"].count() == n
+    assert tables["transactions"].count() == 2 * n
+    assert tables["misc_contact"].count() == 2 * n
+    assert tables["trades"].count() == 2 * n
+    # FK integrity at volume: master keeps SalesforceID; children carry
+    # the stamped SF_ID / sf_id copies (jsonpipe :199,:209)
+    parents = tables["master_table"].select(
+        F.col("SalesforceID").cast("string").alias("sf_id")
+    ).distinct()
+    assert parents.count() == n
+    orphans = tables["transactions"].join(parents, "sf_id", "left_anti").count()
+    assert orphans == 0
