@@ -234,3 +234,80 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("a_id", "b_id")
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs → cluster
+    id per doc (min doc_id in the component): the step that turns
+    pairwise similarity into the actual dedup decision (keep one doc per
+    cluster).
+
+    Label propagation to fixpoint: every node adopts the smallest label
+    reachable over one edge, iterated. Chain components converge in
+    O(diameter) rounds; ``max_iters`` bounds the worst case and raises
+    if not converged rather than returning wrong clusters. Each round is
+    one shuffle (groupBy node) over the EDGE set — no driver-side graph.
+
+    At 100 TB: near-dup components are overwhelmingly tiny (pairs or
+    small stars), so rounds needed ≈ 2-3; checkpoint every few rounds if
+    lineage depth becomes a problem.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        # Materialized once: every round joins against it, and iterating
+        # over an unpinned lineage re-derives the pair generation each time.
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        # localCheckpoint per round: iterative plans double their lineage
+        # every iteration otherwise — the recomputation is exponential and
+        # OOMs the driver on plan state alone. Checkpointing makes each
+        # round O(edges) and the loop O(rounds * edges).
+        propagated = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            # Materialized before the self-join below: joining a plan to
+            # itself through aliases trips attribute resolution under
+            # checkpointing (key-not-found on the shared attribute ids);
+            # a checkpointed child gives the two sides distinct lineages.
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jumping: also adopt the label OF my label (path
+        # compression) — chains halve every round, so convergence is
+        # O(log diameter) instead of O(diameter); plain propagation
+        # fails to converge on long chained components.
+        label_of_label = propagated.select(
+            F.col("node").alias("ll_node"), F.col("label").alias("ll_label")
+        )
+        new_labels = (
+            propagated.join(label_of_label, propagated.label == label_of_label.ll_node, "left")
+            .select(
+                "node",
+                F.coalesce("ll_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")

@@ -189,3 +189,38 @@ def ivf_topk(
     assigned = ivf_assign_cells(embeddings, centroids, vec_col)
     candidates = assigned.where(F.col("__cell").isin(probe_cells))
     return brute_force_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k for MANY query vectors in one pass — the realistic
+    retrieval shape (a batch of prompts against a corpus).
+
+    Plan: broadcast the query set (queries are the small side by
+    definition), one joint map stage computing all pairwise cosines,
+    then per-query top-k via a ranked window partitioned by query id —
+    the corpus is scanned ONCE regardless of query count, vs once per
+    query for repeated brute_force_topk calls.
+    """
+    from pyspark.sql import Window
+
+    sim = cosine_similarity(
+        F.col(vec_col).cast("array<double>"), F.col(query_vec_col).cast("array<double>")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col), F.col(id_col), sim.alias("__sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__sim", 6).alias("cosine"), F.col("__rn").alias("rank"))
+        .orderBy(query_id_col, "rank")
+    )

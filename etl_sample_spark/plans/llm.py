@@ -466,3 +466,61 @@ def tfidf_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
         .orderBy("doc_id", "term")
     )
+
+
+_BATCH_COSINE_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(UNNEST(embedding) AS DOUBLE) AS qx,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS ex,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+             SUM(e.ex * q.qx) / (SQRT(SUM(e.ex * e.ex)) * SQRT(SUM(q.qx * q.qx))) AS c
+      FROM e JOIN q USING (i)
+      GROUP BY q.query_id, e.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+      FROM sims)
+    SELECT query_id, vec_id, ROUND(c, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "similarity_batch_top5",
+    _BATCH_COSINE_ORACLE,
+    doc="L3: batch retrieval — top-5 for 3 query vectors in ONE corpus "
+    "scan (queries broadcast, per-query ranked window), vs one scan per "
+    "query with repeated brute force",
+)
+def similarity_batch_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.similarity import batch_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return batch_topk(emb, queries, k=5)
+
+
+@register(
+    "neardup_clusters_documents",
+    None,  # iterative fixpoint (label propagation): genuinely non-SQL;
+    # pytest asserts cluster structure on planted duplicates
+    doc="L2: near-dup candidate pairs → connected components (cluster id "
+    "= min doc_id); the step that turns pairwise similarity into a "
+    "keep-one-per-cluster dedup decision. One shuffle per round, "
+    "converges in O(component diameter) rounds",
+)
+def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import minhash_lsh_candidates, neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs)
+    return neardup_clusters(pairs).orderBy("doc_id")

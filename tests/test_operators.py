@@ -182,3 +182,29 @@ def test_hll_estimate_within_bounds(spark, sf_dir):
     }
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_neardup_clusters_transitive_closure(spark):
+    from etl_sample_spark.operators.dedup import neardup_clusters
+
+    # chain 1-2-3 plus isolated pair (10,11): one component each
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id BIGINT, b_id BIGINT"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_batch_topk_matches_per_query_bruteforce(spark, sf_dir):
+    from etl_sample_spark.operators.similarity import batch_topk
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = batch_topk(emb, queries, k=5).collect()
+    for qid in (0, 1):
+        qvec = list(emb.where(F.col("vec_id") == qid).select("embedding").head()[0])
+        solo = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=5).collect()]
+        got = [r["vec_id"] for r in batch if r["query_id"] == qid]
+        assert got == solo, qid
