@@ -113,6 +113,79 @@ def running_user_totals_stateful(
     )
 
 
+def finalized_sessions_stateful(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom session finalizer via ``applyInPandasWithState`` +
+    ``EventTimeTimeout`` — emits a session row ONLY when the key has been
+    quiet for ``gap_minutes`` (i.e. the session is provably closed).
+
+    This is the semantics ``session_window`` can't express: built-in
+    session windows emit merged windows but can't run arbitrary
+    close-of-session logic (final payload, custom merge, side effects).
+    Here the state is the open session (start/end/count/value); on each
+    batch we extend it and arm an event-time timer at
+    ``session_end + gap``; when the WATERMARK passes that timer Spark
+    calls us back with ``state.hasTimedOut`` and we emit exactly one
+    finalized row and drop the state.
+
+    State is one 4-field tuple per ACTIVE key and is always freed by
+    either extension or timeout — bounded regardless of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        f"{key} BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+        "n_events BIGINT, session_value DOUBLE"
+    )
+    state_schema = "start_ms BIGINT, end_ms BIGINT, n BIGINT, total DOUBLE"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, end_ms, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                    "session_value": [total],
+                }
+            )
+            return
+        start_ms, end_ms, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            lo = int(ts.min().value // 1_000_000)
+            hi = int(ts.max().value // 1_000_000)
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            end_ms = hi if end_ms is None else max(end_ms, hi)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((start_ms, end_ms, n, total))
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+        return
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_click_attribution(
     purchases: DataFrame,
     clicks: DataFrame,

@@ -242,3 +242,66 @@ def test_stream_stream_interval_join_attributes_clicks(spark, tmp_path):
     got = spark.sql("SELECT purchase_id, click_id FROM attrib_sink").collect()
     pairs = sorted((r["purchase_id"], r["click_id"]) for r in got)
     assert pairs == [(100, 1), (100, 2)]
+
+
+def test_event_time_timeout_finalizes_sessions(spark, tmp_path):
+    """EventTimeTimeout semantics: a session row is emitted ONLY after the
+    watermark passes session_end + gap — i.e. when the session is provably
+    closed — and the emitted payload reflects events merged ACROSS batches."""
+    from etl_sample_spark.streaming.windows import finalized_sessions_stateful
+
+    src = str(tmp_path / "ev_sess")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        sessions = finalized_sessions_stateful(stream, gap_minutes=30)
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    # batch 1: user 7's session spans two events (10:00, 10:05)
+    _write_events_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 7, "event_type": "view", "value": 2.0},
+        ],
+        "s1.json",
+    )
+    run_once()
+    # nothing can be emitted yet — the session isn't provably closed
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    # batch 2: a 14:00 event (other user) advances the watermark to 13:50,
+    # far past 10:05 + 30min — but the watermark only updates AFTER a batch
+    _write_events_json(
+        src,
+        [{"event_id": 3, "ts": "2024-01-01 14:00:00", "user_id": 9, "event_type": "click", "value": 5.0}],
+        "s2.json",
+    )
+    run_once()
+
+    # batch 3: any batch run under the advanced watermark fires the timer
+    _write_events_json(
+        src,
+        [{"event_id": 4, "ts": "2024-01-01 14:01:00", "user_id": 9, "event_type": "click", "value": 1.0}],
+        "s3.json",
+    )
+    run_once()
+
+    emitted = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 7]
+    assert len(emitted) == 1, emitted
+    s = emitted[0]
+    assert str(s["session_start"]).startswith("2024-01-01 10:00:00")
+    assert str(s["session_end"]).startswith("2024-01-01 10:05:00")
+    assert s["n_events"] == 2
+    assert s["session_value"] == pytest.approx(3.0)
