@@ -113,3 +113,38 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode:
     columns only (date, type); high-cardinality partitioning produces
     the small-files problem."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_with_audit(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str | None = None,
+    mode: str = "append",
+) -> dict:
+    """Write parquet and return audit metrics (row count, null keys,
+    value min/max/sum) measured DURING the write itself via
+    ``df.observe`` — a second validation scan over 100 TB just to count
+    rows would double the job's I/O; Observation metrics ride the same
+    task pass as accumulators, so auditing is free.
+
+    The reference has no post-load validation at all (each ``to_sql``
+    append is fire-and-forget,
+    ``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:662-763``); this
+    is the missing load-audit step, done the Spark-native way.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.col(key_col).isNull().cast("long")).alias("null_keys"),
+    ]
+    if value_col is not None:
+        metrics += [
+            F.min(value_col).alias("value_min"),
+            F.max(value_col).alias("value_max"),
+            F.sum(value_col).alias("value_sum"),
+        ]
+    obs = Observation("load_audit")
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    return obs.get

@@ -47,3 +47,20 @@ def test_idempotent_append_no_duplicates_on_retry(spark, tmp_path):
     idempotent_append(batch2, out, keys=["id"])
     rows = {r["id"]: r["payload"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_write_with_audit_metrics_from_single_pass(spark, tmp_path):
+    from etl_sample_spark.sources.sinks import write_with_audit
+
+    out = str(tmp_path / "audited")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (None, 5.0)], "id BIGINT, v DOUBLE"
+    )
+    audit = write_with_audit(df, out, key_col="id", value_col="v", mode="overwrite")
+    assert audit["rows_written"] == 3
+    assert audit["null_keys"] == 1
+    assert audit["value_min"] == 5.0
+    assert audit["value_max"] == 30.0
+    assert audit["value_sum"] == 45.0
+    # and the write itself landed intact
+    assert spark.read.parquet(out).count() == 3
