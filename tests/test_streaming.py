@@ -305,3 +305,69 @@ def test_event_time_timeout_finalizes_sessions(spark, tmp_path):
     assert str(s["session_end"]).startswith("2024-01-01 10:05:00")
     assert s["n_events"] == 2
     assert s["session_value"] == pytest.approx(3.0)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: same cross-batch accumulation
+    contract as the applyInPandasWithState twin, on the successor API
+    (named ValueState, RocksDB-backed store)."""
+    # the TWS driver worker speaks protobuf to the JVM; without a working
+    # google.protobuf the worker crashes at init (env gate, not a code gate)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    from etl_sample_spark.streaming.windows import running_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "ev_tws")
+        ckpt = str(tmp_path / "tws_ckpt")
+        out = str(tmp_path / "tws_out")
+
+        def run_once():
+            stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+            totals = running_user_totals_tws(stream)
+            q = (
+                totals.writeStream.foreachBatch(
+                    lambda batch, _id: batch.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await(q)
+
+        _write_events_json(
+            src,
+            [
+                {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+                {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "view", "value": 2.0},
+                {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 8, "event_type": "click", "value": 5.0},
+            ],
+            "t1.json",
+        )
+        run_once()
+        _write_events_json(
+            src,
+            [{"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 7, "event_type": "click", "value": 4.0}],
+            "t2.json",
+        )
+        run_once()
+
+        emitted = spark.read.parquet(out).collect()
+        final_u7 = max((r for r in emitted if r["user_id"] == 7), key=lambda r: r["n_events"])
+        assert final_u7["n_events"] == 3
+        assert final_u7["total_value"] == pytest.approx(7.0)
+        final_u8 = max((r for r in emitted if r["user_id"] == 8), key=lambda r: r["n_events"])
+        assert final_u8["n_events"] == 1
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
