@@ -148,3 +148,22 @@ def write_with_audit(
     obs = Observation("load_audit")
     df.observe(obs, *metrics).write.mode(mode).parquet(path)
     return obs.get
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Backfill sink: replace ONLY the partitions present in ``df``,
+    leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic``).
+
+    This is the idempotent reprocessing primitive at 100 TB: recomputing
+    one bad day must not truncate the other ~2000 days (static overwrite
+    drops the whole table) and must not duplicate rows (append would).
+    Retrying the same backfill converges to the same table state.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
