@@ -524,3 +524,117 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs)
     return neardup_clusters(pairs).orderBy("doc_id")
+
+
+_CURATION_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, n_chars, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             t -> t IN ('spark','vector','hash','query'))) AS n_tech
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, n AS n_tokens,
+             LEAST(1.0, n_chars / 500.0) * 0.5 + (1.0 - n_stop / n) * 0.5 AS quality,
+             CASE WHEN n_stop / n > 0.08  THEN 'en'
+                  WHEN n_tech / n > 0.12  THEN 'tech'
+                  ELSE 'unknown' END AS lang_guess
+      FROM base)
+    SELECT doc_id, lang_guess, quality, n_tokens
+    FROM scored
+    WHERE quality >= 0.6
+      AND lang_guess <> 'unknown'
+      AND doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "corpus_curation_pipeline",
+    _CURATION_ORACLE,
+    doc="L1+L4 end-to-end: the canonical pretraining-corpus cleaning pass "
+    "— language-ID + quality gate + exact-dedup keep-first — as ONE "
+    "single-scan plan (all Catalyst expressions; the dedup is the only "
+    "shuffle). At 100 TB this chains the same way: score/filter are "
+    "map-side and run before the dedup shuffle, so the shuffle sees only "
+    "surviving rows",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.text import (
+        lang_id_heuristic,
+        quality_score,
+        token_count,
+    )
+    from etl_sample_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        lang_id_heuristic(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.where((F.col("quality") >= 0.6) & (F.col("lang_guess") != "unknown"))
+    return (
+        exact_dedup(kept, ["text"], "doc_id")
+        .select("doc_id", "lang_guess", "quality", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_ORACLE = f"""
+    WITH fp AS (
+      SELECT d.doc_id,
+             CAST(SUM((r.i + 1) * (131*length(d.l[r.i + 1]) + ascii(d.l[r.i + 1]))) % {FINGERPRINT_MOD}
+                  AS BIGINT) AS fingerprint
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents) d,
+           UNNEST(RANGE(LEN(d.l))) AS r(i)
+      GROUP BY d.doc_id)
+    SELECT doc_id,
+           CASE WHEN fingerprint % 10 < 8 THEN 'train'
+                WHEN fingerprint % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM fp
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "train_val_test_split",
+    _SPLIT_ORACLE,
+    doc="Deterministic content-hash train/val/test split (80/10/10 on "
+    "fingerprint mod 10): assignment depends only on document CONTENT, so "
+    "it is stable across reruns, cluster sizes, and row order — the "
+    "property random splits lack (and the reason leakage-safe pipelines "
+    "split by hash, not by rand()). Pure map-side: no shuffle at any scale",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = doc_fingerprint(F.col("text")) % 10
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample_by_lang",
+    None,  # sampling is engine-specific randomness: rows-only check;
+    # pytest bounds per-stratum proportions instead
+    doc="Training-data curation: per-stratum downsampling via sampleBy "
+    "(e.g. cap the dominant language, upweight rare ones) — the "
+    "distributed substitute for collect-then-resample. Map-side Bernoulli "
+    "per row against the stratum's fraction: no shuffle, scales linearly",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.text import lang_id_heuristic
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang_guess", lang_id_heuristic(F.col("text"))
+    )
+    sampled = docs.sampleBy(
+        "lang_guess", fractions={"en": 1.0, "tech": 0.5, "unknown": 0.1}, seed=42
+    )
+    return sampled.select("doc_id", "lang_guess").orderBy("doc_id")

@@ -208,3 +208,37 @@ def test_batch_topk_matches_per_query_bruteforce(spark, sf_dir):
         solo = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=5).collect()]
         got = [r["vec_id"] for r in batch if r["query_id"] == qid]
         assert got == solo, qid
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    from etl_sample_spark.functions.text import lang_id_heuristic
+
+    docs = catalog.table(spark, sf_dir, "documents").withColumn(
+        "lang_guess", lang_id_heuristic(F.col("text"))
+    )
+    totals = {r["lang_guess"]: r["n"] for r in docs.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fractions = {"en": 1.0, "tech": 0.5, "unknown": 0.1}
+    sampled = docs.sampleBy("lang_guess", fractions=fractions, seed=42)
+    got = {r["lang_guess"]: r["n"] for r in sampled.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exact strata (fraction 1.0) keep everything; Bernoulli strata land
+    # within a generous tolerance of expectation
+    assert got["en"] == totals["en"]
+    for lang in ("tech", "unknown"):
+        expect = totals[lang] * fractions[lang]
+        assert abs(got.get(lang, 0) - expect) <= max(5, 0.5 * expect), (lang, got, expect)
+
+
+def test_train_val_test_split_deterministic_and_content_keyed(spark, sf_dir):
+    import __spark_entry__ as e
+
+    q = e.queries()["train_val_test_split"]
+    a = {r["doc_id"]: r["split"] for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in q(spark, sf_dir).collect()}
+    assert a == b  # stable across runs
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    n = len(a)
+    # roughly 80/10/10 (content-hash buckets, not exact)
+    assert counts["train"] > 0.6 * n
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
