@@ -311,3 +311,62 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         if changed == 0:
             return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing: greedily concatenate documents into training
+    sequences of at most ``budget_tokens`` tokens — the step between a
+    curated corpus and an LLM dataloader (packing short docs together
+    instead of padding each to the context length).
+
+    Greedy-with-reset cannot be expressed as a window function (each
+    cut depends on where the previous cut landed), so the packing runs
+    as ``applyInPandas`` over ``n_buckets`` deterministic hash buckets:
+    within a bucket, docs are walked in ``id_col`` order and a new
+    sequence starts whenever the budget would overflow. Deterministic
+    end-to-end (bucket = id % n_buckets, fixed walk order) — reruns
+    produce identical packings, unlike shuffle-order-dependent packing.
+
+    Scale: one shuffle on the bucket id; each group is ~corpus/n_buckets
+    docs of a few ints each (id + token count — never the text), so
+    groups stay small no matter the corpus; raise ``n_buckets`` with
+    data size. Oversized docs (> budget) get a singleton sequence and
+    ``truncated = true``.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} BIGINT, seq_id STRING, seq_pos INT, "
+        f"{token_col} BIGINT, truncated BOOLEAN"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bucket = int(pdf["__bucket"].iloc[0])
+        seq_ids, seq_pos, truncated = [], [], []
+        seq_no, used, pos = 0, 0, 0
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if used > 0 and used + tok > budget_tokens:
+                seq_no, used, pos = seq_no + 1, 0, 0
+            seq_ids.append(f"{bucket}_{seq_no}")
+            seq_pos.append(pos)
+            truncated.append(tok > budget_tokens)
+            used += tok
+            pos += 1
+        out = pdf[[id_col, token_col]].copy()
+        out["seq_id"] = seq_ids
+        out["seq_pos"] = seq_pos
+        out["truncated"] = truncated
+        return out[[id_col, "seq_id", "seq_pos", token_col, "truncated"]]
+
+    bucketed = docs.select(
+        id_col, token_col, (F.col(id_col) % n_buckets).alias("__bucket")
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(pack, out_schema)

@@ -638,3 +638,22 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess", fractions={"en": 1.0, "tech": 0.5, "unknown": 0.1}, seed=42
     )
     return sampled.select("doc_id", "lang_guess").orderBy("doc_id")
+
+
+@register(
+    "sequence_packing_512",
+    None,  # greedy-with-reset packing is not window-expressible; pytest
+    # asserts the invariants (every doc once, no sequence over budget,
+    # deterministic across runs)
+    doc="LLM dataloader prep: pack curated docs into <=512-token training "
+    "sequences (greedy within deterministic id-hash buckets via "
+    "applyInPandas; only ids+token counts shuffle, never text)",
+)
+def sequence_packing_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.text import token_count
+    from etl_sample_spark.operators.dedup import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget_tokens=512).orderBy("doc_id")

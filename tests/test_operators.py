@@ -242,3 +242,45 @@ def test_train_val_test_split_deterministic_and_content_keyed(spark, sf_dir):
     # roughly 80/10/10 (content-hash buckets, not exact)
     assert counts["train"] > 0.6 * n
     assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    from etl_sample_spark.functions.text import token_count
+    from etl_sample_spark.operators.dedup import pack_sequences
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    n_docs = docs.count()
+    packed = pack_sequences(docs, budget_tokens=512).cache()
+    try:
+        # every doc appears exactly once
+        assert packed.count() == n_docs
+        assert packed.select("doc_id").distinct().count() == n_docs
+        # no multi-doc sequence exceeds the budget; singletons may only
+        # exceed it when flagged truncated
+        per_seq = (
+            packed.groupBy("seq_id")
+            .agg(
+                F.sum("n_tokens").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.col("truncated").cast("int")).alias("any_trunc"),
+            )
+            .collect()
+        )
+        for r in per_seq:
+            if r["n"] > 1:
+                assert r["total"] <= 512, r
+            elif r["total"] > 512:
+                assert r["any_trunc"] == 1, r
+        # packing actually packs: fewer sequences than docs
+        assert len(per_seq) < n_docs
+        # deterministic across runs
+        a = {(r["doc_id"], r["seq_id"], r["seq_pos"]) for r in packed.collect()}
+        b = {
+            (r["doc_id"], r["seq_id"], r["seq_pos"])
+            for r in pack_sequences(docs, budget_tokens=512).collect()
+        }
+        assert a == b
+    finally:
+        packed.unpersist()
