@@ -33,9 +33,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q3_shipping_priority"].spark(spark, SMOKE_SF_DIR)
 
 
+# The driver's CORRECTNESS run covers the first 50 queries() entries per
+# round. Round 1 checked these 50 (all green except q1, fixed since); push
+# them to the BACK so the 45+ queries with no hard correctness row yet —
+# every TPC-H shape, as-of/interval/skew joins, event-time window batch
+# twins, similarity search, curation/split/packing — plus anything newly
+# registered this round land inside the checked window. q1 stays in front
+# to confirm the decimal→double fix.
+_R1_CHECKED = {
+    "q3_shipping_priority", "q1_pricing_summary", "q5_local_supplier_volume",
+    "join_left_outer_customer_orders", "join_full_outer_nation_sides",
+    "join_semi_customers_with_urgent_orders", "join_anti_customers_without_orders",
+    "join_cross_region_nation_grid", "join_theta_customer_outbalances_supplier",
+    "agg_count_distinct_per_segment", "distinct_order_status_priority",
+    "agg_rollup_region_nation", "agg_cube_status_priority",
+    "agg_collect_set_priorities_per_status", "agg_percentile_stddev_prices",
+    "subquery_above_avg_lineitems", "win_top3_orders_per_customer",
+    "win_rank_dense_rank_suppliers", "win_lag_lead_event_values",
+    "win_running_sum_customer_spend", "win_moving_avg_event_value",
+    "topk_global_orders", "str_functions_part", "mask_account_numbers",
+    "date_functions_orders", "ts_reassemble_compact", "math_functions_lineitem",
+    "array_functions_documents", "array_higher_order_functions",
+    "json_functions_events", "from_json_typed_events", "coalesce_fallback_chain",
+    "regex_route_events", "regexp_extract_source_id", "conditional_case_buckets",
+    "set_union_all_entities", "set_intersect_nationkeys", "set_except_nationkeys",
+    "dedup_drop_duplicates_orders", "dedup_exact_groups", "dedup_exact_keep_first",
+    "dedup_sha256_content_hash", "text_stats", "text_quality_and_lang",
+    "token_count_bpe_ish", "doc_fingerprints", "minhash_signatures",
+    "minhash_lsh_candidate_pairs", "simhash_signatures",
+    "ngram_jaccard_sample_pairs",
+}
+_FRONT_PINS = {"q1_pricing_summary"}
+
+
+def _ordered() -> list[str]:
+    names = list(REGISTRY)
+    front = [n for n in names if n not in _R1_CHECKED or n in _FRONT_PINS]
+    back = [n for n in names if n in _R1_CHECKED and n not in _FRONT_PINS]
+    return front + back
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -45,4 +85,4 @@ def oracle_sql() -> dict[str, str]:
     genuinely non-SQL-expressible) are omitted → driver records the
     weaker rows-only check.
     """
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {name: REGISTRY[name].oracle for name in _ordered() if REGISTRY[name].oracle is not None}

@@ -171,22 +171,56 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
-    Scale path: block on the top byte of the signature so the self-join is
-    bucket-local (near-identical docs share high bits with high
-    probability), then exact Hamming check.
+    Scale path — banded blocking with a pigeonhole guarantee: the
+    ``SIMHASH_BITS``-bit signature is split into ``max_hamming + 1``
+    disjoint bit-bands; a pair within the Hamming budget has fewer
+    differing bits than bands, so at least one band matches EXACTLY.
+    Equi-join on (band index, band value) therefore has 100% recall —
+    this is not an approximation — and costs Σ bucket² per band instead
+    of n²: the shape that survives 100 TB. The exact Hamming check after
+    the join removes band-collision false positives; ``distinct()``
+    collapses pairs that collide in several bands.
     """
     sig = simhash_df(df, text_col, id_col)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    n_bands = max_hamming + 1
+    if n_bands > SIMHASH_BITS:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than {SIMHASH_BITS} bits")
+    # Contiguous near-equal bit ranges [bounds[i], bounds[i+1]).
+    bounds = [SIMHASH_BITS * i // n_bands for i in range(n_bands + 1)]
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .where(ham <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
             F.col(f"b.{id_col}").alias("b_id"),
             ham.cast("int").alias("hamming"),
         )
+        .distinct()
         .orderBy("a_id", "b_id")
     )
 

@@ -29,6 +29,7 @@ from etl_sample_spark.operators.dedup import (
     minhash_signature_df,
     ngram_jaccard_pairs,
     simhash_df,
+    simhash_near_duplicates,
 )
 from etl_sample_spark.operators.multimodal import attach_fake_media
 from etl_sample_spark.operators.similarity import (
@@ -287,6 +288,41 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return simhash_df(docs).orderBy("doc_id")
+
+
+@register(
+    "simhash_neardup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT d.doc_id, u.t
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents) d, UNNEST(d.l) AS u(t)),
+    hashed AS (SELECT doc_id, {_HASH_SQL.format(t="t")} AS x FROM toks),
+    votes AS (
+      SELECT doc_id, r.b,
+             SUM(CASE WHEN (x >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, UNNEST(RANGE(16)) AS r(b)
+      GROUP BY doc_id, r.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id)
+    SELECT a.doc_id AS a_id,
+           b.doc_id AS b_id,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+    ORDER BY a_id, b_id
+    """,
+    doc="L2: SimHash near-dup pairs (Hamming ≤ 3). Spark side uses "
+    "pigeonhole banding — 4 disjoint 4-bit bands, equi-join per band — "
+    "which is EXACT (a ≤3-bit difference leaves ≥1 band identical), so "
+    "the naive all-pairs oracle reproduces it verbatim. "
+    "operators/dedup.py::simhash_near_duplicates.",
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
 
 
 @register(

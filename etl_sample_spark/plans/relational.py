@@ -85,16 +85,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            l_linestatus,
-           SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           -- DuckDB's decimal->double cast computes int128 * 10^-scale in
+           -- float (not correctly rounded; can be 1 ulp off Java's
+           -- BigDecimal.doubleValue). Round-trip through VARCHAR: strtod
+           -- IS correctly rounded, so both engines emit the same double.
+           CAST(CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                    AS DECIMAL(18,6)))                 AS sum_disc_price,
-           SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)      AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                          * (1 - CAST(l_discount AS DECIMAL(18,4)))
                          AS DECIMAL(18,6))
                     * (1 + CAST(l_tax AS DECIMAL(18,4)))
-                    AS DECIMAL(28,10)))                AS sum_charge,
+                    AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)     AS sum_charge,
            AVG(l_quantity)                             AS avg_qty,
            ROUND(AVG(l_extendedprice), 6)              AS avg_price,
            ROUND(AVG(l_discount), 6)                   AS avg_disc,
@@ -105,11 +109,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="Tungsten hash agg with partial aggregation; filter pushed to "
-    "scan. Money SUMs are exact DECIMAL: at sf0.1 the charge sum is "
-    "~4.4e9 where one double ulp (~4.8e-7) exceeds any sub-6dp rounding "
-    "grid, so double sums can't be compared across engines — decimal "
-    "arithmetic is order-independent and bit-identical. AVGs stay "
-    "double (magnitude ~1e4; 6dp rounding is far above ulp).",
+    "scan. Money SUMs accumulate as exact DECIMAL (order-independent, "
+    "bit-identical across engines; at sf0.1 the charge sum is ~4.4e9 "
+    "where one double ulp exceeds any sub-6dp rounding grid, so "
+    "double ACCUMULATION can't be compared). The final exact decimal "
+    "is then cast to DOUBLE — a single IEEE round-to-nearest step both "
+    "engines perform identically — so the emitted type is hash-stable "
+    "across the Spark/DuckDB bridge (Decimal objects stringify "
+    "differently from float64). No ROUND after the cast: rounding an "
+    "exact value risks HALF_UP vs HALF_EVEN divergence on grid hits.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2000-09-01")
@@ -121,10 +129,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(price_dec).alias("sum_base_price"),
-            F.sum(disc_price_dec).alias("sum_disc_price"),
-            F.sum(charge_dec).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price_dec).cast("double").alias("sum_base_price"),
+            F.sum(disc_price_dec).cast("double").alias("sum_disc_price"),
+            F.sum(charge_dec).cast("double").alias("sum_charge"),
             # Unrounded: integral quantities sum exactly in double in any
             # order, so avg is bit-identical across engines; rounding an
             # exact rational risks HALF_UP/HALF_EVEN divergence on grid hits.

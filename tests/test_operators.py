@@ -94,6 +94,36 @@ def test_simhash_identical_zero_hamming(dup_docs):
     assert pairs.get((1, 2)) == 0
 
 
+def test_simhash_banding_equals_all_pairs(spark, sf_dir):
+    """Pigeonhole banding is exact: ≤3 differing bits over 4 disjoint
+    bands leaves ≥1 band identical, so the banded equi-join must return
+    EXACTLY the pairs a naive all-pairs Hamming scan returns."""
+    docs = catalog.table(spark, sf_dir, "documents").limit(200)
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_df(docs).collect()}
+    expected = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_neardup_plan_has_no_nested_loop_join(spark, sf_dir):
+    """The banded pair search must run as a shuffled equi-join — never a
+    BroadcastNestedLoopJoin / CartesianProduct all-pairs compare."""
+    docs = catalog.table(spark, sf_dir, "documents")
+    df = simhash_near_duplicates(docs, max_hamming=3)
+    df.count()  # materialize so AQE's final executedPlan is available
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in executed
+    assert "CartesianProduct" not in executed
+
+
 # ---------------------------------------------------------------- similarity
 
 
