@@ -64,8 +64,15 @@ def exact_dedup(df: DataFrame, cols: list[str], tie_break: str) -> DataFrame:
 
     Scale: one shuffle on a fixed-width hash of the dedup columns (not on
     the possibly-huge raw text), then a per-group top-1.
+
+    NULL discipline: ``concat_ws`` silently SKIPS null columns, so a bare
+    concat would collide ('a', NULL) with ('a',) — each column is encoded
+    with an explicit null sentinel first, making NULL a distinct value.
     """
-    key = F.sha2(F.concat_ws("\x1f", *cols), 256)
+    encoded = [
+        F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("\x00null")) for c in cols
+    ]
+    key = F.sha2(F.concat_ws("\x1f", *encoded), 256)
     w = Window.partitionBy(key).orderBy(F.col(tie_break).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -270,7 +277,9 @@ def ngram_jaccard_pairs(
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame, max_iters: int = 10, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over near-duplicate candidate pairs → cluster
     id per doc (min doc_id in the component): the step that turns
     pairwise similarity into the actual dedup decision (keep one doc per
@@ -285,20 +294,34 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     At 100 TB: near-dup components are overwhelmingly tiny (pairs or
     small stars), so rounds needed ≈ 2-3; checkpoint every few rounds if
     lineage depth becomes a problem.
+
+    Checkpoint modes: by default each round pins its result with
+    ``localCheckpoint`` (executor-local blocks — fast, but LOST if an
+    executor dies, which fails the job on a real cluster). Pass
+    ``checkpoint_dir`` to use reliable ``checkpoint()`` into that
+    (HDFS/object-store) directory instead: each round's state survives
+    executor loss at the price of a write per round. local[*] tests run
+    both; clusters should always set it.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _pin(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
         # Materialized once: every round joins against it, and iterating
         # over an unpinned lineage re-derives the pair generation each time.
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _pin(
         edges.select(F.col("src").alias("node"), F.col("src").alias("label"))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_labels = (
@@ -309,7 +332,7 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         # every iteration otherwise — the recomputation is exponential and
         # OOMs the driver on plan state alone. Checkpointing makes each
         # round O(edges) and the loop O(rounds * edges).
-        propagated = (
+        propagated = _pin(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
@@ -317,7 +340,6 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             # itself through aliases trips attribute resolution under
             # checkpointing (key-not-found on the shared attribute ids);
             # a checkpointed child gives the two sides distinct lineages.
-            .localCheckpoint(eager=True)
         )
         # Pointer jumping: also adopt the label OF my label (path
         # compression) — chains halve every round, so convergence is
@@ -326,13 +348,12 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         label_of_label = propagated.select(
             F.col("node").alias("ll_node"), F.col("label").alias("ll_label")
         )
-        new_labels = (
+        new_labels = _pin(
             propagated.join(label_of_label, propagated.label == label_of_label.ll_node, "left")
             .select(
                 "node",
                 F.coalesce("ll_label", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -442,6 +442,45 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INT) AS width,
+             CAST(3 + doc_id % 4 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             ((d.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 97) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(d.width))  AS x(x),
+           UNNEST(RANGE(d.height)) AS y(y),
+           UNNEST(RANGE(3))        AS c(c))
+    SELECT doc_id,
+           width,
+           height,
+           CAST(width * height AS INT) AS n_pixels,
+           -- exact integer sum / small count: identical double both engines
+           SUM(v) / COUNT(*)           AS pixel_mean
+    FROM px
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL decode path: genuine 24-bit BMP payloads synthesized per "
+    "row, then parsed by the pure-Python codec through mapInPandas — no "
+    "fake flag. The pixel pattern is deterministic, so the oracle "
+    "recomputes the decoded stats (dims + exact pixel mean) in SQL: the "
+    "decode is value-checked cross-engine, not just shape-checked. "
+    "operators/multimodal.py::attach_bmp_media / decode_image.",
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_bmp_media, decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image(attach_bmp_media(docs), fake=False).orderBy("doc_id")
+
+
+@register(
     "similarity_ivf_top10",
     None,  # approximate (probe-limited): rows-only check; pytest asserts
     # full-probe == brute force and partial-probe recall
@@ -455,6 +494,31 @@ def similarity_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_topk(emb, [float(x) for x in qvec], k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "similarity_ivf_indexed_top10",
+    None,  # approximate (probe-limited): rows-only check; pytest asserts
+    # full-probe == brute force and PartitionFilters pruning on __cell
+    doc="L3: IVF top-k served from a PERSISTED index — corpus written "
+    "partitionBy(__cell) with trained (Lloyd-iterated) centroids stored "
+    "alongside; probing n_probe cells = partition pruning at the scan, "
+    "so non-probed cells' files are never opened. "
+    "operators/similarity.py::build_ivf_index / ivf_topk_indexed.",
+)
+def similarity_ivf_indexed_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from etl_sample_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    # Deterministic per-dataset cache: building the index is the one-off
+    # offline pass; queries reopen the persisted layout.
+    index_path = f"/tmp/spark_graft_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        build_ivf_index(emb, index_path, n_centroids=16, n_iters=2)
+    return ivf_topk_indexed(spark, index_path, qvec, k=10, n_probe=4)
 
 
 @register(

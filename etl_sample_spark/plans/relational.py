@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
+from etl_sample_spark.functions.money import REV_SQL, SUM2_SQL, dec2, revenue_dec, sum_money
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
 
@@ -40,7 +41,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           -- exact decimal accumulation (order-independent), emitted as a
+           -- correctly-rounded double (VARCHAR round-trip: DuckDB's direct
+           -- decimal->double cast is not correctly rounded)
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer, orders, lineitem
@@ -63,7 +69,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(sum_money(revenue_dec()).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -152,9 +158,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    """
+    f"""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           {REV_SQL} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -190,7 +196,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (lineitem.l_suppkey == dim.s_suppkey) & (customer.c_nationkey == dim.s_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(sum_money(revenue_dec()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -418,11 +424,11 @@ def distinct_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "agg_rollup_region_nation",
-    """
+    f"""
     SELECT COALESCE(r_name, 'ALL')  AS region_name,
            COALESCE(n_name, 'ALL')  AS nation_name,
            COUNT(*)                 AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+           {SUM2_SQL.format(c="c_acctbal")} AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -440,7 +446,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), sum_money(dec2("c_acctbal")).alias("total_acctbal"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
             F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
@@ -453,11 +459,11 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_cube_status_priority",
-    """
+    f"""
     SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            COUNT(*)                         AS n_orders,
-           ROUND(SUM(o_totalprice), 2)      AS total_price
+           {SUM2_SQL.format(c="o_totalprice")} AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -468,7 +474,7 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), sum_money(dec2("o_totalprice")).alias("total_price"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -534,6 +540,29 @@ def agg_percentile_stddev_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_percentile_approx_prices",
+    None,  # sketch-based: no cross-engine oracle; rows-only check +
+    # tolerance-bounded pytest vs the exact percentile
+    doc="A5 at 100 TB: percentile_approx (GK / KLL-style sketch, bounded "
+    "memory, mergeable partials) replaces exact percentile's full "
+    "per-group sort-in-memory. accuracy=10000 → rank error ≤ 1/10000. "
+    "The exact twin (agg_percentile_stddev_prices) stays for the oracle "
+    "row; this is the plan you'd actually run on a cluster.",
+)
+def agg_percentile_approx_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 4).alias("median_price"),
+            F.round(F.percentile_approx("o_totalprice", 0.9, 10000), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderstatus")
     )

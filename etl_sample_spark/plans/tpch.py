@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
+from etl_sample_spark.functions.money import (
+    REV_DEC_SQL,
+    REV_SQL,
+    SUM2_SQL,
+    dec2,
+    dec4,
+    revenue_dec,
+    sum_money,
+)
 from etl_sample_spark.operators.skew import salted_join
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
@@ -38,6 +47,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _revenue():
     # Built lazily: classic PySpark requires an active SparkContext to
     # construct Column expressions, which doesn't exist at import time.
+    # Money SUMS never use this double form — see functions/money.py —
+    # but per-row comparisons/filters may.
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
@@ -76,7 +87,9 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,4))
+                              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -94,18 +107,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     )
-    return li.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    disc_amt = (dec2("l_extendedprice") * dec4("l_discount")).cast("decimal(18,6)")
+    return li.agg(sum_money(disc_amt).alias("revenue"))
 
 
 @register(
     "q7_volume_shipping_pairs",
-    """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation,
              n2.n_name AS cust_nation,
              EXTRACT(YEAR FROM l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {REV_DEC_SQL} AS volume
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey
@@ -144,7 +159,7 @@ def q7_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), customer.c_nationkey == n2.c_nk)
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg(sum_money(revenue_dec()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 

@@ -94,10 +94,19 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
     existing-table sizes, partition the sink by a key prefix so the anti
     join prunes partitions.
     """
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     try:
         existing = spark.read.parquet(path).select(*keys).distinct()
-    except Exception:
+    except AnalysisException as ex:
+        # ONLY "sink does not exist yet" may fall through to a plain
+        # append. A transient read failure (permissions, corrupt footer,
+        # storage hiccup) must RAISE: treating it as first-write would
+        # blindly append — exactly the duplicate-on-retry bug this sink
+        # exists to prevent.
+        if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+            raise
         df.write.mode("append").parquet(path)
         return
     fresh = df.join(existing, on=keys, how="left_anti")

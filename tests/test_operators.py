@@ -154,8 +154,29 @@ def test_multimodal_decode_fake_path(spark, sf_dir):
 def test_multimodal_decode_stub_raises_without_fake(spark, sf_dir):
     docs = catalog.table(spark, sf_dir, "documents").limit(2)
     media = attach_fake_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+    with pytest.raises(Exception, match="NotImplementedError|BMP decodes natively"):
         decode_image(media, fake=False).collect()
+
+
+def test_multimodal_bmp_real_decode_no_fake(spark, sf_dir):
+    """REAL decode end-to-end: genuine BMP payloads synthesized and parsed
+    by the pure-Python codec through mapInPandas, no fake flag — decoded
+    dims and pixel means must match a local re-encode/re-decode."""
+    from etl_sample_spark.operators.multimodal import _decode_bmp, attach_bmp_media, encode_bmp
+
+    docs = catalog.table(spark, sf_dir, "documents").limit(20)
+    media = attach_bmp_media(docs)
+    decoded = {r["doc_id"]: r for r in decode_image(media, fake=False).collect()}
+    assert len(decoded) == 20
+    for doc_id, r in decoded.items():
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        payload = encode_bmp(
+            w, h,
+            lambda x, y: bytes(((doc_id * 31 + x * 7 + y * 13 + c * 97) % 256 for c in range(3))),
+        )
+        ew, eh, emean = _decode_bmp(payload)
+        assert (r["width"], r["height"], r["n_pixels"]) == (ew, eh, ew * eh)
+        assert abs(r["pixel_mean"] - emean) < 1e-12
 
 
 def test_multimodal_features_fixed_dim(spark, sf_dir):
@@ -198,6 +219,39 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert exact == full
 
 
+def test_ivf_indexed_full_probe_equals_bruteforce(spark, sf_dir, tmp_path):
+    """The persisted index is a lossless re-layout: probing every cell of
+    the on-disk index must recover the exact brute-force result."""
+    from etl_sample_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, n_centroids=8, n_iters=1)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk_indexed(spark, path, qvec, k=10, n_probe=8).collect()]
+    assert exact == full
+
+
+def test_ivf_indexed_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """Probing n_probe cells must land as PartitionFilters on __cell at
+    the parquet scan — the directory layout IS the inverted-file lookup,
+    so non-probed cells' files are never opened."""
+    from etl_sample_spark.operators.similarity import build_ivf_index, ivf_topk_indexed
+    from etl_sample_spark.plans.inspect import formatted_plan
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, n_centroids=8, n_iters=1)
+    df = ivf_topk_indexed(spark, path, qvec, k=10, n_probe=2)
+    plan = formatted_plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters in plan"
+    assert "__cell" in pf[0], f"cell probe not pushed to partitions: {pf[0]}"
+    assert df.count() > 0
+
+
 def test_hll_estimate_within_bounds(spark, sf_dir):
     from etl_sample_spark.plans import REGISTRY
 
@@ -223,6 +277,26 @@ def test_neardup_clusters_transitive_closure(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode must produce identical clusters while writing
+    per-round state into the reliable checkpoint directory (the mode a
+    real cluster needs — localCheckpoint blocks die with their executor)."""
+    import os
+
+    from etl_sample_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id BIGINT, b_id BIGINT"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert os.listdir(ckpt), "reliable checkpoint directory was never written"
 
 
 def test_batch_topk_matches_per_query_bruteforce(spark, sf_dir):
