@@ -166,13 +166,15 @@ def q7_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(18,6)) END)
+                           AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {REV_DEC_SQL} AS volume,
              n2.n_name AS nation
       FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -202,7 +204,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
         .select("c_custkey")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Money sums accumulate in exact decimal (functions/money.py): both the
+    # numerator and denominator are bridged to double only after the exact
+    # SUM, so the ratio is computed from bit-identical operands on any engine.
+    volume_dec = revenue_dec()
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
@@ -212,8 +217,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", volume).otherwise(F.lit(0.0)))
-                / F.sum(volume),
+                sum_money(
+                    F.when(F.col("nation") == "NATION_5", volume_dec).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                / sum_money(volume_dec),
                 6,
             ).alias("mkt_share")
         )
@@ -301,10 +310,10 @@ def q10_returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate > o_orderdate
