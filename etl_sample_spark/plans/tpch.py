@@ -44,14 +44,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.table(spark, sf_dir, name)
 
 
-def _revenue():
-    # Built lazily: classic PySpark requires an active SparkContext to
-    # construct Column expressions, which doesn't exist at import time.
-    # Money SUMS never use this double form — see functions/money.py —
-    # but per-row comparisons/filters may.
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
-
-
 @register(
     "q4_order_priority_exists",
     """
@@ -232,12 +224,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_profit",
-    """
-    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    f"""
+    SELECT nation, o_year,
+           CAST(CAST(SUM(amount) AS VARCHAR) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              EXTRACT(YEAR FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
+             CAST({REV_DEC_SQL}
+                  - CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(12,0))
+                    * CAST(0.1 AS DECIMAL(2,1))
+                  AS DECIMAL(25,6)) AS amount
       FROM part, supplier, lineitem, orders, nation
       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -246,7 +243,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nation, o_year
     """,
     doc="TPC-H Q9 shape (no partsupp: cost modeled as 10% of retail price "
-    "per unit); LIKE filter on part name pushed below the joins",
+    "per unit); LIKE filter on part name pushed below the joins. Profit "
+    "accumulates in exact decimal (functions/money.py): revenue at scale "
+    "6 minus cost at scale 3, normalized to decimal(25,6) per row",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
@@ -256,23 +255,26 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    cost = dec2("p_retailprice") * F.col("l_quantity").cast("decimal(12,0)") * F.lit("0.1").cast(
+        "decimal(2,1)"
+    )
+    amount = (revenue_dec() - cost).cast("decimal(25,6)")
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .agg(sum_money(amount).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
 
 
 @register(
     "q10_returned_items_top20",
-    """
+    f"""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           {REV_SQL} AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -299,7 +301,7 @@ def q10_returned_items_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg(sum_money(revenue_dec()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -347,71 +349,87 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue_ratio",
-    """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0.0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    f"""
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN {REV_DEC_SQL}
+                                      ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS VARCHAR) AS DOUBLE)
+           / {REV_SQL} AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
     """,
     doc="TPC-H Q14 shape: promo revenue share in one month; part dim "
-    "broadcast so the fact side never shuffles",
+    "broadcast so the fact side never shuffles. Both sums accumulate in "
+    "exact decimal and bridge to double before the ratio, so the division "
+    "operates on bit-identical operands in both engines — no post-bridge "
+    "ROUND (functions/money.py)",
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     lineitem = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    promo_dec = F.when(F.col("p_type") == "PROMO", revenue_dec()).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(_revenue()), 6).alias("promo_revenue"))
+        .agg(
+            (F.lit(100.0) * sum_money(promo_dec) / sum_money(revenue_dec())).alias(
+                "promo_revenue"
+            )
+        )
     )
 
 
 @register(
     "q15_top_revenue_suppliers",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+             SUM({REV_DEC_SQL}) AS total_dec
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total_revenue
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
-      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      AND total_dec = (SELECT MAX(total_dec) FROM revenue)
     ORDER BY s_suppkey
     """,
     doc="TPC-H Q15 shape: top supplier by quarterly revenue via "
-    "aggregate→scalar-max→equality join (the decorrelated view form)",
+    "aggregate→scalar-max→equality join (the decorrelated view form). "
+    "The MAX-equality filter compares EXACT DECIMAL sums — an equality "
+    "on double-accumulated sums is cross-engine fragile by construction; "
+    "the double bridge happens only in the projection",
 )
 def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue()).alias("total_revenue")
+        F.sum(revenue_dec()).alias("total_dec")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = revenue.agg(F.max("total_dec").alias("max_dec"))
     supplier = _t(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue, "left_semi")
+        revenue.join(F.broadcast(max_rev), revenue.total_dec == max_rev.max_dec, "left_semi")
         .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_dec").cast("double").alias("total_revenue")
+        )
         .orderBy("s_suppkey")
     )
 
 
 @register(
     "q17_small_quantity_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    f"""
+    SELECT {SUM2_SQL.format(c="l_extendedprice")} / 7.0 AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#12'
@@ -419,7 +437,9 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     doc="TPC-H Q17 shape: correlated per-part AVG decorrelated into a "
-    "grouped aggregate broadcast-joined back to the fact",
+    "grouped aggregate broadcast-joined back to the fact. The price sum "
+    "accumulates in exact decimal; the AVG threshold is safe in double "
+    "because quantities are small integers (exact at any sum order)",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -431,7 +451,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .join(F.broadcast(per_part_avg), lineitem.l_partkey == per_part_avg.avg_pk)
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
+        .agg((sum_money(dec2("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -482,8 +502,8 @@ def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_predicates",
-    """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    f"""
+    SELECT {REV_SQL} AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -513,30 +533,34 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .where(cond)
-        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
+        .agg(sum_money(revenue_dec()).alias("revenue"))
     )
 
 
 @register(
     "q22_idle_customers",
-    """
+    f"""
     SELECT c_nationkey,
            COUNT(*) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           {SUM2_SQL.format(c="c_acctbal")} AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT {SUM2_SQL.format(c="c_acctbal")} / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
     doc="TPC-H Q22 shape (phone cntrycode→nationkey): above-average-balance "
-    "customers with no orders — scalar subquery + anti join",
+    "customers with no orders — scalar subquery + anti join. The AVG "
+    "threshold is an exact decimal SUM bridged to double, then divided by "
+    "the exact count, so the > comparison sees bit-identical operands in "
+    "both engines (a double-accumulated AVG is order-dependent)",
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     threshold = customer.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (sum_money(dec2("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
     )
     return (
         customer.join(F.broadcast(threshold))
@@ -545,7 +569,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            sum_money(dec2("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )
@@ -553,10 +577,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skewjoin_revenue_by_priority",
-    """
+    f"""
     SELECT o_orderpriority,
-           COUNT(*)                                          AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           COUNT(*)   AS n_lines,
+           {REV_SQL}  AS revenue
     FROM lineitem, orders
     WHERE l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -576,7 +600,7 @@ def skewjoin_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(_revenue()), 4).alias("revenue"),
+            sum_money(revenue_dec()).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -762,30 +786,41 @@ def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q11_important_part_values",
-    """
+    f"""
     WITH part_value AS (
       SELECT l_partkey,
-             SUM(l_extendedprice * (1 - l_discount)) AS value
+             SUM({REV_DEC_SQL}) AS value_dec
       FROM lineitem
       GROUP BY l_partkey)
-    SELECT l_partkey AS partkey, ROUND(value, 4) AS value
+    SELECT l_partkey AS partkey,
+           CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS value
     FROM part_value
-    WHERE value > (SELECT AVG(value) * 1.2 FROM part_value)
+    WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) >
+          (SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) / COUNT(*) * 1.2
+           FROM part_value)
     ORDER BY value DESC, partkey
     """,
     doc="TPC-H Q11 shape (lineitem as partsupp surrogate): per-part value "
     "exceeding a global threshold — grouped agg + 1-row scalar aggregate "
     "broadcast into the HAVING filter. Threshold is 1.2x the mean part "
     "value (scale-free; Q11's fixed total-fraction threshold selects "
-    "nothing once part count grows with sf)",
+    "nothing once part count grows with sf). Per-part values and the "
+    "global mean both come from exact decimal sums bridged to double — "
+    "the AVG-of-doubles it replaces is order-dependent across engines",
 )
 def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
-    part_value = lineitem.groupBy("l_partkey").agg(F.sum(_revenue()).alias("value"))
-    threshold = part_value.agg((F.avg("value") * 1.2).alias("thr"))
+    part_value = lineitem.groupBy("l_partkey").agg(F.sum(revenue_dec()).alias("value_dec"))
+    # Mean part value from the EXACT total: sum the per-part decimal sums
+    # (still exact), bridge once, divide by the part count — identical
+    # bits in both engines, unlike avg() over double part values.
+    threshold = part_value.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1)) * F.lit(1.2)).alias("thr")
+    )
+    value_dbl = F.col("value_dec").cast("double")
     return (
         part_value.join(F.broadcast(threshold))
-        .where(F.col("value") > F.col("thr"))
-        .select(F.col("l_partkey").alias("partkey"), F.round("value", 4).alias("value"))
+        .where(value_dbl > F.col("thr"))
+        .select(F.col("l_partkey").alias("partkey"), value_dbl.alias("value"))
         .orderBy(F.desc("value"), F.asc("partkey"))
     )
