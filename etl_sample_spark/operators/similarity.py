@@ -119,12 +119,15 @@ def embedding_near_duplicates(
             (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        # Filter on the UNROUNDED similarity (rounding only the output) so
+        # the threshold cut matches an oracle that also compares exact
+        # values — same convention as brute_force_topk's ranking.
+        .where(pair_sim >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
             F.col(f"b.{id_col}").alias("b_id"),
             F.round(pair_sim, 6).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
         .orderBy("a_id", "b_id")
     )
 

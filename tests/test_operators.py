@@ -127,6 +127,61 @@ def test_simhash_neardup_plan_has_no_nested_loop_join(spark, sf_dir):
 # ---------------------------------------------------------------- similarity
 
 
+def test_embedding_neardup_planted_pairs_recall(spark):
+    """Recall check on PLANTED near-duplicates: 12 well-separated base
+    vectors, each with a near-copy at cosine ≈ 0.999. The LSH-bucketed
+    pair search must recover every planted pair found by brute-force
+    all-pairs (a truly-near pair lands in the same bucket with
+    probability ≈ (1 - θ/π)^n_planes ≈ 1 for tiny θ), and must emit no
+    pair below the threshold."""
+    import math
+
+    from etl_sample_spark.operators.similarity import embedding_near_duplicates
+
+    dim, rows = 16, []
+    for k in range(12):
+        base = [math.cos(0.7 * k * (i + 1)) + 0.1 * ((k * 31 + i * 7) % 11 - 5) for i in range(dim)]
+        near = [x + 0.001 * ((k + i) % 3 - 1) for i, x in enumerate(base)]
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, near))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    vecs = dict(rows)
+    ids = sorted(vecs)
+    truth = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if cos(vecs[a], vecs[b]) >= 0.98
+    }
+    planted = {(2 * k, 2 * k + 1) for k in range(12)}
+    assert planted <= truth  # the fixture really contains the near-dups
+
+    found = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_duplicates(
+            emb, threshold=0.98, dim=dim, n_planes=4
+        ).collect()
+    }
+    assert planted <= found, f"missed planted pairs: {sorted(planted - found)}"
+    assert found <= truth, f"below-threshold pairs emitted: {sorted(found - truth)}"
+
+
+def test_embedding_neardup_registered_query_nonvacuous(spark, sf_dir):
+    """The registered driver query must return pairs on the real corpus —
+    it was a 0-row registration for two rounds (threshold 0.9 on a corpus
+    whose max pairwise cosine is ~0.5)."""
+    from etl_sample_spark.plans import REGISTRY
+
+    df = REGISTRY["embedding_neardup_pairs"].spark(spark, sf_dir)
+    assert df.count() > 0
+
+
 def test_lsh_topk_contains_query_and_overlaps_bruteforce(spark, sf_dir):
     emb = catalog.table(spark, sf_dir, "embeddings")
     qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
