@@ -68,9 +68,23 @@ def exact_dedup(df: DataFrame, cols: list[str], tie_break: str) -> DataFrame:
     NULL discipline: ``concat_ws`` silently SKIPS null columns, so a bare
     concat would collide ('a', NULL) with ('a',) — each column is encoded
     with an explicit null sentinel first, making NULL a distinct value.
+
+    Injectivity: each value is LENGTH-PREFIXED (``v<len>:<value>``), so a
+    value that happens to contain the column separator cannot shift
+    bytes across a column boundary — without the prefix,
+    ('a\\x1fv:b', 'c') and ('a', 'b\\x1fv:c') encode identically.
     """
     encoded = [
-        F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("\x00null")) for c in cols
+        F.coalesce(
+            F.concat(
+                F.lit("v"),
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("\x00null"),
+        )
+        for c in cols
     ]
     key = F.sha2(F.concat_ws("\x1f", *encoded), 256)
     w = Window.partitionBy(key).orderBy(F.col(tie_break).asc())

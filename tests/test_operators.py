@@ -75,6 +75,23 @@ def test_exact_dedup_keeps_min_tiebreak(dup_docs):
     assert ids == [1, 3, 4, 5]  # doc 2 removed, representative is min id
 
 
+def test_exact_dedup_encoding_is_injective(spark):
+    """Values containing the column separator / sentinel bytes must not
+    collide across column boundaries: ('a\\x1fv:b', 'c') and
+    ('a', 'b\\x1fv:c') concatenate to the same bytes without the
+    length prefix. All four rows below are distinct keys."""
+    rows = [
+        (1, "a\x1fv:b", "c"),
+        (2, "a", "b\x1fv:c"),
+        (3, "a\x1fv1:b", "c"),  # crafted to mimic a length prefix
+        (4, "a", None),  # null vs the string sentinel
+        (5, "a", "\x00null"),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, x STRING, y STRING")
+    kept = exact_dedup(df, ["x", "y"], "id").collect()
+    assert sorted(r["id"] for r in kept) == [1, 2, 3, 4, 5]
+
+
 def test_minhash_identical_docs_identical_signatures(dup_docs):
     sig = {r["doc_id"]: (r["h0"], r["h1"], r["h2"], r["h3"]) for r in minhash_signature_df(dup_docs).collect()}
     assert sig[1] == sig[2]
