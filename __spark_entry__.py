@@ -34,12 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run covers the first 50 queries() entries per
-# round. Round 1 checked these 50 (all green except q1, fixed since); push
-# them to the BACK so the 45+ queries with no hard correctness row yet —
-# every TPC-H shape, as-of/interval/skew joins, event-time window batch
-# twins, similarity search, curation/split/packing — plus anything newly
-# registered this round land inside the checked window. q1 stays in front
-# to confirm the decimal→double fix.
+# round. Ordering policy: (1) every query whose code changed since its
+# last driver-grade check goes FIRST (_FRONT_PINS, maintained per round),
+# (2) then queries never checked at sf0.01 since r1, (3) then the r1-green
+# untouched back-list. This guarantees refactor-touched queries always
+# re-enter the checked window (r3 VERDICT item 5).
 _R1_CHECKED = {
     "q3_shipping_priority", "q1_pricing_summary", "q5_local_supplier_volume",
     "join_left_outer_customer_orders", "join_full_outer_nation_sides",
@@ -63,14 +62,43 @@ _R1_CHECKED = {
     "minhash_lsh_candidate_pairs", "simhash_signatures",
     "ngram_jaccard_sample_pairs",
 }
-_FRONT_PINS = {"q1_pricing_summary"}
+# Every query touched in rounds 2-4 (money-decimal sweep, HUGEINT oracle
+# bridges, exact_dedup encoding change, embedding near-dup rework, r2
+# rollup/cube/q3/q5 refactor) — pinned to the very front of the window so
+# CORRECTNESS_r04 re-hashes each at sf0.01 post-change.
+_FRONT_PINS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items_top20",
+    "q11_important_part_values",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue_ratio",
+    "q15_top_revenue_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "skewjoin_revenue_by_priority",
+    "pivot_priority_by_status",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "dedup_sha256_content_hash",
+    "corpus_curation_pipeline",
+    "embedding_neardup_pairs",
+]
 
 
 def _ordered() -> list[str]:
     names = list(REGISTRY)
-    front = [n for n in names if n not in _R1_CHECKED or n in _FRONT_PINS]
-    back = [n for n in names if n in _R1_CHECKED and n not in _FRONT_PINS]
-    return front + back
+    pins = [n for n in _FRONT_PINS if n in names]
+    mid = [n for n in names if n not in _R1_CHECKED and n not in pins]
+    back = [n for n in names if n in _R1_CHECKED and n not in pins]
+    return pins + mid + back
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
