@@ -90,6 +90,8 @@ _FRONT_PINS = [
     "dedup_sha256_content_hash",
     "corpus_curation_pipeline",
     "embedding_neardup_pairs",
+    # newly registered in r4
+    "dedup_within_window_batch_twin",
 ]
 
 

@@ -125,6 +125,40 @@ def window_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_within_window_batch_twin",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                             TIME_BUCKET(INTERVAL '1 hour', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, event_type, window_start, event_id, value
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY user_id, event_type, window_start
+    """,
+    doc="T5 batch twin: earliest row per (user_id, event_type) per 1h "
+    "event-time bucket — dropDuplicatesWithinWatermark with the bucket "
+    "standing in for the watermark's state bound",
+)
+def dedup_within_window_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.streaming.windows import dedup_within_window_batch
+
+    ev = _t(spark, sf_dir, "events")
+    kept = dedup_within_window_batch(ev, keys=("user_id", "event_type"), ts_col="ts")
+    return kept.select(
+        "user_id",
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_id",
+        "value",
+    ).orderBy("user_id", "event_type", "window_start")
+
+
+@register(
     "asof_join_purchase_to_click",
     """
     SELECT p.event_id,

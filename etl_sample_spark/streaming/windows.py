@@ -68,6 +68,38 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
+def dedup_within_window_batch(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    tie_break: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Batch twin of :func:`dedup_within_watermark` (T5): keep the
+    earliest row per key per tumbling event-time bucket.
+
+    The bucket plays the role the watermark plays in the streaming
+    version — it bounds the scope within which a key is considered "the
+    same event", so state per key is bounded in both forms. Deterministic
+    tie-break (``ts`` then ``tie_break``) makes the batch semantics
+    oracle-checkable, unlike streaming arrival order.
+
+    100 TB shape: one hash shuffle on (keys, bucket), then a ranked
+    window — the same single-shuffle cost as any keyed dedup.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys, F.window(ts_col, window))
+        .orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tie_break])
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def running_user_totals_stateful(
     events: DataFrame,
     key: str = "user_id",

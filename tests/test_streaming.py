@@ -87,6 +87,68 @@ def test_stateful_dedup_within_watermark(spark, tmp_path):
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
 
 
+def test_dedup_batch_twin_matches_streaming_semantics(spark, tmp_path):
+    """The registered T5 batch twin must agree with the streaming
+    dedup on which KEYS survive. The streaming form keeps the first
+    ARRIVAL per key (non-deterministic representative); the batch twin
+    pins the representative deterministically (earliest ts, then
+    event_id) — so we compare surviving key sets, and the exact
+    representative only where it is unambiguous."""
+    from etl_sample_spark.streaming.windows import dedup_within_window_batch
+
+    src = str(tmp_path / "ev2")
+    out = str(tmp_path / "twin_out")
+    ckpt = str(tmp_path / "twin_ckpt")
+    batch1 = [
+        # dup pair: same (user, type), 30s apart, same hour bucket
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:00:30", "user_id": 7, "event_type": "click", "value": 1.5},
+        {"event_id": 3, "ts": "2024-01-01 10:05:00", "user_id": 8, "event_type": "view", "value": 2.0},
+        # singleton key
+        {"event_id": 5, "ts": "2024-01-01 10:30:00", "user_id": 9, "event_type": "click", "value": 3.0},
+    ]
+    # same key as event 3, next hour bucket, arriving in a LATER batch:
+    # by then the watermark (10:30 - 10min = 10:20) has evicted event 3's
+    # state (10:05 + 10min = 10:15 < 10:20), so streaming keeps it too
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01 11:05:00", "user_id": 8, "event_type": "view", "value": 2.5},
+    ]
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        deduped = dedup_within_watermark(
+            stream, keys=("user_id", "event_type"), watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    _write_events_json(src, batch1, "b1.json")
+    run_once()
+    _write_events_json(src, batch2, "b2.json")
+    run_once()
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(src)
+    kept = dedup_within_window_batch(batch, keys=("user_id", "event_type"), ts_col="ts").collect()
+    # deterministic representative: earliest ts wins the dup pair
+    assert sorted(r["event_id"] for r in kept) == [1, 3, 4, 5]
+
+    got = spark.read.parquet(out).collect()
+
+    def hour_key(r):
+        return (r["user_id"], r["event_type"], r["ts"].replace(minute=0, second=0))
+
+    assert {hour_key(r) for r in got} == {hour_key(r) for r in kept}
+    surviving = sorted(r["event_id"] for r in got)
+    assert surviving in ([1, 3, 4, 5], [2, 3, 4, 5])  # streaming rep for the pair is arrival order
+
+
 def test_watermarked_window_drops_late_data(spark, tmp_path):
     """Two checkpointed runs: run 2 advances the watermark far past the
     10:00 window AND carries a too-late 10:00-window row; the emitted
