@@ -257,6 +257,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -264,11 +265,25 @@ def ngram_jaccard_pairs(
     common shingle (Jaccard 0) never materialize, so the join output is
     Σ per-shingle bucket² — the standard inverted-index trick, shuffle on
     the shingle key.
+
+    ``max_df`` caps the worst bucket: shingles present in more than
+    ``max_df`` documents (stop-shingles — boilerplate headers, common
+    phrases) are dropped from the vocabulary BEFORE the join, bounding
+    every bucket's join fan-out at ``max_df²``. Jaccard is then computed
+    over the capped vocabulary on both the intersection AND the set
+    sizes, so it remains a true Jaccard of the filtered shingle sets —
+    the standard DF-pruning semantics (near-identical docs still share
+    most of their rare shingles; a pair whose only overlap was
+    boilerplate is exactly the pair the cap is meant to not materialize).
+    ``None`` (default) = exact over the full vocabulary.
     """
     sh = (
         df.select(F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("s"))
         .distinct()
     )
+    if max_df is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df")).where(F.col("__df") > max_df)
+        sh = sh.join(hot.select("s"), "s", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

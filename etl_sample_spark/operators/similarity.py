@@ -213,10 +213,25 @@ def train_ivf_centroids(
     vectors. Driver collect is bounded at ``n_centroids`` rows per
     iteration regardless of corpus size: the 100 TB-safe training shape.
     """
+    shape = embeddings.select(
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+        F.sum(F.col(vec_col).isNull().cast("int")).alias("nulls"),
+    ).head()
+    if shape["lo"] is None:
+        raise ValueError("train_ivf_centroids: empty corpus")
+    if shape["nulls"]:
+        raise ValueError(f"train_ivf_centroids: {shape['nulls']} null {vec_col!r} vectors")
+    if shape["lo"] != shape["hi"]:
+        raise ValueError(
+            f"train_ivf_centroids: ragged {vec_col!r} dimensions ({shape['lo']}..{shape['hi']})"
+        )
+    if shape["lo"] == 0:
+        raise ValueError(f"train_ivf_centroids: zero-dimensional {vec_col!r} vectors")
     init_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
+        .limit(n_centroids)  # corpus smaller than n_centroids → fewer, still valid
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]

@@ -460,3 +460,84 @@ def test_sequence_packing_invariants(spark, sf_dir):
         assert a == b
     finally:
         packed.unpersist()
+
+
+def test_train_ivf_centroids_input_guards(spark):
+    import pytest as _pytest
+
+    from etl_sample_spark.operators.similarity import train_ivf_centroids
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        train_ivf_centroids(empty, n_centroids=4)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0, 2.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        train_ivf_centroids(ragged, n_centroids=2)
+
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="null"):
+        train_ivf_centroids(withnull, n_centroids=2)
+
+    # corpus smaller than n_centroids: degrade gracefully, not crash
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    cents = train_ivf_centroids(tiny, n_centroids=8, n_iters=1)
+    assert 1 <= len(cents) <= 2
+
+
+def test_ivf_indexed_cache_not_stale_after_regeneration(spark, sf_dir, tmp_path):
+    """Regenerating the embeddings at the SAME path must invalidate the
+    cached index — the cache is keyed on a content fingerprint, not the
+    directory name (the r3 staleness flaw)."""
+    import os
+    import time
+
+    from etl_sample_spark.plans.llm import _ivf_index_cached
+
+    my_sf = str(tmp_path / "sf")
+    os.makedirs(my_sf)
+    emb = catalog.table(spark, sf_dir, "embeddings").limit(64)
+    emb.write.parquet(os.path.join(my_sf, "embeddings.parquet"))
+    first = _ivf_index_cached(spark, my_sf)
+    assert os.path.exists(os.path.join(first, "_SUCCESS"))
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns on regeneration
+    emb2 = catalog.table(spark, sf_dir, "embeddings").limit(32)
+    emb2.write.mode("overwrite").parquet(os.path.join(my_sf, "embeddings.parquet"))
+    second = _ivf_index_cached(spark, my_sf)
+    assert second != first, "regenerated data served a stale index"
+    n = spark.read.parquet(second).count()
+    assert n == 32
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
+    """A stop-shingle shared by EVERY doc must not make one bucket join
+    n² rows: with max_df set, the hot shingle is dropped before the join
+    and pairs whose only overlap was the boilerplate never materialize,
+    while genuinely-similar pairs (sharing rare shingles) survive."""
+    from etl_sample_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply here"
+    docs = [(1, f"alpha beta gamma delta {boiler}"), (2, f"alpha beta gamma delta {boiler}")]
+    # 30 dissimilar docs that share ONLY the boilerplate with each other
+    docs += [(10 + i, f"unique{i} token{i} word{i} item{i} {boiler}") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=5).collect()
+    # the near-identical pair survives with high jaccard over rare shingles
+    assert [(r["a_id"], r["b_id"]) for r in capped] == [(1, 2)]
+    assert capped[0]["jaccard"] == 1.0  # identical rare-shingle sets
+
+    # without the cap, every boilerplate-only pair is materialized before
+    # thresholding; with it, the candidate space is bucket-bounded — check
+    # semantics at a low threshold: no boilerplate-only pair emitted
+    low = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=5)
+    pairs = {(r["a_id"], r["b_id"]) for r in low.collect()}
+    assert (1, 2) in pairs
+    assert all(a == 1 and b == 2 for a, b in pairs), pairs
