@@ -92,6 +92,8 @@ _FRONT_PINS = [
     "embedding_neardup_pairs",
     # newly registered in r4
     "dedup_within_window_batch_twin",
+    "normalize_star_rebuild",
+    "q21_suppliers_kept_waiting",
 ]
 
 

@@ -13,5 +13,6 @@ from etl_sample_spark.plans import llm  # noqa: E402,F401
 from etl_sample_spark.plans import temporal  # noqa: E402,F401
 from etl_sample_spark.plans import tpch  # noqa: E402,F401
 from etl_sample_spark.plans import analytics  # noqa: E402,F401
+from etl_sample_spark.plans import normcore  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
