@@ -160,10 +160,14 @@ def q7_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     f"""
     SELECT o_year,
-           ROUND(CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
-                                    ELSE CAST(0 AS DECIMAL(18,6)) END)
-                           AS VARCHAR) AS DOUBLE)
-                 / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+           -- UNROUNDED ratio: both operands are exact decimal sums bridged
+           -- to double identically on each engine, so the IEEE division is
+           -- bit-identical too; ROUND here would reintroduce HALF_UP vs
+           -- float-multiply divergence on near-tie values (ADVICE r3).
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,6)) END)
+                     AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
     FROM (
       SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
              {REV_DEC_SQL} AS volume,
@@ -208,14 +212,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), supplier.s_nationkey == n2.s_nk)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
+            (
                 sum_money(
                     F.when(F.col("nation") == "NATION_5", volume_dec).otherwise(
                         F.lit(0).cast("decimal(18,6)")
                     )
                 )
-                / sum_money(volume_dec),
-                6,
+                / sum_money(volume_dec)
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -733,6 +736,71 @@ def q20_suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 100 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (lateness := shipped >100 days after order, the "
+    "schema's receipt/commit-date proxy): suppliers in one nation who "
+    "were the ONLY late supplier on a finished multi-supplier order. "
+    "Spark side replaces the correlated EXISTS/NOT-EXISTS pair with one "
+    "per-order aggregate (n_suppliers, n_late_suppliers) — a single "
+    "shuffle on the order key that the join-back reuses — while the "
+    "oracle keeps the textbook correlated form, so the two engines cross-"
+    "check the de-correlation itself.",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supplier = _t(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+    # Two-level agg instead of two countDistincts: the gid-expand plan
+    # for multi-distinct doubles every shuffled row, while (orderkey,
+    # suppkey) → orderkey shuffles each line once and the second hop is
+    # already just one row per order-supplier.
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("is_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late_supp"),
+    )
+    qualifying = per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    nation_suppliers = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        lo.where(late)
+        .join(qualifying.select("l_orderkey"), "l_orderkey")
+        .join(F.broadcast(nation_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
 
 
