@@ -120,3 +120,40 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
             # accuracy=10000 → rank error ≤ n/10000; on these distributions
             # that is well under 1% of the value.
             assert abs(a - e) <= max(0.01 * abs(e), 1.0), (k, e, a)
+
+
+# Queries whose WHOLE POINT is an all-pairs or non-equi comparison: the
+# cross-join demo, the theta join, the interval join (non-equi range
+# predicate), and broadcast batch retrieval (crossJoin against a
+# broadcast query set). Everything else must plan a hash or sort-merge
+# join — an accidental CartesianProduct at 100 TB is a non-starter.
+_INTENTIONAL_NON_EQUI = {
+    "join_cross_region_nation_grid",
+    "join_theta_customer_outbalances_supplier",
+    "interval_join_clicks_after_purchase",
+    "similarity_batch_top5",
+}
+
+# Scalar-subquery shapes: a crossJoin against a ONE-ROW aggregate
+# (global avg / total / doc count) plans as BroadcastNestedLoopJoin with
+# a single-row broadcast build side — constant per-row work, safe at any
+# scale. Only these names may plan a BNLJ.
+_SCALAR_SUBQUERY = {
+    "q11_important_part_values",
+    "q22_idle_customers",
+    "subquery_above_avg_lineitems",
+    "tfidf_sample_docs",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_accidental_cartesian_or_nlj(spark, sf_dir, name):
+    """Registry-wide scale guard: no CartesianProduct in ANY registered
+    query's plan, and no BroadcastNestedLoopJoin outside the intentional
+    non-equi demos and the 1-row scalar-subquery broadcasts."""
+    if name in _INTENTIONAL_NON_EQUI:
+        return
+    plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in _SCALAR_SUBQUERY:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a nested-loop join"
