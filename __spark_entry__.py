@@ -94,6 +94,8 @@ _FRONT_PINS = [
     "dedup_within_window_batch_twin",
     "normalize_star_rebuild",
     "q21_suppliers_kept_waiting",
+    "contamination_3gram_vs_benchmark",
+    "text_scrub_pii",
 ]
 
 

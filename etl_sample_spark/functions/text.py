@@ -79,3 +79,19 @@ def doc_fingerprint(text: Column) -> Column:
     )
     total = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return (total % FINGERPRINT_MOD).alias("fingerprint")
+
+
+# PII patterns kept to the regex subset shared by Java regex (Spark) and
+# RE2 (DuckDB): char classes + bounded repetition, no backreferences or
+# lookaround, so the cross-engine oracle can reproduce the redaction
+# exactly.
+EMAIL_PATTERN = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z][a-zA-Z]+"
+PHONE_PATTERN = r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact email addresses and phone-shaped numbers: the standard
+    training-corpus scrub, pure Catalyst ``regexp_replace`` — map-only,
+    no Python, safe at any scale."""
+    red = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(red, PHONE_PATTERN, "<PHONE>")

@@ -454,3 +454,50 @@ def pack_sequences(
         id_col, token_col, (F.col(id_col) % n_buckets).alias("__bucket")
     )
     return bucketed.groupBy("__bucket").applyInPandas(pack, out_schema)
+
+
+# --------------------------------------------------------------------------
+# L4: benchmark contamination
+# --------------------------------------------------------------------------
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document benchmark contamination: how many of a document's
+    distinct ``n``-gram shingles also occur anywhere in the benchmark
+    (eval-set) corpus.
+
+    The training-data hygiene check: documents overlapping an eval
+    benchmark leak test data into training. Output is one row per
+    corpus document that has ≥ n tokens: ``(id, n_ngrams, n_hits,
+    contamination_rate)`` with the rate an exact integer ratio (emitted
+    unrounded — bit-identical across engines).
+
+    100 TB shape: benchmarks are tiny relative to the corpus, so the
+    benchmark's distinct shingle set is BROADCAST and the corpus side is
+    one map pass (shingle + probe) plus a single groupBy(id) shuffle —
+    no corpus-corpus join anywhere.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(_shingles(F.col(text_col), n))).alias("s")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn("contamination_rate", F.col("n_hits") / F.col("n_ngrams"))
+        .orderBy(id_col)
+    )

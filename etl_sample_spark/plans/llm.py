@@ -15,15 +15,19 @@ from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
 from etl_sample_spark.functions.text import (
+    EMAIL_PATTERN,
     FINGERPRINT_MOD,
+    PHONE_PATTERN,
     STOPWORDS,
     doc_fingerprint,
     lang_id_heuristic,
     quality_score,
+    redact_pii,
     stopword_ratio,
     tokens,
 )
 from etl_sample_spark.operators.dedup import (
+    contamination_flags,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signature_df,
@@ -838,3 +842,91 @@ def sequence_packing_512(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(docs, budget_tokens=512).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L4: benchmark contamination + PII scrub
+# --------------------------------------------------------------------------
+
+
+@register(
+    "contamination_3gram_vs_benchmark",
+    """
+    WITH bench AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id < 20),
+    bsh AS (
+      SELECT DISTINCT d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM bench d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    corp AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id >= 20),
+    csh AS (
+      SELECT DISTINCT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM corp d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(CASE WHEN s IN (SELECT s FROM bsh) THEN 1 END) AS BIGINT) AS n_hits
+      FROM csh GROUP BY doc_id)
+    SELECT doc_id, n_ngrams, n_hits,
+           -- exact integer ratio, unrounded: bit-identical across engines
+           n_hits / n_ngrams AS contamination_rate
+    FROM agg ORDER BY doc_id
+    """,
+    doc="L4: benchmark-contamination check — distinct 3-gram overlap of "
+    "every training doc against the eval set (doc_id<20 stands in for "
+    "the benchmark). Broadcast inverted index: the benchmark shingle set "
+    "ships to every executor, the corpus side is one map pass + one "
+    "groupBy(doc_id) shuffle, no corpus-corpus join. "
+    "operators/dedup.py::contamination_flags.",
+)
+def contamination_3gram_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_flags(
+        docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20), n=3
+    )
+
+
+@register(
+    "text_scrub_pii",
+    f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+           CAST(LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                                      '{PHONE_PATTERN}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+           RIGHT(REGEXP_REPLACE(REGEXP_REPLACE(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                                '{PHONE_PATTERN}', '<PHONE>', 'g'), 40) AS redacted_tail
+    FROM salted
+    ORDER BY doc_id
+    """,
+    doc="L4: PII scrub over the corpus — deterministic synthetic "
+    "emails/phones planted per doc (the parquet corpus carries none), "
+    "then redacted with the shared Java-regex/RE2-compatible patterns; "
+    "the oracle re-runs the identical redaction, checking counts, "
+    "lengths AND the redacted suffix text. Pure map-side "
+    "regexp_replace: functions/text.py::redact_pii.",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    red = redact_pii(F.col("text"))
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_PATTERN)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_PATTERN)).cast("bigint").alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.substring(red, -40, 40).alias("redacted_tail"),
+    ).orderBy("doc_id")

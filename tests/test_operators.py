@@ -541,3 +541,27 @@ def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
     pairs = {(r["a_id"], r["b_id"]) for r in low.collect()}
     assert (1, 2) in pairs
     assert all(a == 1 and b == 2 for a, b in pairs), pairs
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """Docs sharing a 3-gram with the benchmark get counted; clean docs
+    report zero; sub-n-token docs vanish (no shingles on either engine)."""
+    from etl_sample_spark.operators.dedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id BIGINT, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "a quick brown fox ran away"),   # shares 'quick brown fox'
+            (11, "totally clean document here"),  # no overlap
+            (12, "two words"),                    # < n tokens: no output row
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in contamination_flags(corpus, bench, n=3).collect()}
+    assert set(got) == {10, 11}
+    assert got[10]["n_hits"] == 1  # exactly 'quick brown fox'
+    assert got[11]["n_hits"] == 0
+    assert got[11]["contamination_rate"] == 0.0
+    assert 0 < got[10]["contamination_rate"] <= 1.0
