@@ -96,6 +96,8 @@ _FRONT_PINS = [
     "q21_suppliers_kept_waiting",
     "contamination_3gram_vs_benchmark",
     "text_scrub_pii",
+    "minhash_lsh_candidate_pairs",
+    "neardup_clusters_documents",
 ]
 
 

@@ -259,10 +259,45 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature_df(docs).orderBy("doc_id")
 
 
+def _lsh_pairs_oracle() -> str:
+    """The banding + bucket-join reproduced in SQL: signatures are the
+    portable-hash MinHash (bit-identical to Spark), bands are the same
+    (h0,h1)/(h2,h3) split with the -1 empty-doc sentinel, so the pair
+    set matches the operator exactly."""
+    h = _HASH_SQL.format(t="sh.s")
+    sig_cols = ",\n             ".join(
+        f"CAST(MIN(({h} * {a} + {b}) % 2147483647) AS BIGINT) AS h{j}"
+        for j, (a, b) in enumerate(((7, 3), (13, 17), (31, 29), (61, 47)))
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    sig AS (
+      SELECT sh.doc_id,
+             {sig_cols}
+      FROM sh GROUP BY sh.doc_id),
+    fullsig AS (
+      SELECT d.doc_id, COALESCE(h0, -1) AS h0, COALESCE(h1, -1) AS h1,
+             COALESCE(h2, -1) AS h2, COALESCE(h3, -1) AS h3
+      FROM documents d LEFT JOIN sig USING (doc_id)),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key FROM fullsig
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key FROM fullsig)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
 @register(
     "minhash_lsh_candidate_pairs",
-    None,  # pair-join over banded signatures: rows-only check + pytest
-    doc="L2: LSH banding (2 bands × 2 rows) → candidate near-dup pairs",
+    _lsh_pairs_oracle() + "    ORDER BY a_id, b_id\n",
+    doc="L2: LSH banding (2 bands × 2 rows) → candidate near-dup pairs. "
+    "Full hash oracle: the portable MinHash makes the banding "
+    "reproducible in SQL, so the bucket-join's exact pair set is checked "
+    "cross-engine, not just its row count.",
 )
 def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -696,12 +731,27 @@ def similarity_batch_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "neardup_clusters_documents",
-    None,  # iterative fixpoint (label propagation): genuinely non-SQL;
-    # pytest asserts cluster structure on planted duplicates
+    # The Spark side is an iterative label-propagation fixpoint; the
+    # oracle recomputes the same components declaratively — a recursive
+    # transitive closure over the LSH pair graph with MIN-reachable-node
+    # as the cluster id. Two entirely different algorithms, one answer.
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(doc, r) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.doc, e.v FROM reach r JOIN edges e ON r.r = e.u)
+    SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc ORDER BY doc_id
+    """,
     doc="L2: near-dup candidate pairs → connected components (cluster id "
     "= min doc_id); the step that turns pairwise similarity into a "
     "keep-one-per-cluster dedup decision. One shuffle per round, "
-    "converges in O(component diameter) rounds",
+    "converges in O(component diameter) rounds. Oracle = recursive-CTE "
+    "transitive closure: an independent algorithm cross-checking the "
+    "label-propagation fixpoint.",
 )
 def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.dedup import minhash_lsh_candidates, neardup_clusters
