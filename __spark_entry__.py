@@ -98,6 +98,8 @@ _FRONT_PINS = [
     "text_scrub_pii",
     "minhash_lsh_candidate_pairs",
     "neardup_clusters_documents",
+    "sequence_packing_512",
+    "similarity_lsh_top10",
 ]
 
 

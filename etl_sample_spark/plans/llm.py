@@ -427,11 +427,52 @@ def similarity_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(qvec), k=10)
 
 
+_LSH_PROBES = " OR ".join(
+    ["bu.b = qb.b"] + [f"bu.b = XOR(qb.b, {1 << p})" for p in range(8)]
+)
+
+# DuckDB twin of lsh_bucketed_topk: the hyperplanes are integer
+# arithmetic, so bucketing, the 9-probe (exact + hamming-1) candidate
+# set, AND the within-candidate cosine ranking are all reproduced in SQL
+# — approximate vs brute force, but deterministic, hence hash-checkable.
+_LSH_TOPK_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+      FROM embeddings),
+    planes AS (
+      SELECT p.p, i.i,
+             (((p.p * 73856093 + i.i * 19349663 + 83492791) % 2001) - 1000) / 1000.0 AS w
+      FROM UNNEST(RANGE(8)) AS p(p), UNNEST(RANGE(64)) AS i(i)),
+    dots AS (
+      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.w) AS d
+      FROM ex JOIN planes ON ex.i = planes.i
+      GROUP BY ex.vec_id, planes.p),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+      FROM dots GROUP BY vec_id),
+    qb AS (SELECT b FROM buckets WHERE vec_id = 0),
+    cand AS (SELECT bu.vec_id FROM buckets bu, qb WHERE {_LSH_PROBES}),
+    q AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             SUM(e.x * q.qx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.qx * q.qx))) AS c
+      FROM ex e JOIN q USING (i)
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(c, 6) AS cosine
+    FROM sims ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+
 @register(
     "similarity_lsh_top10",
-    None,  # approximate: rows-only check; pytest asserts recall vs brute force
+    _LSH_TOPK_ORACLE,
     doc="L3: LSH-bucketed approximate top-k (scale path: scan only the "
-    "query bucket + hamming-1 probes)",
+    "query bucket + hamming-1 probes). Deterministic hyperplanes make "
+    "even the approximate result hash-checkable: the oracle reproduces "
+    "bucketing, the probe set, and the candidate ranking in SQL.",
 )
 def similarity_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -877,12 +918,37 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing_512",
-    None,  # greedy-with-reset packing is not window-expressible; pytest
-    # asserts the invariants (every doc once, no sequence over budget,
-    # deterministic across runs)
+    # Greedy-with-reset is not WINDOW-expressible (each cut depends on
+    # where the previous cut landed) but it IS a sequential fold — the
+    # oracle replays the identical walk as a recursive CTE over each
+    # bucket in doc_id order, so the applyInPandas packing gets a full
+    # hash check from an independent formulation.
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+    b AS (
+      SELECT doc_id, n_tokens, doc_id % 32 AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+      FROM toks),
+    walk(bucket, rn, doc_id, n_tokens, seq_no, pos, used) AS (
+      SELECT bucket, rn, doc_id, n_tokens, 0, 0, n_tokens FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.bucket, b.rn, b.doc_id, b.n_tokens,
+             CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512 THEN w.seq_no + 1 ELSE w.seq_no END,
+             CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512 THEN 0 ELSE w.pos + 1 END,
+             CASE WHEN w.used > 0 AND w.used + b.n_tokens > 512 THEN b.n_tokens ELSE w.used + b.n_tokens END
+      FROM walk w JOIN b ON b.bucket = w.bucket AND b.rn = w.rn + 1)
+    SELECT doc_id,
+           CAST(bucket AS VARCHAR) || '_' || CAST(seq_no AS VARCHAR) AS seq_id,
+           CAST(pos AS INT) AS seq_pos,
+           n_tokens,
+           n_tokens > 512 AS truncated
+    FROM walk ORDER BY doc_id
+    """,
     doc="LLM dataloader prep: pack curated docs into <=512-token training "
     "sequences (greedy within deterministic id-hash buckets via "
-    "applyInPandas; only ids+token counts shuffle, never text)",
+    "applyInPandas; only ids+token counts shuffle, never text). Oracle = "
+    "recursive-CTE replay of the same greedy walk.",
 )
 def sequence_packing_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.functions.text import token_count
