@@ -100,6 +100,7 @@ _FRONT_PINS = [
     "neardup_clusters_documents",
     "sequence_packing_512",
     "similarity_lsh_top10",
+    "hash_stratified_sample_by_lang",
 ]
 
 

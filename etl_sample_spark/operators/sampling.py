@@ -1,0 +1,59 @@
+"""Deterministic (hash-based) sampling for training-data pipelines.
+
+``DataFrame.sampleBy`` is Bernoulli over Spark's RNG: resampling the
+same corpus gives a different subset, a retried task can diverge from
+its first attempt's split lineage, and no external system can audit
+which rows were kept. For pretraining-data work (domain mixture
+re-weighting, ablation subsets) the standard fix is HASH-gated
+sampling: keep a row iff ``h(key) mod M < rate*M``. Same statistical
+guarantees for a well-mixed hash, but reproducible across runs,
+engines, and partitionings — which also makes it cross-engine
+oracle-checkable, unlike any RNG sampler.
+
+The hash is the repo's portable arithmetic family (multiplicative
+Knuth hash on the key), so DuckDB reproduces the exact subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant; modulus keeps everything in exact
+# bigint range in both engines.
+_MULT = 2654435761
+_MOD = 2_147_483_647
+_BUCKETS = 10_000
+
+
+def _gate(key: Column) -> Column:
+    """Deterministic bucket in [0, _BUCKETS) from an integer key."""
+    return ((key.cast("bigint") * _MULT) % _MOD) % _BUCKETS
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Keep each row iff its key-hash bucket falls under its stratum's
+    rate. Rows whose stratum is not listed are dropped (rate 0).
+
+    100 TB shape: pure map-side filter — no shuffle, no RNG state, and
+    any re-run (or a different engine) selects the identical subset.
+    """
+    gate = _gate(F.col(key_col))
+    rate = None
+    for stratum, frac in fractions.items():
+        cutoff = int(round(frac * _BUCKETS))
+        cond = (F.col(strata_col) == stratum) & (gate < F.lit(cutoff))
+        rate = cond if rate is None else (rate | cond)
+    return df.where(rate)
+
+
+def hash_sample_gate_sql(key_sql: str) -> str:
+    """DuckDB twin of ``_gate`` for oracle SQL."""
+    return f"(((CAST({key_sql} AS BIGINT) * {_MULT}) % {_MOD}) % {_BUCKETS})"

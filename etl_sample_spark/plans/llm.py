@@ -916,6 +916,56 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang_guess").orderBy("doc_id")
 
 
+def _hash_sample_oracle() -> str:
+    from etl_sample_spark.operators.sampling import hash_sample_gate_sql
+
+    gate = hash_sample_gate_sql("doc_id")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             t -> t IN ('spark','vector','hash','query'))) AS n_tech
+      FROM documents),
+    langs AS (
+      SELECT doc_id,
+             CASE WHEN n_stop / n > 0.08  THEN 'en'
+                  WHEN n_tech / n > 0.12  THEN 'tech'
+                  ELSE 'unknown' END AS lang_guess
+      FROM base)
+    SELECT doc_id, lang_guess
+    FROM langs
+    WHERE (lang_guess = 'en'      AND {gate} < 10000)
+       OR (lang_guess = 'tech'    AND {gate} < 5000)
+       OR (lang_guess = 'unknown' AND {gate} < 1000)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "hash_stratified_sample_by_lang",
+    _hash_sample_oracle(),
+    doc="Training-data curation, the AUDITABLE form: per-stratum "
+    "downsampling gated on a multiplicative key-hash bucket instead of "
+    "RNG — identical subset on every re-run, engine, and partitioning "
+    "(a retried task cannot diverge from its first attempt), which is "
+    "why it carries a full hash oracle while sampleBy cannot. Map-side "
+    "filter, no shuffle. operators/sampling.py::hash_stratified_sample.",
+)
+def hash_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.text import lang_id_heuristic
+    from etl_sample_spark.operators.sampling import hash_stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang_guess", lang_id_heuristic(F.col("text"))
+    )
+    sampled = hash_stratified_sample(
+        docs, "lang_guess", {"en": 1.0, "tech": 0.5, "unknown": 0.1}, key_col="doc_id"
+    )
+    return sampled.select("doc_id", "lang_guess").orderBy("doc_id")
+
+
 @register(
     "sequence_packing_512",
     # Greedy-with-reset is not WINDOW-expressible (each cut depends on

@@ -565,3 +565,30 @@ def test_contamination_flags_planted_overlap(spark):
     assert got[11]["n_hits"] == 0
     assert got[11]["contamination_rate"] == 0.0
     assert 0 < got[10]["contamination_rate"] <= 1.0
+
+
+def test_hash_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Hash-gated sampling must hit each stratum's rate (exactly for 1.0
+    and 0.0, within tolerance for fractions — the gate is a fixed hash,
+    not RNG) and select the identical subset on every run."""
+    from etl_sample_spark.functions.text import lang_id_heuristic
+    from etl_sample_spark.operators.sampling import hash_stratified_sample
+
+    docs = catalog.table(spark, sf_dir, "documents").withColumn(
+        "lang_guess", lang_id_heuristic(F.col("text"))
+    )
+    totals = {r["lang_guess"]: r["n"] for r in docs.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fractions = {"en": 1.0, "tech": 0.5, "unknown": 0.1}
+    a = hash_stratified_sample(docs, "lang_guess", fractions, "doc_id")
+    got = {r["lang_guess"]: r["n"] for r in a.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["en"] == totals["en"]  # rate 1.0 keeps everything
+    for lang in ("tech", "unknown"):
+        expect = totals[lang] * fractions[lang]
+        assert abs(got.get(lang, 0) - expect) <= max(5, 0.5 * expect), (lang, got, expect)
+    # unlisted stratum → dropped entirely
+    none = hash_stratified_sample(docs, "lang_guess", {"tech": 0.5}, "doc_id")
+    assert none.where(F.col("lang_guess") != "tech").count() == 0
+    # deterministic: identical subset across runs
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in hash_stratified_sample(docs, "lang_guess", fractions, "doc_id").select("doc_id").collect()}
+    assert ids_a == ids_b
