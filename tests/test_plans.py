@@ -171,3 +171,12 @@ def test_front_pins_and_window_discipline():
     ordered = e._ordered()
     assert ordered[: len(e._FRONT_PINS)] == e._FRONT_PINS
     assert len(e._FRONT_PINS) <= 50, "pins overflow the driver's 50-query window"
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE set must resolve against the registry — a
+    renamed query would otherwise break the driver's per-round bench."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench names not registered: {missing}"
