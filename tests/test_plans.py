@@ -130,7 +130,9 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
 _INTENTIONAL_NON_EQUI = {
     "join_cross_region_nation_grid",
     "join_theta_customer_outbalances_supplier",
-    "interval_join_clicks_after_purchase",
+    # NOT interval_join_clicks_after_purchase: it plans an equi hash join
+    # on the user key with the time band as a post-join filter, so it is
+    # held to the same no-NLJ bar as everything else.
     "similarity_batch_top5",
 }
 
