@@ -101,6 +101,8 @@ _FRONT_PINS = [
     "sequence_packing_512",
     "similarity_lsh_top10",
     "hash_stratified_sample_by_lang",
+    "dedup_incremental_new_batch",
+    "corpus_shard_shuffle",
 ]
 
 

@@ -1096,3 +1096,77 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("bigint").alias("redacted_len"),
         F.substring(red, -40, 40).alias("redacted_tail"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_new_batch",
+    """
+    SELECT n.doc_id
+    FROM documents n
+    WHERE n.doc_id >= 250
+      AND NOT EXISTS (SELECT 1 FROM documents o
+                      WHERE o.doc_id < 250 AND o.text = n.text)
+      AND n.doc_id = (SELECT MIN(m.doc_id) FROM documents m
+                      WHERE m.doc_id >= 250 AND m.text = n.text)
+    ORDER BY doc_id
+    """,
+    doc="L1, the production shape: dedup a NEW crawl batch (doc_id>=250) "
+    "against the EXISTING corpus (doc_id<250) plus within itself — "
+    "in-batch exact_dedup, then a left-anti join against the corpus on "
+    "the sha2 content hash, so raw text never shuffles on either side. "
+    "At 100 TB the corpus side is a pre-computed hash index; the anti "
+    "join shuffles 32-byte keys only.",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") >= 250)
+    corpus_hashes = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.sha2("text", 256).alias("__h"))
+        .distinct()
+    )
+    new_deduped = exact_dedup(new, ["text"], "doc_id").withColumn(
+        "__h", F.sha2("text", 256)
+    )
+    return (
+        new_deduped.join(corpus_hashes, "__h", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_shard_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id, ((CAST(doc_id AS BIGINT) * 2654435761) % 2147483647) AS hv
+      FROM documents)
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+    doc="LLM dataloader prep: deterministic corpus shuffle + sharding — "
+    "each doc gets a multiplicative-hash position, shard = hash mod "
+    "n_shards, pos = rank within shard. Reproducible training order "
+    "with NO global sort: one hash-partition exchange, then each shard "
+    "sorts independently (the window partitions by shard). The "
+    "dont-do-this alternative, ORDER BY rand(), is neither rerunnable "
+    "nor cheap at 100 TB.",
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hv = (F.col("doc_id").cast("bigint") * 2654435761) % 2147483647
+    shard = (hv % 8).alias("shard")
+    w = Window.partitionBy(hv % 8).orderBy(hv, F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            shard,
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
