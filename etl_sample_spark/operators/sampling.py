@@ -45,6 +45,11 @@ def hash_stratified_sample(
     100 TB shape: pure map-side filter — no shuffle, no RNG state, and
     any re-run (or a different engine) selects the identical subset.
     """
+    if not fractions:
+        raise ValueError("hash_stratified_sample: empty fractions")
+    bad = {s: f for s, f in fractions.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(f"hash_stratified_sample: rates outside [0,1]: {bad}")
     gate = _gate(F.col(key_col))
     rate = None
     for stratum, frac in fractions.items():

@@ -592,3 +592,13 @@ def test_hash_stratified_sample_rates_and_determinism(spark, sf_dir):
     ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
     ids_b = {r["doc_id"] for r in hash_stratified_sample(docs, "lang_guess", fractions, "doc_id").select("doc_id").collect()}
     assert ids_a == ids_b
+
+
+def test_hash_stratified_sample_input_guards(spark):
+    from etl_sample_spark.operators.sampling import hash_stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id BIGINT, lang STRING")
+    with pytest.raises(ValueError, match="empty fractions"):
+        hash_stratified_sample(df, "lang", {}, "doc_id")
+    with pytest.raises(ValueError, match="outside"):
+        hash_stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
