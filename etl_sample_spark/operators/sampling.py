@@ -28,9 +28,30 @@ _MOD = 2_147_483_647
 _BUCKETS = 10_000
 
 
+def hash_position(key: Column) -> Column:
+    """Deterministic position in [0, _MOD) from ANY bigint key.
+
+    The key is reduced mod _MOD (pmod: non-negative even for negative
+    keys) BEFORE the multiply, so the product stays < 2^62.3 — no bigint
+    overflow under ANSI mode for any input, and negative keys hash like
+    everything else instead of inheriting the dividend's sign. For keys
+    already in [0, _MOD) this equals the plain (key * _MULT) % _MOD.
+    """
+    reduced = F.pmod(key.cast("bigint"), F.lit(_MOD))
+    return F.pmod(reduced * _MULT, F.lit(_MOD))
+
+
+def hash_position_sql(key_sql: str) -> str:
+    """DuckDB twin of ``hash_position`` (pmod spelled as ((x%m)+m)%m;
+    the product of the non-negative reduced key is already ≥ 0, so the
+    outer mod needs no pmod treatment)."""
+    reduced = f"(((CAST({key_sql} AS BIGINT) % {_MOD}) + {_MOD}) % {_MOD})"
+    return f"(({reduced} * {_MULT}) % {_MOD})"
+
+
 def _gate(key: Column) -> Column:
     """Deterministic bucket in [0, _BUCKETS) from an integer key."""
-    return ((key.cast("bigint") * _MULT) % _MOD) % _BUCKETS
+    return hash_position(key) % _BUCKETS
 
 
 def hash_stratified_sample(
@@ -61,4 +82,4 @@ def hash_stratified_sample(
 
 def hash_sample_gate_sql(key_sql: str) -> str:
     """DuckDB twin of ``_gate`` for oracle SQL."""
-    return f"(((CAST({key_sql} AS BIGINT) * {_MULT}) % {_MOD}) % {_BUCKETS})"
+    return f"({hash_position_sql(key_sql)} % {_BUCKETS})"

@@ -213,40 +213,55 @@ def train_ivf_centroids(
     vectors. Driver collect is bounded at ``n_centroids`` rows per
     iteration regardless of corpus size: the 100 TB-safe training shape.
     """
-    shape = embeddings.select(
-        F.min(F.size(vec_col)).alias("lo"),
-        F.max(F.size(vec_col)).alias("hi"),
-        F.sum(F.col(vec_col).isNull().cast("int")).alias("nulls"),
-    ).head()
-    if shape["lo"] is None:
-        raise ValueError("train_ivf_centroids: empty corpus")
-    if shape["nulls"]:
-        raise ValueError(f"train_ivf_centroids: {shape['nulls']} null {vec_col!r} vectors")
-    if shape["lo"] != shape["hi"]:
-        raise ValueError(
-            f"train_ivf_centroids: ragged {vec_col!r} dimensions ({shape['lo']}..{shape['hi']})"
-        )
-    if shape["lo"] == 0:
-        raise ValueError(f"train_ivf_centroids: zero-dimensional {vec_col!r} vectors")
     init_rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)  # corpus smaller than n_centroids → fewer, still valid
         .collect()
     )
+    # Input guards, without a dedicated corpus pass: the init SAMPLE is
+    # validated driver-side for free; the corpus-wide checks (nulls,
+    # ragged dims anywhere) piggyback on the first Lloyd iteration's
+    # aggregation below, and fire BEFORE any centroid update is applied.
+    if not init_rows:
+        raise ValueError("train_ivf_centroids: empty corpus")
+    if any(r[vec_col] is None for r in init_rows):
+        raise ValueError(f"train_ivf_centroids: null {vec_col!r} vectors")
+    dims = {len(r[vec_col]) for r in init_rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"train_ivf_centroids: ragged {vec_col!r} dimensions ({min(dims)}..{max(dims)})"
+        )
+    if dims == {0}:
+        raise ValueError(f"train_ivf_centroids: zero-dimensional {vec_col!r} vectors")
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     dim = len(centroids[0])
     v = F.col(vec_col).cast("array<double>")
+    shape_checked = n_iters == 0  # no iteration → sample-level guards only
     for _ in range(n_iters):
         assigned = ivf_assign_cells(embeddings, list(enumerate(centroids)), vec_col)
-        stats = (
-            assigned.groupBy("__cell")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[F.sum(F.element_at(v, i + 1)).alias(f"__s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
+        agg_cols = [
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(F.element_at(v, i + 1)).alias(f"__s{i}") for i in range(dim)],
+        ]
+        if not shape_checked:
+            agg_cols += [
+                F.min(F.size(vec_col)).alias("__lo"),
+                F.max(F.size(vec_col)).alias("__hi"),
+                F.sum(F.col(vec_col).isNull().cast("int")).alias("__nulls"),
+            ]
+        stats = assigned.groupBy("__cell").agg(*agg_cols).collect()
+        if not shape_checked:
+            nulls = sum(int(r["__nulls"]) for r in stats)
+            if nulls:
+                raise ValueError(f"train_ivf_centroids: {nulls} null {vec_col!r} vectors")
+            lo = min(int(r["__lo"]) for r in stats)
+            hi = max(int(r["__hi"]) for r in stats)
+            if lo != hi or lo != dim:
+                raise ValueError(
+                    f"train_ivf_centroids: ragged {vec_col!r} dimensions ({lo}..{hi}, init dim {dim})"
+                )
+            shape_checked = True
         new = list(centroids)  # empty cells keep their previous centroid
         for r in stats:
             c, n = int(r["__cell"]), int(r["__n"])

@@ -427,6 +427,29 @@ def similarity_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(qvec), k=10)
 
 
+def _lsh_bucket_cte(n_planes: int) -> str:
+    """Shared CTE block: explode embeddings, derive the deterministic
+    hyperplanes (MUST stay bit-in-sync with
+    operators/similarity.py::_plane), dot, and bucket by sign pattern.
+    The single source of the plane formula for every LSH oracle."""
+    return f"""ex AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+      FROM embeddings),
+    planes AS (
+      SELECT p.p, i.i,
+             (((p.p * 73856093 + i.i * 19349663 + 83492791) % 2001) - 1000) / 1000.0 AS w
+      FROM UNNEST(RANGE({n_planes})) AS p(p), UNNEST(RANGE(64)) AS i(i)),
+    dots AS (
+      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.w) AS d
+      FROM ex JOIN planes ON ex.i = planes.i
+      GROUP BY ex.vec_id, planes.p),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+      FROM dots GROUP BY vec_id)"""
+
+
 _LSH_PROBES = " OR ".join(
     ["bu.b = qb.b"] + [f"bu.b = XOR(qb.b, {1 << p})" for p in range(8)]
 )
@@ -436,22 +459,7 @@ _LSH_PROBES = " OR ".join(
 # set, AND the within-candidate cosine ranking are all reproduced in SQL
 # — approximate vs brute force, but deterministic, hence hash-checkable.
 _LSH_TOPK_ORACLE = f"""
-    WITH ex AS (
-      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
-             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
-      FROM embeddings),
-    planes AS (
-      SELECT p.p, i.i,
-             (((p.p * 73856093 + i.i * 19349663 + 83492791) % 2001) - 1000) / 1000.0 AS w
-      FROM UNNEST(RANGE(8)) AS p(p), UNNEST(RANGE(64)) AS i(i)),
-    dots AS (
-      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.w) AS d
-      FROM ex JOIN planes ON ex.i = planes.i
-      GROUP BY ex.vec_id, planes.p),
-    buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN d > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
-      FROM dots GROUP BY vec_id),
+    WITH {_lsh_bucket_cte(8)},
     qb AS (SELECT b FROM buckets WHERE vec_id = 0),
     cand AS (SELECT bu.vec_id FROM buckets bu, qb WHERE {_LSH_PROBES}),
     q AS (SELECT i, x AS qx FROM ex WHERE vec_id = 0),
@@ -488,22 +496,7 @@ def _embedding_neardup_oracle(n_planes: int = 4, threshold: float = 0.3) -> str:
     Dot products are O(1)-magnitude doubles, so the d > 0 sign decision is
     stable under summation-order differences between engines."""
     return f"""
-    WITH ex AS (
-      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
-             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
-      FROM embeddings),
-    planes AS (
-      SELECT p.p, i.i,
-             (((p.p * 73856093 + i.i * 19349663 + 83492791) % 2001) - 1000) / 1000.0 AS w
-      FROM UNNEST(RANGE({n_planes})) AS p(p), UNNEST(RANGE(64)) AS i(i)),
-    dots AS (
-      SELECT ex.vec_id, planes.p, SUM(ex.x * planes.w) AS d
-      FROM ex JOIN planes ON ex.i = planes.i
-      GROUP BY ex.vec_id, planes.p),
-    buckets AS (
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN d > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
-      FROM dots GROUP BY vec_id),
+    WITH {_lsh_bucket_cte(n_planes)},
     cand AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
       FROM buckets a JOIN buckets b ON a.b = b.b AND a.vec_id < b.vec_id),
@@ -1135,18 +1128,24 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_shard_shuffle",
-    """
+def _shard_shuffle_oracle() -> str:
+    from etl_sample_spark.operators.sampling import hash_position_sql
+
+    return f"""
     WITH h AS (
-      SELECT doc_id, ((CAST(doc_id AS BIGINT) * 2654435761) % 2147483647) AS hv
+      SELECT doc_id, {hash_position_sql("doc_id")} AS hv
       FROM documents)
     SELECT doc_id,
            CAST(hv % 8 AS BIGINT) AS shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
     FROM h
     ORDER BY shard, pos
-    """,
+    """
+
+
+@register(
+    "corpus_shard_shuffle",
+    _shard_shuffle_oracle(),
     doc="LLM dataloader prep: deterministic corpus shuffle + sharding — "
     "each doc gets a multiplicative-hash position, shard = hash mod "
     "n_shards, pos = rank within shard. Reproducible training order "
@@ -1158,8 +1157,10 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from etl_sample_spark.operators.sampling import hash_position
+
     docs = _t(spark, sf_dir, "documents")
-    hv = (F.col("doc_id").cast("bigint") * 2654435761) % 2147483647
+    hv = hash_position(F.col("doc_id"))
     shard = (hv % 8).alias("shard")
     w = Window.partitionBy(hv % 8).orderBy(hv, F.col("doc_id"))
     return (

@@ -602,3 +602,22 @@ def test_hash_stratified_sample_input_guards(spark):
         hash_stratified_sample(df, "lang", {}, "doc_id")
     with pytest.raises(ValueError, match="outside"):
         hash_stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_hash_position_safe_for_negative_and_huge_keys(spark):
+    """The review-caught domain bug: negative keys must hash like any
+    other key (not inherit the dividend's sign and sail under every
+    cutoff), and keys past 2^31.7 must not overflow bigint under ANSI."""
+    from etl_sample_spark.operators.sampling import (
+        _BUCKETS,
+        hash_position,
+        hash_stratified_sample,
+    )
+
+    rows = [(-(10**12), "en"), (-7, "en"), (0, "en"), (3_500_000_000, "en"), (2**62, "en")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING")
+    got = df.select("doc_id", (hash_position(F.col("doc_id")) % _BUCKETS).alias("g")).collect()
+    assert all(0 <= r["g"] < _BUCKETS for r in got), got
+    # a 0.0-rate stratum drops EVERY row, negative keys included
+    assert hash_stratified_sample(df, "lang", {"en": 0.0}, "doc_id").count() == 0
+    assert hash_stratified_sample(df, "lang", {"en": 1.0}, "doc_id").count() == len(rows)
