@@ -6,6 +6,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set: one query per operator family, weighted toward the
 shuffle-heavy shapes that dominate at 100 TB (fact-fact join+agg, windows,
 signature dedup, similarity scan).
+
+Each query runs REPS times warm (first rep discarded as warm-up for that
+query's codegen/classload) and reports the MEDIAN; per-query IQR and the
+rep count ride along in "spread"/"reps" so round-over-round deltas can be
+judged against measured noise instead of single-shot luck. "value" is the
+sum of per-query medians. Set SPARK_GRAFT_BENCH_REPS to override (min 1;
+1 reproduces the old single-shot behavior).
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -55,16 +63,36 @@ def main() -> None:
     # execution, not first-touch JIT/classloading.
     REGISTRY["q3_shipping_priority"].spark(spark, sf_dir).collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        n = spec.spark(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        samples: list[float] = []
+        n = -1
+        # reps timed runs + 1 untimed per-query warm-up (codegen compiles
+        # and broadcast builds for THIS plan, not just the suite-global warm).
+        for rep in range(reps + 1):
+            t0 = time.perf_counter()
+            n = spec.spark(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if rep > 0:
+                samples.append(dt)
+        med = statistics.median(samples)
+        if len(samples) >= 4:
+            q = statistics.quantiles(samples, n=4)
+            iqr = q[2] - q[0]
+        else:
+            iqr = max(samples) - min(samples)
+        timings[name] = round(med, 3)
+        spread[name] = round(iqr, 3)
+        total += med
+        print(
+            f"  {name}: median {med:.2f}s IQR {iqr:.2f}s over {len(samples)} reps ({n} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -73,6 +101,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )
