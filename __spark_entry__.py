@@ -62,47 +62,13 @@ _R1_CHECKED = {
     "minhash_lsh_candidate_pairs", "simhash_signatures",
     "ngram_jaccard_sample_pairs",
 }
-# Every query touched in rounds 2-4 (money-decimal sweep, HUGEINT oracle
-# bridges, exact_dedup encoding change, embedding near-dup rework, r2
-# rollup/cube/q3/q5 refactor) — pinned to the very front of the window so
-# CORRECTNESS_r04 re-hashes each at sf0.01 post-change.
+# Every query added or code-touched in round 5 — pinned to the very
+# front of the window so CORRECTNESS_r05 (re-)hashes each at sf0.01
+# post-change. (The r2-r4 change set was fully re-hashed green in r4 and
+# rotates back into the general window.)
 _FRONT_PINS = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items_top20",
-    "q11_important_part_values",
-    "q12_late_shipment_priority",
-    "q14_promo_revenue_ratio",
-    "q15_top_revenue_suppliers",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_idle_customers",
-    "skewjoin_revenue_by_priority",
-    "pivot_priority_by_status",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "dedup_sha256_content_hash",
-    "corpus_curation_pipeline",
-    "embedding_neardup_pairs",
-    # newly registered in r4
-    "dedup_within_window_batch_twin",
-    "normalize_star_rebuild",
-    "q21_suppliers_kept_waiting",
-    "contamination_3gram_vs_benchmark",
-    "text_scrub_pii",
-    "minhash_lsh_candidate_pairs",
-    "neardup_clusters_documents",
-    "sequence_packing_512",
-    "similarity_lsh_top10",
-    "hash_stratified_sample_by_lang",
-    "dedup_incremental_new_batch",
-    "corpus_shard_shuffle",
+    # newly registered in r5
+    "embedding_neardup_clusters",
 ]
 
 

@@ -795,6 +795,43 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs).orderBy("doc_id")
 
 
+@register(
+    "embedding_neardup_clusters",
+    # Same recursive-CTE transitive-closure technique that proved
+    # neardup_clusters_documents, but over the EMBEDDING near-dup edge set
+    # (deterministic hyperplane LSH buckets + exact cosine) instead of the
+    # MinHash band graph — closing the seam between the L2 clustering
+    # machinery and L3 embedding space.
+    f"""
+    WITH RECURSIVE pairs AS ({_embedding_neardup_oracle()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(vec, r) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.vec, e.v FROM reach r JOIN edges e ON r.r = e.u)
+    SELECT vec AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY vec ORDER BY vec_id
+    """,
+    doc="L2+L3: embedding near-dup pairs (cosine >= 0.3 within "
+    "deterministic LSH buckets) -> connected components via label "
+    "propagation; cluster id = min vec_id reachable. The semantic-dedup "
+    "decision step for an embedding corpus: keep one representative per "
+    "cluster. Oracle = recursive-CTE transitive closure over the same "
+    "edge set — an independent algorithm, one answer.",
+)
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import neardup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.3, dim=64, n_planes=4)
+    return (
+        neardup_clusters(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
 _CURATION_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, n_chars, text,
