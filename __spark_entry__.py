@@ -69,6 +69,7 @@ _R1_CHECKED = {
 _FRONT_PINS = [
     # newly registered in r5
     "embedding_neardup_clusters",
+    "multimodal_png_decode",
 ]
 
 

@@ -10,10 +10,15 @@ tested. The codec tier is split:
   4-byte-padded BGR rows), no external libraries — so the decode path
   executes end-to-end in this container (``attach_bmp_media`` synthesizes
   genuine BMP payloads to drive it).
-- Compressed codecs (png/jpeg/video) remain STUBBED (no codec libs here):
-  ``decode_image(..., fake=False)`` raises ``NotImplementedError`` for
-  them, and ``fake=True`` produces a deterministic fake decode so batch
-  shapes and schemas are exercised regardless.
+- PNG is decoded FOR REAL too — a pure-Python parser (stdlib ``zlib``
+  inflate + all five PNG filter types: None/Sub/Up/Average/Paeth) for
+  8-bit truecolor and grayscale images, no external libraries
+  (``attach_png_media`` synthesizes genuine zlib-compressed PNG payloads
+  with a different filter on every scanline to drive every unfilter path).
+- Remaining compressed codecs (jpeg/video) stay STUBBED (no codec libs
+  here): ``decode_image(..., fake=False)`` raises ``NotImplementedError``
+  for them, and ``fake=True`` produces a deterministic fake decode so
+  batch shapes and schemas are exercised regardless.
 
 Scale notes: media bytes dominate row width, so operators here
 (1) never shuffle the binary column, (2) use ``mapInPandas`` (streaming
@@ -103,6 +108,165 @@ def _decode_bmp(data: bytes) -> tuple[int, int, float]:
     return width, height, (total / n if n else 0.0)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (filter type 4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixel: "callable") -> bytes:
+    """Pure-Python 8-bit truecolor (RGB) PNG encoder. ``pixel(x, y)``
+    returns the (r, g, b) byte triple. Each scanline uses filter type
+    ``y % 5`` so a payload taller than 4 rows exercises every PNG filter
+    (None/Sub/Up/Average/Paeth) in the decoder."""
+    import struct
+    import zlib
+
+    bpp = 3
+    raw_rows = [
+        bytes(v for x in range(width) for v in pixel(x, y)) for y in range(height)
+    ]
+    out = bytearray()
+    prior = bytes(width * bpp)
+    for y, raw in enumerate(raw_rows):
+        ft = y % 5
+        out.append(ft)
+        for i, v in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = v - left
+            elif ft == 2:
+                f = v - up
+            elif ft == 3:
+                f = v - (left + up) // 2
+            else:
+                f = v - _paeth(left, up, ul)
+            out.append(f & 0xFF)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes) -> tuple[int, int, float]:
+    """Parse a PNG (8-bit truecolor or grayscale, non-interlaced):
+    (width, height, mean sample value). Pure Python + stdlib zlib —
+    chunk walk, IDAT inflate, and all five unfilter types."""
+    import struct
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit gray/truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            bpp = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    recon = bytearray()
+    total = 0
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ft = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        prior_off = (y - 1) * stride
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = recon[prior_off + i] if y > 0 else 0
+            ul = recon[prior_off + i - bpp] if (y > 0 and i >= bpp) else 0
+            if ft == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad PNG filter type {ft}")
+        recon.extend(line)
+        total += sum(line)
+    n = width * height * bpp
+    return width, height, (total / n if n else 0.0)
+
+
+def attach_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize GENUINE zlib-compressed PNG payloads (same deterministic
+    per-id pixel pattern as ``attach_bmp_media``, height ≥ 5 so every
+    scanline filter type occurs) so the real inflate+unfilter decode path
+    is executable in-container. ``mapInPandas``; payload never shuffled."""
+    schema = f"{id_col} BIGINT, media_bytes BINARY, media_meta STRUCT<{MEDIA_META_FIELDS}>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": [], "media_meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 5 + doc_id % 4
+                payload = encode_png(
+                    w, h,
+                    lambda x, y: bytes(
+                        ((doc_id * 31 + x * 7 + y * 13 + c * 97) % 256 for c in range(3))
+                    ),
+                )
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(payload)
+                out["media_meta"].append(
+                    {"width": w, "height": h, "format": "png", "n_frames": 1}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(encode, schema=schema)
+
+
 def attach_bmp_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize GENUINE BMP image payloads (deterministic per-id pixel
     pattern) so the real decode path is executable in-container. Runs as
@@ -152,6 +316,8 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 fmt = r["media_meta"]["format"] if r["media_meta"] is not None else None
                 if fmt == "bmp":
                     w, h, mean = _decode_bmp(payload)
+                elif fmt == "png" and payload[: len(_PNG_SIG)] == _PNG_SIG:
+                    w, h, mean = _decode_png(payload)
                 elif fake:
                     m = r["media_meta"]
                     w, h = int(m["width"]), int(m["height"])

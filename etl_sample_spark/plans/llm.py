@@ -601,6 +601,45 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INT) AS width,
+             CAST(5 + doc_id % 4 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             ((d.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 97) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(d.width))  AS x(x),
+           UNNEST(RANGE(d.height)) AS y(y),
+           UNNEST(RANGE(3))        AS c(c))
+    SELECT doc_id,
+           width,
+           height,
+           CAST(width * height AS INT) AS n_pixels,
+           SUM(v) / COUNT(*)           AS pixel_mean
+    FROM px
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL compressed-codec decode: genuine zlib-compressed PNG "
+    "payloads (filter type rotates per scanline, so every PNG unfilter — "
+    "None/Sub/Up/Average/Paeth — executes) synthesized per row, then "
+    "inflated + unfiltered by the pure-Python codec through mapInPandas. "
+    "Deterministic pixel pattern → the oracle recomputes dims + exact "
+    "pixel mean in SQL; the decode is value-checked cross-engine. "
+    "operators/multimodal.py::attach_png_media / _decode_png.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_png_media, decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image(attach_png_media(docs), fake=False).orderBy("doc_id")
+
+
+@register(
     "similarity_ivf_top10",
     None,  # approximate (probe-limited): rows-only check; pytest asserts
     # full-probe == brute force and partial-probe recall

@@ -251,6 +251,61 @@ def test_multimodal_bmp_real_decode_no_fake(spark, sf_dir):
         assert abs(r["pixel_mean"] - emean) < 1e-12
 
 
+def test_multimodal_png_real_decode_all_filters(spark, sf_dir):
+    """REAL compressed decode end-to-end: genuine zlib-deflated PNG
+    payloads (scanline filters rotate 0-4) inflated + unfiltered by the
+    pure-Python codec through mapInPandas, no fake flag. Ground truth is
+    the exact pixel function itself, not a re-decode — so an encoder bug
+    and a matching decoder bug can't cancel out."""
+    from etl_sample_spark.operators.multimodal import attach_png_media
+
+    docs = catalog.table(spark, sf_dir, "documents").limit(20)
+    decoded = {r["doc_id"]: r for r in decode_image(attach_png_media(docs), fake=False).collect()}
+    assert len(decoded) == 20
+    for doc_id, r in decoded.items():
+        w, h = 4 + doc_id % 5, 5 + doc_id % 4
+        assert h >= 5, "payload too short to exercise every PNG filter type"
+        exact = sum(
+            (doc_id * 31 + x * 7 + y * 13 + c * 97) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        ) / (w * h * 3)
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert abs(r["pixel_mean"] - exact) < 1e-12
+
+
+def test_png_grayscale_and_bad_filter_guard():
+    """The decoder handles 8-bit grayscale (color type 0) and rejects
+    invalid filter bytes rather than silently mis-unfiltering."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from etl_sample_spark.operators.multimodal import _PNG_SIG, _decode_png, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    rows = bytes([0, 10, 20, 30, 2, 5, 5, 5])  # None row, then Up row
+    g = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(g) == (3, 2, (10 + 20 + 30 + 15 + 25 + 35) / 6)
+
+    bad = bytes([7, 1, 1, 1, 0, 0, 0, 0])
+    b = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bad))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="filter type"):
+        _decode_png(b)
+
+
 def test_multimodal_features_fixed_dim(spark, sf_dir):
     docs = catalog.table(spark, sf_dir, "documents").limit(5)
     feats = extract_features(attach_fake_media(docs), fake=True).collect()
