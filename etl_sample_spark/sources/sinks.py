@@ -113,15 +113,53 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
     fresh.write.mode("append").parquet(path)
 
 
-def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int = 1,
+    max_records_per_file: int = 5_000_000,
+) -> None:
     """Hive-style partitioned parquet layout: one directory per partition
     value. At 100 TB this is the coarsest and cheapest pruning lever —
     a filter on a partition column skips whole directories before any
     file I/O (PartitionFilters in the scan, verified in
     tests/test_partition_pruning.py). Partition by low-cardinality
     columns only (date, type); high-cardinality partitioning produces
-    the small-files problem."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    the small-files problem.
+
+    Small-file discipline: a naive ``partitionBy`` write emits one file
+    per (task x partition value) — with 10k tasks and 2k dates that is
+    a 20M-file storm that kills the namenode/list operation long before
+    query time. So rows are first repartitioned onto their partition
+    value (± a deterministic salt when ``files_per_partition > 1``,
+    for hot partitions that need write parallelism), giving exactly
+    ``files_per_partition`` writer tasks per partition value, while
+    ``maxRecordsPerFile`` rolls oversized files so no single file
+    becomes an unsplittable monster. File counts are asserted in
+    tests/test_jdbc_sink.py::test_write_partitioned_bounds_file_counts.
+    """
+    out = df
+    if files_per_partition <= 1:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        # Deterministic salt (hash of the data columns, not RNG): the same
+        # input always lands in the same file slot, so retries produce an
+        # identical layout.
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(files_per_partition))
+        out = (
+            df.withColumn("__file_salt", salt)
+            .repartition(*[F.col(c) for c in partition_cols], F.col("__file_salt"))
+            .drop("__file_salt")
+        )
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def write_with_audit(

@@ -89,3 +89,50 @@ def test_overwrite_partitions_replaces_only_touched_partition(spark, tmp_path):
     # retry of the same backfill is a no-op (idempotent reprocessing)
     overwrite_partitions(fix, out, ["day"])
     assert spark.read.parquet(out).count() == 2
+
+
+def _parquet_files_by_partition(root: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            counts[os.path.relpath(dirpath, root)] = n
+    return counts
+
+
+def test_write_partitioned_bounds_file_counts(spark, tmp_path):
+    """Small-file discipline: with the default files_per_partition=1 a
+    32-task input collapses to exactly ONE file per partition value (not
+    tasks x values); with files_per_partition=k the count is bounded by
+    k; and maxRecordsPerFile rolls oversized files. 100 TB writes die by
+    small-file storm — this pins the mechanism that prevents it."""
+    from etl_sample_spark.sources.sinks import write_partitioned
+
+    df = (
+        spark.range(0, 3000, 1, 32)  # 32 input partitions -> naive write = up to 32 files/value
+        .select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("bucket"),
+        )
+    )
+
+    one = str(tmp_path / "one_file_each")
+    write_partitioned(df, one, ["bucket"])
+    counts = _parquet_files_by_partition(one)
+    assert set(counts) == {"bucket=0", "bucket=1", "bucket=2"}
+    assert all(n == 1 for n in counts.values()), counts
+
+    salted = str(tmp_path / "salted")
+    write_partitioned(df, salted, ["bucket"], files_per_partition=4)
+    counts = _parquet_files_by_partition(salted)
+    assert all(1 <= n <= 4 for n in counts.values()), counts
+
+    rolled = str(tmp_path / "rolled")
+    write_partitioned(df, rolled, ["bucket"], max_records_per_file=250)
+    counts = _parquet_files_by_partition(rolled)
+    # 1000 rows per bucket / 250 per file = 4 files, from the single writer task
+    assert all(n == 4 for n in counts.values()), counts
+
+    # and the data survives every layout intact
+    for path in (one, salted, rolled):
+        assert spark.read.parquet(path).count() == 3000
