@@ -113,6 +113,48 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
     fresh.write.mode("append").parquet(path)
 
 
+def jdbc_idempotent_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    options: dict[str, str] | None = None,
+) -> None:
+    """Retry-safe JDBC append: only rows whose ``keys`` are absent from
+    the target table are written (anti-join against the existing key
+    set), so redelivered micro-batches and job retries converge instead
+    of duplicating — the JDBC twin of ``idempotent_append``, fixing the
+    reference's blind ``to_sql(if_exists='append')`` shape
+    (``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:662-763``).
+
+    Scale: only the key columns are read back (projection pushed to the
+    database); the anti join shuffles keys, never payloads. For very
+    large targets, index the key columns server-side.
+    """
+
+    def _opt(writer_or_reader):
+        writer_or_reader = writer_or_reader.option("url", url).option("dbtable", table)
+        for k, v in (options or {}).items():
+            writer_or_reader = writer_or_reader.option(k, v)
+        return writer_or_reader
+
+    spark = df.sparkSession
+    out = stringify_complex_columns(df)
+    try:
+        existing = _opt(spark.read.format("jdbc")).load().select(*keys).distinct()
+        out = out.join(existing, on=keys, how="left_anti")
+    except Exception as ex:  # noqa: BLE001 — classified below
+        # ONLY "table does not exist yet" (Derby 42X05 / SQLServer 208 /
+        # Postgres 42P01 all phrase it with "does not exist" or "Invalid
+        # object name") may fall through to a create-on-first-append.
+        # Any other failure must raise: appending blindly past a
+        # transient read error is the duplicate bug this sink prevents.
+        msg = str(ex)
+        if "does not exist" not in msg and "Invalid object name" not in msg:
+            raise
+    _opt(out.write.format("jdbc").mode("append")).save()
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -66,6 +66,37 @@ def foreach_batch_normalize(
     return _write
 
 
+def foreach_batch_normalize_jdbc(
+    specs: list[TableSpec],
+    url: str,
+    db_schema: str,
+    keys: list[str],
+    options: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """T6 fan-out into a JDBC database — the reference's actual
+    production sink (stream of documents → 15+ SQL-server tables,
+    ``Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:662-763``).
+
+    foreachBatch is at-least-once (a failed micro-batch re-runs with the
+    same batch contents), so each table write goes through
+    ``jdbc_idempotent_append`` keyed on the document id stamped onto
+    every normalized table: a redelivered batch anti-joins to nothing
+    and the pipeline is exactly-once end-to-end."""
+    from etl_sample_spark.sources.sinks import jdbc_idempotent_append
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.cache()
+        try:
+            for name, table in normalize(batch_df, specs).items():
+                jdbc_idempotent_append(
+                    table, url, f"{db_schema}.{name}", keys=keys, options=options
+                )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
 def run_ingest_available_now(
     docs_stream: DataFrame,
     specs: list[TableSpec],
@@ -77,6 +108,29 @@ def run_ingest_available_now(
     exactly-once."""
     writer: DataStreamWriter = (
         docs_stream.writeStream.foreachBatch(foreach_batch_normalize(specs, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    return writer.start()
+
+
+def run_ingest_available_now_jdbc(
+    docs_stream: DataFrame,
+    specs: list[TableSpec],
+    url: str,
+    db_schema: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """Drain the source into a JDBC database exactly-once: checkpointed
+    file tracking (no re-reads across runs) + idempotent keyed appends
+    (no duplicates within a redelivered batch) — the reference's
+    stream→SQL-server production shape, made convergent."""
+    writer: DataStreamWriter = (
+        docs_stream.writeStream.foreachBatch(
+            foreach_batch_normalize_jdbc(specs, url, db_schema, keys, options)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
