@@ -88,3 +88,32 @@ def mask_account_rowudf():
     """Row-at-a-time F.udf variant — completeness only; never use on a
     hot path (each row crosses the JVM↔Python boundary individually)."""
     return F.udf(lambda s: "XXXX" + s[3:] if s is not None else None, "string")
+
+
+@cache
+def tokenize_udtf():
+    """Registered Python UDTF (Spark 3.5+): one input row → N output
+    rows, usable from SQL via LATERAL — the table-function tier proper,
+    complementing the applyInPandas grouped-map shape above. Emits
+    (pos, token) per whitespace token. JVM twin: ``posexplode(split(
+    text, ' '))`` — equivalence pinned in tests/test_udfs.py.
+
+    Tier guidance as for all Python here: the UDTF boundary is
+    row-at-a-time pickle; keep it off wide hot paths and prefer the
+    built-in generator twin when the logic is expressible."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, token STRING")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    return Tokenize
+
+
+def register_udtfs(spark) -> None:
+    """Register the UDTF surface on a session for SQL/LATERAL use."""
+    spark.udtf.register("tokenize", tokenize_udtf())

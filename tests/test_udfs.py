@@ -68,3 +68,24 @@ def test_apply_in_pandas_zscore_matches_window(spark, sf_dir):
     a = sorted((r["user_id"], round(r["value"], 9), round(r["zscore"], 6)) for r in py.collect())
     b = sorted((r["user_id"], round(r["value"], 9), round(r["zscore"], 6)) for r in jvm.collect())
     assert a == b
+
+
+def test_udtf_tokenize_matches_posexplode_twin(spark, sf_dir):
+    """Registered Python UDTF (table-function tier) vs the JVM generator
+    twin: LATERAL tokenize(text) must emit exactly the rows of
+    posexplode(split(text, ' ')) over the same documents."""
+    from etl_sample_spark.functions.udfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = catalog.table(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    py = spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL tokenize(d.text) t
+        """
+    )
+    jvm = docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+    a = sorted((r["doc_id"], r["pos"], r["token"]) for r in py.collect())
+    b = sorted((r["doc_id"], r["pos"], r["token"]) for r in jvm.collect())
+    assert a and a == b
