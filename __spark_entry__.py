@@ -70,6 +70,8 @@ _FRONT_PINS = [
     # newly registered in r5
     "embedding_neardup_clusters",
     "multimodal_png_decode",
+    # money-sum converted to the exact-decimal pattern in r5
+    "join_left_outer_customer_orders",
 ]
 
 

@@ -104,7 +104,10 @@ def win_first_last_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     ORDER BY o_custkey, o_orderkey
     """,
     doc="W3: trailing-30-day RANGE frame — ordered on integer day offset "
-    "so both engines frame identically; same-day rows share a frame",
+    "so both engines frame identically; same-day rows share a frame. "
+    "Double sum is grid-safe: 30-day per-customer frames are small, so "
+    "FP error (~1e-9) cannot cross the 0.005 ROUND boundary of a "
+    "2-dp-grid sum.",
 )
 def win_range_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_offset = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))

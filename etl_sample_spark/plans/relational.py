@@ -222,15 +222,20 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            c_name,
            COUNT(o_orderkey)                              AS n_orders,
-           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2)     AS total_spent
+           COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 0.0)
+                                                          AS total_spent
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     ORDER BY c_custkey
     """,
-    doc="left outer join preserving customers with no orders (count=0)",
+    doc="left outer join preserving customers with no orders (count=0); "
+    "the money sum follows the exact-decimal pattern (functions/money.py) "
+    "— an unordered groupBy double-sum is the order-dependent class",
 )
 def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.money import dec2, sum_money
+
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -238,7 +243,7 @@ def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(sum_money(dec2("o_totalprice")), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )

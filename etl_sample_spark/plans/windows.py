@@ -114,7 +114,10 @@ def win_lag_lead_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
-    doc="W3: running sum, deterministic ROWS frame with unique tie-break",
+    doc="W3: running sum, deterministic ROWS frame with unique tie-break. "
+    "Double sum is grid-safe here (unlike unordered groupBy money sums): "
+    "per-customer frames are small, so accumulated FP error (~1e-9) "
+    "cannot cross the 0.005 ROUND boundary of a 2-dp-grid sum.",
 )
 def win_running_sum_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
