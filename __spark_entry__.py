@@ -70,6 +70,7 @@ _FRONT_PINS = [
     # newly registered in r5
     "embedding_neardup_clusters",
     "multimodal_png_decode",
+    "semantic_dedup_keep_best",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

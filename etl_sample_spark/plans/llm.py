@@ -871,6 +871,71 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_keep_best",
+    # Clusters via the recursive-CTE closure over the MinHash band graph;
+    # singletons cluster with themselves; the kept doc is the quality
+    # argmax (ties -> min doc_id). Quality is the same single-expression
+    # double both engines compute bit-identically (no accumulation).
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(doc, r) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.doc, e.v FROM reach r JOIN edges e ON r.r = e.u),
+    clusters AS (SELECT doc AS doc_id, MIN(r) AS cid FROM reach GROUP BY doc),
+    base AS (
+      SELECT doc_id, n_chars,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             LEAST(1.0, n_chars / 500.0) * 0.5 + (1.0 - n_stop / n) * 0.5 AS quality
+      FROM base),
+    labeled AS (
+      SELECT s.doc_id, CAST(COALESCE(c.cid, s.doc_id) AS BIGINT) AS cluster_id, s.quality
+      FROM scored s LEFT JOIN clusters c USING (doc_id)),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+      FROM labeled)
+    SELECT cluster_id, doc_id, quality
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+    doc="L2/L4 composition — THE curation decision the clustering exists "
+    "for: keep exactly one representative per near-dup cluster, chosen "
+    "by quality argmax (tie -> min doc_id); singletons keep themselves. "
+    "100 TB shape: banded LSH pairs (never n²), label propagation (one "
+    "shuffle/round), map-side quality, one window shuffle on cluster_id "
+    "for the argmax. Oracle: recursive-CTE closure + the same ranked "
+    "window in SQL.",
+)
+def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.functions.text import quality_score
+    from etl_sample_spark.operators.dedup import minhash_lsh_candidates, neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = neardup_clusters(minhash_lsh_candidates(docs))
+    scored = docs.select("doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("quality"))
+    labeled = scored.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "quality")
+        .orderBy("cluster_id")
+    )
+
+
 _CURATION_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, n_chars, text,

@@ -70,7 +70,7 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
 
 # Queries whose WHOLE POINT is a Python codec stage (Arrow-batched
 # mapInPandas) — the one sanctioned use of Python in an oracle path.
-_CODEC_QUERIES = {"multimodal_bmp_decode"}
+_CODEC_QUERIES = {"multimodal_bmp_decode", "multimodal_png_decode"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n, s in REGISTRY.items() if s.oracle is not None))
