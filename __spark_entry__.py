@@ -71,6 +71,7 @@ _FRONT_PINS = [
     "embedding_neardup_clusters",
     "multimodal_png_decode",
     "semantic_dedup_keep_best",
+    "udtf_tokenize_docs",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

@@ -368,3 +368,39 @@ def conditional_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
         .orderBy("bucket", "o_orderstatus")
     )
+
+
+@register(
+    "udtf_tokenize_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS l
+      FROM documents WHERE doc_id < 50)
+    SELECT t.doc_id,
+           CAST(r.i AS INT)      AS pos,
+           t.l[r.i + 1]          AS token
+    FROM toks t, UNNEST(RANGE(LEN(t.l))) AS r(i)
+    ORDER BY doc_id, pos
+    """,
+    doc="SURVEY §2.11 table-function tier, driver-checked: the registered "
+    "Python UDTF (functions/udfs.py::tokenize_udtf) applied via SQL "
+    "LATERAL — one doc row expands to (pos, token) rows. Bounded to 50 "
+    "docs: the UDTF boundary is row-at-a-time Python and belongs on "
+    "bounded/cold paths only (the JVM posexplode twin is the hot-path "
+    "form; equivalence pinned in tests/test_udfs.py). Whitelisted as the "
+    "sanctioned Python-tier demo in tests/test_plans.py.",
+)
+def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.udfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __udtf_docs d, LATERAL tokenize(d.text) t
+        ORDER BY doc_id, pos
+        """
+    )

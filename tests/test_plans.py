@@ -71,6 +71,10 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
 # Queries whose WHOLE POINT is a Python codec stage (Arrow-batched
 # mapInPandas) — the one sanctioned use of Python in an oracle path.
 _CODEC_QUERIES = {"multimodal_bmp_decode", "multimodal_png_decode"}
+# The registered-UDTF surface demo (SURVEY §2.11): deliberately Python,
+# deliberately bounded to 50 docs — the sanctioned table-function tier,
+# not a hot-path leak (its JVM twin equivalence is pinned in test_udfs).
+_UDTF_QUERIES = {"udtf_tokenize_docs"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n, s in REGISTRY.items() if s.oracle is not None))
@@ -80,6 +84,8 @@ def test_no_python_row_udfs_anywhere(spark, sf_dir, name):
     MapInPandas are reserved for the multimodal codec queries, which are
     explicitly whitelisted."""
     plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+    if name in _UDTF_QUERIES:
+        return  # the sanctioned (bounded) registered-UDTF demo
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
     if name not in _CODEC_QUERIES:
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF on an oracle path"
