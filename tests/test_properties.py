@@ -99,3 +99,29 @@ def test_normalize_invariants_hold_for_any_corpus(spark, tmp_path_factory, docs)
     for child in ("bank_account", "transactions", "misc_contact"):
         orphans = tables[child].join(parents, "SF_ID", "left_anti").count()
         assert orphans == 0, f"{child} has {orphans} orphan rows"
+
+
+@given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(width, height, seed):
+    """Pure-codec property (no Spark): for ANY dims and pixel content,
+    encode_png → _decode_png recovers exact dims and the exact pixel
+    mean (ground truth computed from the pixel function, so paired
+    encoder/decoder bugs can't cancel). Scanline filters rotate with y,
+    so any height ≥ 5 drives all five unfilter paths."""
+    from etl_sample_spark.operators.multimodal import _decode_png, encode_png
+
+    def px(x, y):
+        v = (seed + x * 7919 + y * 104729) % (256**3)
+        return bytes((v % 256, (v >> 8) % 256, (v >> 16) % 256))
+
+    w, h, mean = _decode_png(encode_png(width, height, px))
+    exact = sum(
+        sum(px(x, y)) for x in range(width) for y in range(height)
+    ) / (width * height * 3)
+    assert (w, h) == (width, height)
+    assert abs(mean - exact) < 1e-12
