@@ -72,6 +72,9 @@ _FRONT_PINS = [
     "multimodal_png_decode",
     "semantic_dedup_keep_best",
     "udtf_tokenize_docs",
+    "text_repetition_ratio",
+    "source_mix_report",
+    "dup_rate_by_source",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

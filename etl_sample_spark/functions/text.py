@@ -33,6 +33,24 @@ def stopword_ratio(text: Column) -> Column:
     return n_stop / F.size(toks)
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of n-token shingles that
+    are duplicates of an earlier shingle in the SAME document —
+    boilerplate/spam text repeats itself, natural text mostly doesn't.
+
+    Entirely map-side (array higher-order functions; no explode, no
+    shuffle): at 100 TB this is a free gate in the same pass as the
+    other quality signals. Docs with < n tokens score 0.0.
+    """
+    from etl_sample_spark.operators.dedup import _shingles
+
+    sh = _shingles(text, n)
+    return F.when(
+        F.size(sh) > 0,
+        1 - F.size(F.array_distinct(sh)) / F.size(sh),
+    ).otherwise(F.lit(0.0))
+
+
 def lang_id_heuristic(text: Column) -> Column:
     """N-gram-free language-ID heuristic: stopword density → 'en', tech
     jargon density → 'tech', else 'unknown'.

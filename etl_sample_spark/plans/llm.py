@@ -1312,3 +1312,112 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# L4/L6 additions (r5): repetition quality signal, dataset-card mixture
+# report, per-source duplication rate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_ratio",
+    """
+    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*)          AS n_shingles,
+             COUNT(DISTINCT s) AS n_distinct
+      FROM sh GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_shingles, 0) AS INT)                      AS n_shingles,
+           COALESCE(1 - a.n_distinct / a.n_shingles, 0.0)              AS repetition
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="L4 quality signal (Gopher-style): fraction of 3-token shingles "
+    "that repeat within the same document — boilerplate/spam detector. "
+    "Spark side is ENTIRELY map-side (array_distinct over the shingle "
+    "array, no explode/shuffle: a free gate in the same pass as other "
+    "quality signals at 100 TB); the oracle reproduces it relationally "
+    "via UNNEST + COUNT DISTINCT. Ratios of small ints — identical "
+    "doubles cross-engine.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.text import repetition_ratio
+    from etl_sample_spark.operators.dedup import _shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_shingles(F.col("text"))).alias("n_shingles"),
+        repetition_ratio(F.col("text")).alias("repetition"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "source_mix_report",
+    """
+    SELECT source, lang,
+           COUNT(*)                              AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)          AS total_chars,
+           COUNT(*) / SUM(COUNT(*)) OVER ()      AS doc_share
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="L6 dataset-card mixture table: per (source, lang) document "
+    "count, total characters, and share of corpus — the first question "
+    "asked of any pretraining mix. One grouped agg + one scalar window "
+    "over the (tiny) group list; shares are ratios of exact int counts, "
+    "identical doubles cross-engine.",
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())).alias("doc_share"),
+    ).orderBy("source", "lang")
+
+
+@register(
+    "dup_rate_by_source",
+    """
+    SELECT source,
+           COUNT(*)                    AS n_docs,
+           COUNT(DISTINCT SHA256(text)) AS n_unique,
+           1 - COUNT(DISTINCT SHA256(text)) / COUNT(*) AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="L6 curation diagnostic: per-source exact-duplication rate — "
+    "which sources are worth crawling vs deduping away. Distinct counts "
+    "run over sha256 digests, never full text (32-byte keys shuffle at "
+    "100 TB, documents don't); collision probability ~2^-128 is the "
+    "accepted standard for content identity.",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.sha2(F.col("text"), 256)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(digest).alias("n_unique"),
+            (1 - F.countDistinct(digest) / F.count(F.lit(1))).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
