@@ -676,3 +676,26 @@ def test_hash_position_safe_for_negative_and_huge_keys(spark):
     # a 0.0-rate stratum drops EVERY row, negative keys included
     assert hash_stratified_sample(df, "lang", {"en": 0.0}, "doc_id").count() == 0
     assert hash_stratified_sample(df, "lang", {"en": 1.0}, "doc_id").count() == len(rows)
+
+
+def test_repetition_ratio_separates_boilerplate_from_unique_text(spark):
+    """Planted-behavior check for the Gopher-style repetition signal:
+    a doc that loops one phrase scores near 1, an all-unique-token doc
+    scores 0, and a short (<3 tokens) doc scores exactly 0."""
+    from etl_sample_spark.functions.text import repetition_ratio
+
+    rows = [
+        (1, " ".join(["buy cheap pills now"] * 25)),   # boilerplate loop
+        (2, " ".join(f"tok{i}" for i in range(100))),  # all-unique
+        (3, "too short"),                              # < 3 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: r["rep"]
+        for r in df.select(
+            "doc_id", repetition_ratio(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert got[1] > 0.9, got
+    assert got[2] == 0.0
+    assert got[3] == 0.0
