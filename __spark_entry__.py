@@ -75,6 +75,7 @@ _FRONT_PINS = [
     "text_repetition_ratio",
     "source_mix_report",
     "dup_rate_by_source",
+    "cohort_weekly_retention",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

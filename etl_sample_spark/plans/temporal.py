@@ -232,3 +232,46 @@ def interval_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+    activity AS (
+      SELECT e.user_id,
+             STRFTIME(DATE_TRUNC('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+             CAST(FLOOR(DATE_DIFF('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS INT)
+               AS weeks_since
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT cohort_week, weeks_since,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM activity
+    GROUP BY cohort_week, weeks_since
+    ORDER BY cohort_week, weeks_since
+    """,
+    doc="Cohort retention matrix: users bucketed by the ISO week of "
+    "their first event; active distinct users per (cohort, weeks-since) "
+    "cell — the standard product-analytics retention triangle. Shape at "
+    "scale: one groupBy for first-touch (user-keyed), one user-keyed "
+    "join back to the fact (co-partitioned on the same key: AQE reuses "
+    "the shuffle side), one distinct-count agg on the (cohort, week) "
+    "grid. Both engines truncate weeks to ISO Monday and difference "
+    "whole days — integer arithmetic end to end.",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date")) / 7
+        ).cast("int").alias("weeks_since"),
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
