@@ -76,6 +76,7 @@ _FRONT_PINS = [
     "source_mix_report",
     "dup_rate_by_source",
     "cohort_weekly_retention",
+    "funnel_view_click_purchase",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

@@ -275,3 +275,47 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*)                                                  AS n_users,
+           COUNT(first_view)                                         AS viewed,
+           COUNT(CASE WHEN first_click > first_view THEN 1 END)      AS clicked_after_view,
+           COUNT(CASE WHEN first_click > first_view
+                       AND first_purchase > first_click THEN 1 END)  AS full_funnel
+    FROM f
+    """,
+    doc="Ordered funnel via conditional-MIN pivot: per user, the first "
+    "timestamp of each stage in ONE grouped agg (no per-stage joins, no "
+    "sequence window), then strict-order comparisons count each stage. "
+    "Shape at scale: a single user-keyed partial-aggregable groupBy over "
+    "the fact + a 1-row final agg — the cheapest possible funnel plan; "
+    "the join-per-stage alternative shuffles the fact once per stage.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(stage: str):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+    f = ev.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    after_view = F.col("first_click") > F.col("first_view")
+    full = after_view & (F.col("first_purchase") > F.col("first_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_view").alias("viewed"),
+        F.count(F.when(after_view, 1)).alias("clicked_after_view"),
+        F.count(F.when(full, 1)).alias("full_funnel"),
+    )
