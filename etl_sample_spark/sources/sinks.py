@@ -204,6 +204,52 @@ def write_partitioned(
     )
 
 
+def compact_parquet_table(
+    spark,
+    path: str,
+    target_rows_per_file: int = 5_000_000,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction for an append-accumulated parquet table —
+    the maintenance job every streaming sink needs: micro-batch appends
+    (``foreach_batch_normalize``) land one file set per trigger, and a
+    year of 1-minute triggers is ~500k files per table even when each
+    batch is disciplined.
+
+    Rewrites the table into ``ceil(rows / target_rows_per_file)`` files
+    (per partition directory when ``partition_cols`` is given, reusing
+    ``write_partitioned``'s salted layout) via read → repartition →
+    overwrite-to-temp → atomic rename, so a crash mid-compact leaves the
+    original table intact rather than truncated. Returns the row count.
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    if partition_cols:
+        write_partitioned(
+            df, tmp, partition_cols, mode="overwrite",
+            max_records_per_file=target_rows_per_file,
+        )
+    else:
+        n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+        df.repartition(n_files).write.mode("overwrite").option(
+            "maxRecordsPerFile", target_rows_per_file
+        ).parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # restore the original on failure
+        raise
+    shutil.rmtree(old)
+    return n_rows
+
+
 def write_with_audit(
     df: DataFrame,
     path: str,

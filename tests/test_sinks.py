@@ -136,3 +136,28 @@ def test_write_partitioned_bounds_file_counts(spark, tmp_path):
     # and the data survives every layout intact
     for path in (one, salted, rolled):
         assert spark.read.parquet(path).count() == 3000
+
+
+def test_compact_parquet_table_collapses_append_litter(spark, tmp_path):
+    """Simulated streaming litter: 20 tiny appends -> >=20 files. After
+    compaction: one file, same rows, same data; original table survives
+    intact if the swap is interrupted (rename-based, not in-place)."""
+    from etl_sample_spark.sources.sinks import compact_parquet_table
+
+    out = str(tmp_path / "littered")
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(out)
+
+    def n_files(p):
+        return sum(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs)
+
+    assert n_files(out) >= 20
+    before = {r["id"] for r in spark.read.parquet(out).collect()}
+
+    n = compact_parquet_table(spark, out, target_rows_per_file=1000)
+    assert n == 200
+    assert n_files(out) == 1
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == before
+    # and the rollover cap still applies when the table exceeds it
+    compact_parquet_table(spark, out, target_rows_per_file=50)
+    assert n_files(out) == 4
