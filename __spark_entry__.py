@@ -77,6 +77,9 @@ _FRONT_PINS = [
     "dup_rate_by_source",
     "cohort_weekly_retention",
     "funnel_view_click_purchase",
+    # simhash fold optimized in r5 (hash-once + 0/1 bit counts)
+    "simhash_signatures",
+    "simhash_neardup_pairs",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

@@ -166,23 +166,25 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     higher-order functions: map-only, no explode, no shuffle.
     """
     toks = F.split(F.col(text_col), " ")
+    # Hash each token ONCE up front: referencing _token_hash inside the
+    # per-bit lambda would re-evaluate it SIMHASH_BITS times per token
+    # (no CSE across higher-order-function branches).
+    hashes = F.transform(toks, _token_hash)
     zero = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
 
-    def bitvec(t: Column) -> Column:
-        x = _token_hash(t)
-        return F.array(
-            *[
-                F.when(_bit(x, b) == 1, F.lit(1).cast("bigint")).otherwise(F.lit(-1).cast("bigint"))
-                for b in range(SIMHASH_BITS)
-            ]
-        )
+    def bitvec(x: Column) -> Column:
+        # 0/1 set-bit counts (cheaper than ±1 votes: no branch per bit);
+        # the majority test below is equivalent — sum(±1) > 0 ⟺
+        # 2*count(1) > n_tokens.
+        return F.array(*[_bit(x, b).cast("bigint") for b in range(SIMHASH_BITS)])
 
-    votes = F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bitvec(t), lambda a, v: a + v))
+    votes = F.aggregate(hashes, zero, lambda acc, x: F.zip_with(acc, bitvec(x), lambda a, v: a + v))
+    n_toks = F.size(toks).cast("bigint")
     sim = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.element_at(votes, b + 1) > 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            F.element_at(votes, b + 1) * 2 > n_toks, F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return df.select(id_col, sim.alias("simhash"))
 
