@@ -77,9 +77,11 @@ _FRONT_PINS = [
     "dup_rate_by_source",
     "cohort_weekly_retention",
     "funnel_view_click_purchase",
-    # simhash fold optimized in r5 (hash-once + 0/1 bit counts)
+    # signature folds optimized in r5 (hash-once refactors)
     "simhash_signatures",
     "simhash_neardup_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidate_pairs",
     # money-sum converted to the exact-decimal pattern in r5
     "join_left_outer_customer_orders",
 ]

@@ -107,13 +107,16 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text", id_col: str = "d
     Python: at 100 TB this is a map-only stage.
     """
     sh = _shingles(F.col(text_col))
-    out = df.select(id_col, sh.alias("__sh"))
+    # Hash each shingle ONCE (the base hash walks/reverses the string —
+    # the expensive part); the k permutations are then cheap integer
+    # affine maps over the precomputed hash array.
+    out = df.select(id_col, F.transform(sh, _token_hash).alias("__hx"))
     for j, (a, b) in enumerate(MINHASH_COEFFS):
         hj = F.array_min(
-            F.transform(F.col("__sh"), lambda s: (_token_hash(s) * a + b) % MINHASH_PRIME)
+            F.transform(F.col("__hx"), lambda x: (x * a + b) % MINHASH_PRIME)
         )
         out = out.withColumn(f"h{j}", F.coalesce(hj, F.lit(-1)).cast("bigint"))
-    return out.drop("__sh")
+    return out.drop("__hx")
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
