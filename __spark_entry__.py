@@ -70,6 +70,7 @@ _FRONT_PINS = [
     # newly registered in r5
     "embedding_neardup_clusters",
     "multimodal_png_decode",
+    "multimodal_resize_stats",
     "semantic_dedup_keep_best",
     "udtf_tokenize_docs",
     "text_repetition_ratio",

@@ -176,10 +176,11 @@ def encode_png(width: int, height: int, pixel: "callable") -> bytes:
     )
 
 
-def _decode_png(data: bytes) -> tuple[int, int, float]:
-    """Parse a PNG (8-bit truecolor or grayscale, non-interlaced):
-    (width, height, mean sample value). Pure Python + stdlib zlib —
-    chunk walk, IDAT inflate, and all five unfilter types."""
+def _png_raw(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Parse a PNG (8-bit truecolor or grayscale, non-interlaced) to
+    (width, height, samples_per_pixel, unfiltered row-major samples).
+    Pure Python + stdlib zlib — chunk walk, IDAT inflate, and all five
+    unfilter types."""
     import struct
     import zlib
 
@@ -212,7 +213,6 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
     raw = zlib.decompress(bytes(idat))
     stride = width * bpp
     recon = bytearray()
-    total = 0
     for y in range(height):
         row_start = y * (stride + 1)
         ft = raw[row_start]
@@ -233,9 +233,14 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
             elif ft != 0:
                 raise ValueError(f"bad PNG filter type {ft}")
         recon.extend(line)
-        total += sum(line)
+    return width, height, bpp, recon
+
+
+def _decode_png(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean sample value) of a PNG payload."""
+    width, height, bpp, recon = _png_raw(data)
     n = width * height * bpp
-    return width, height, (total / n if n else 0.0)
+    return width, height, (sum(recon) / n if n else 0.0)
 
 
 def attach_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -336,6 +341,42 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_image(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) for PNG payloads: decode
+    (inflate + unfilter), resample pixel (x, y) from source pixel
+    (x*w // target_w, y*h // target_h), re-encode as PNG. ``mapInPandas``
+    with the payload never shuffled — the standard preprocessing step
+    before a vision encoder, done where a real transcode would sit.
+
+    Nearest-neighbor is chosen deliberately: it is exactly reproducible
+    (integer index arithmetic, no interpolation rounding), so resized
+    pixel statistics remain value-checkable cross-engine.
+    """
+    schema = f"doc_id BIGINT, media_bytes BINARY, media_meta STRUCT<{MEDIA_META_FIELDS}>"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": [], "media_meta": []}
+            for _, r in pdf.iterrows():
+                w, h, bpp, recon = _png_raw(bytes(r["media_bytes"]))
+                if bpp != 3:
+                    raise NotImplementedError("resize supports truecolor PNG only")
+
+                def px(x: int, y: int) -> bytes:
+                    sx, sy = x * w // target_w, y * h // target_h
+                    off = (sy * w + sx) * 3
+                    return bytes(recon[off : off + 3])
+
+                out["doc_id"].append(int(r["doc_id"]))
+                out["media_bytes"].append(encode_png(target_w, target_h, px))
+                out["media_meta"].append(
+                    {"width": target_w, "height": target_h, "format": "png", "n_frames": 1}
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize, schema=schema)
 
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:

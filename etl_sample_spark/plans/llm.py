@@ -1421,3 +1421,48 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INT) AS w,
+             CAST(5 + doc_id % 4 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 31 + ((x2.x * d.w) // 8) * 7
+                             + ((y2.y * d.h) // 6) * 13 + c.c * 97) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(8)) AS x2(x),
+           UNNEST(RANGE(6)) AS y2(y),
+           UNNEST(RANGE(3)) AS c(c))
+    SELECT doc_id,
+           CAST(8 AS INT)      AS width,
+           CAST(6 AS INT)      AS height,
+           CAST(48 AS INT)     AS n_pixels,
+           SUM(v) / COUNT(*)   AS pixel_mean
+    FROM px
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL resize path: genuine PNG payloads decoded, "
+    "nearest-neighbor resampled to 8x6, re-encoded as PNG, then decoded "
+    "again for stats — decode -> transform -> re-encode -> decode, all "
+    "through the pure-Python codec via mapInPandas. Nearest-neighbor is "
+    "integer index arithmetic, so the oracle recomputes the resized "
+    "pixel grid exactly in SQL: the whole transcode chain is "
+    "value-checked cross-engine. operators/multimodal.py::resize_image.",
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import (
+        attach_png_media,
+        decode_image,
+        resize_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = resize_image(attach_png_media(docs), target_w=8, target_h=6)
+    return decode_image(resized, fake=False).orderBy("doc_id")
