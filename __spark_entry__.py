@@ -71,6 +71,7 @@ _FRONT_PINS = [
     "embedding_neardup_clusters",
     "multimodal_png_decode",
     "multimodal_resize_stats",
+    "multimodal_wav_decode",
     "semantic_dedup_keep_best",
     "udtf_tokenize_docs",
     "text_repetition_ratio",

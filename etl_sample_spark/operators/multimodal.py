@@ -343,6 +343,92 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Pure-Python PCM WAV encoder: RIFF header + fmt chunk (mono,
+    16-bit LE) + data chunk. ``samples`` are ints in [-32768, 32767]."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, float]:
+    """Parse a PCM WAV (mono 16-bit): (n_samples, sample_rate, mean
+    sample value). Pure Python chunk walk — the real audio decode this
+    container can execute."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    sample_rate = None
+    samples: list[int] = []
+    while pos + 8 <= len(data):
+        ctype = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt ":
+            audio_fmt, n_ch, sample_rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM WAV supported (fmt={audio_fmt}, ch={n_ch}, bits={bits})"
+                )
+        elif ctype == b"data":
+            samples = [s[0] for s in struct.iter_unpack("<h", body)]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if sample_rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    n = len(samples)
+    return n, sample_rate, (sum(samples) / n if n else 0.0)
+
+
+def attach_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize GENUINE PCM WAV payloads (deterministic per-id sample
+    pattern) so the real audio decode path executes in-container —
+    the audio twin of ``attach_png_media``. ``mapInPandas``; payload
+    never shuffled."""
+    schema = f"{id_col} BIGINT, media_bytes BINARY, media_meta STRUCT<{MEDIA_META_FIELDS}>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": [], "media_meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 17
+                samples = [((doc_id * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(encode_wav(samples))
+                out["media_meta"].append(
+                    {"width": n, "height": 1, "format": "wav", "n_frames": n}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(encode, schema=schema)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads into per-clip stats via ``mapInPandas``:
+    (n_samples, sample_rate, duration_ms, amplitude mean)."""
+    schema = "doc_id BIGINT, n_samples INT, sample_rate INT, duration_ms DOUBLE, sample_mean DOUBLE"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "sample_rate": [], "duration_ms": [], "sample_mean": []}
+            for _, r in pdf.iterrows():
+                n, rate, mean = _decode_wav(bytes(r["media_bytes"]))
+                rows["doc_id"].append(int(r["doc_id"]))
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(n * 1000.0 / rate)
+                rows["sample_mean"].append(mean)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, schema=schema)
+
+
 def resize_image(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """REAL image resize (nearest-neighbor) for PNG payloads: decode
     (inflate + unfilter), resample pixel (x, y) from source pixel

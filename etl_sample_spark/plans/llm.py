@@ -1466,3 +1466,35 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     resized = resize_image(attach_png_media(docs), target_w=8, target_h=6)
     return decode_image(resized, fake=False).orderBy("doc_id")
+
+
+@register(
+    "multimodal_wav_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(50 + doc_id % 17 AS INT) AS n FROM documents),
+    s AS (
+      SELECT d.doc_id, d.n,
+             ((d.doc_id * 7919 + i.i * 104729) % 65536) - 32768 AS v
+      FROM dims d, UNNEST(RANGE(d.n)) AS i(i))
+    SELECT doc_id,
+           n                         AS n_samples,
+           CAST(8000 AS INT)         AS sample_rate,
+           n * 1000.0 / 8000         AS duration_ms,
+           SUM(v) / COUNT(*)         AS sample_mean
+    FROM s
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL audio decode: genuine mono 16-bit PCM WAV payloads "
+    "(RIFF chunk walk) synthesized per row and parsed by the "
+    "pure-Python codec through mapInPandas — the audio twin of the "
+    "BMP/PNG paths. Deterministic sample pattern → the oracle "
+    "recomputes n_samples, duration, and the exact amplitude mean in "
+    "SQL. operators/multimodal.py::attach_wav_media / _decode_wav.",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_wav_media, decode_audio
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio(attach_wav_media(docs)).orderBy("doc_id")

@@ -699,3 +699,29 @@ def test_repetition_ratio_separates_boilerplate_from_unique_text(spark):
     assert got[1] > 0.9, got
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_wav_codec_roundtrip_and_guards():
+    """WAV encode → decode recovers count/rate/mean exactly; non-PCM
+    and malformed payloads are rejected, and odd-length chunks honor
+    RIFF word alignment."""
+    import struct
+
+    import pytest as _pytest
+
+    from etl_sample_spark.operators.multimodal import _decode_wav, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    n, rate, mean = _decode_wav(encode_wav(samples, sample_rate=16000))
+    assert (n, rate) == (len(samples), 16000)
+    assert mean == sum(samples) / len(samples)
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        _decode_wav(b"RIFFxxxxNOPE")
+
+    # stereo payload must be refused, not mis-decoded
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(NotImplementedError, match="mono"):
+        _decode_wav(bad)

@@ -70,7 +70,12 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
 
 # Queries whose WHOLE POINT is a Python codec stage (Arrow-batched
 # mapInPandas) — the one sanctioned use of Python in an oracle path.
-_CODEC_QUERIES = {"multimodal_bmp_decode", "multimodal_png_decode", "multimodal_resize_stats"}
+_CODEC_QUERIES = {
+    "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    "multimodal_resize_stats",
+    "multimodal_wav_decode",
+}
 # The registered-UDTF surface demo (SURVEY §2.11): deliberately Python,
 # deliberately bounded to 50 docs — the sanctioned table-function tier,
 # not a hot-path leak (its JVM twin equivalence is pinned in test_udfs).
