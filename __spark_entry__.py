@@ -72,6 +72,7 @@ _FRONT_PINS = [
     "multimodal_png_decode",
     "multimodal_resize_stats",
     "multimodal_wav_decode",
+    "multimodal_video_framesample",
     "semantic_dedup_keep_best",
     "udtf_tokenize_docs",
     "text_repetition_ratio",

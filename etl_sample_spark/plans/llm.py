@@ -1498,3 +1498,43 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_audio(attach_wav_media(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_framesample",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 3 AS INT) AS w,
+             CAST(3 + doc_id % 3 AS INT) AS h,
+             CAST(2 + doc_id % 5 AS INT) AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id, w, h, CAST(f.f AS INT) AS frame_idx
+      FROM dims, UNNEST(RANGE(0, nf, 2)) AS f(f)),
+    px AS (
+      SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+             ((fr.doc_id * 31 + x.x * 7 + y.y * 13 + fr.frame_idx * 17 + c.c * 97) % 256) AS v
+      FROM fr,
+           UNNEST(RANGE(fr.w)) AS x(x),
+           UNNEST(RANGE(fr.h)) AS y(y),
+           UNNEST(RANGE(3))    AS c(c))
+    SELECT doc_id, frame_idx, w AS width, h AS height,
+           SUM(v) / COUNT(*) AS frame_mean
+    FROM px
+    GROUP BY doc_id, frame_idx, w, h
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="L5 REAL video path: genuine uncompressed AVI payloads (RIFF "
+    "hdrl/avih + movi/00db raw frames) parsed by the pure-Python "
+    "container walk through mapInPandas; every 2nd frame sampled and "
+    "reduced to exact pixel stats. Deterministic per-(id, frame) pixel "
+    "pattern → the oracle recomputes the sampled frame grid in SQL. "
+    "operators/multimodal.py::attach_avi_media / _avi_frames / "
+    "frame_stats.",
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_avi_media, frame_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_stats(attach_avi_media(docs), every_nth=2).orderBy("doc_id", "frame_idx")

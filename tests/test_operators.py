@@ -725,3 +725,41 @@ def test_wav_codec_roundtrip_and_guards():
     bad = b"RIFF" + struct.pack("<I", len(body)) + body
     with _pytest.raises(NotImplementedError, match="mono"):
         _decode_wav(bad)
+
+
+def test_avi_codec_roundtrip_and_real_frame_sampling(spark, sf_dir):
+    """AVI encode → parse recovers dims and exact frame bytes; the
+    sample_frames operator takes the REAL path for AVI payloads (no
+    fake flag) and emits the actual stored frames, word-aligned chunks
+    included (odd frame sizes)."""
+    from etl_sample_spark.operators.multimodal import (
+        _avi_frames,
+        attach_avi_media,
+        encode_avi,
+        sample_frames,
+    )
+
+    # odd-length frames exercise RIFF word alignment
+    frames = [bytes([i, i + 1, i + 2] * 3 + [i]) for i in range(5)]
+    w, h, got = _avi_frames(encode_avi(2, 1, frames))
+    assert (w, h) == (2, 1)
+    assert got == frames
+
+    docs = catalog.table(spark, sf_dir, "documents").limit(6)
+    sampled = sample_frames(attach_avi_media(docs), every_nth=2).collect()
+    by_doc = {}
+    for r in sampled:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        w, h, nf = 4 + doc_id % 3, 3 + doc_id % 3, 2 + doc_id % 5
+        assert [r["frame_idx"] for r in sorted(rs, key=lambda r: r["frame_idx"])] == list(
+            range(0, nf, 2)
+        )
+        r0 = next(r for r in rs if r["frame_idx"] == 0)
+        expect = bytes(
+            (doc_id * 31 + x * 7 + y * 13 + 0 * 17 + c * 97) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        assert bytes(r0["frame_bytes"]) == expect
