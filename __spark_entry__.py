@@ -73,6 +73,7 @@ _FRONT_PINS = [
     "multimodal_resize_stats",
     "multimodal_wav_decode",
     "multimodal_video_framesample",
+    "multimodal_image_features",
     "semantic_dedup_keep_best",
     "udtf_tokenize_docs",
     "text_repetition_ratio",

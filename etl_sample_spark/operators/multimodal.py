@@ -489,6 +489,48 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(featurize, schema=schema)
 
 
+def image_features(media: DataFrame) -> DataFrame:
+    """REAL image featurization over decoded PNG pixels: per-channel
+    mean and population std, aspect ratio, and pixel count — the same
+    contract as a learned encoder (mapInPandas, one row per image,
+    fixed-width feature columns) with a decode that actually runs here.
+    Deterministic arithmetic end-to-end, so the features value-check
+    against a SQL oracle."""
+    import math
+
+    schema = (
+        "doc_id BIGINT, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, "
+        "std_r DOUBLE, std_g DOUBLE, std_b DOUBLE, aspect DOUBLE, n_pixels INT"
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b", "aspect", "n_pixels"
+            )}
+            for _, r in pdf.iterrows():
+                w, h, bpp, recon = _png_raw(bytes(r["media_bytes"]))
+                if bpp != 3:
+                    raise NotImplementedError("image_features supports truecolor PNG only")
+                n = w * h
+                means, stds = [], []
+                for c in range(3):
+                    ch = recon[c::3]
+                    m = sum(ch) / n
+                    var = sum(v * v for v in ch) / n - m * m
+                    means.append(m)
+                    stds.append(math.sqrt(max(var, 0.0)))
+                rows["doc_id"].append(int(r["doc_id"]))
+                for c, k in enumerate(("r", "g", "b")):
+                    rows[f"mean_{k}"].append(means[c])
+                    rows[f"std_{k}"].append(stds[c])
+                rows["aspect"].append(w / h)
+                rows["n_pixels"].append(n)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(featurize, schema=schema)
+
+
 def sample_frames(media: DataFrame, every_nth: int = 4, fake: bool = False) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled
     frame (row-expanding mapInPandas, the UDTF shape). AVI payloads

@@ -1538,3 +1538,53 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return frame_stats(attach_avi_media(docs), every_nth=2).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_image_features",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INT) AS w,
+             CAST(5 + doc_id % 4 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, c.c,
+             ((d.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 97) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(d.w)) AS x(x),
+           UNNEST(RANGE(d.h)) AS y(y),
+           UNNEST(RANGE(3))   AS c(c)),
+    ch AS (
+      SELECT doc_id, w, h, c,
+             SUM(v) / COUNT(*) AS m,
+             SQRT(GREATEST(
+               SUM(v * v) / COUNT(*) - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)),
+               0.0)) AS s
+      FROM px GROUP BY doc_id, w, h, c)
+    SELECT doc_id,
+           MAX(CASE WHEN c = 0 THEN m END) AS mean_r,
+           MAX(CASE WHEN c = 1 THEN m END) AS mean_g,
+           MAX(CASE WHEN c = 2 THEN m END) AS mean_b,
+           MAX(CASE WHEN c = 0 THEN s END) AS std_r,
+           MAX(CASE WHEN c = 1 THEN s END) AS std_g,
+           MAX(CASE WHEN c = 2 THEN s END) AS std_b,
+           w / h                           AS aspect,
+           CAST(w * h AS INT)              AS n_pixels
+    FROM ch
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL featurization: per-channel mean + population std, "
+    "aspect, pixel count over DECODED PNG pixels (inflate + unfilter "
+    "runs for real) — the learned-encoder contract with a decode this "
+    "container executes. Exact integer channel sums divided once, "
+    "multiplication not POWER, GREATEST clamp before SQRT: every float "
+    "op identical cross-engine, so the features hash-check. "
+    "operators/multimodal.py::image_features.",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_png_media, image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(attach_png_media(docs)).orderBy("doc_id")

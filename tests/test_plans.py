@@ -76,6 +76,7 @@ _CODEC_QUERIES = {
     "multimodal_resize_stats",
     "multimodal_wav_decode",
     "multimodal_video_framesample",
+    "multimodal_image_features",
 }
 # The registered-UDTF surface demo (SURVEY §2.11): deliberately Python,
 # deliberately bounded to 50 docs — the sanctioned table-function tier,
