@@ -125,3 +125,42 @@ def test_png_codec_roundtrip_property(width, height, seed):
     ) / (width * height * 3)
     assert (w, h) == (width, height)
     assert abs(mean - exact) < 1e-12
+
+
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    """encode_wav → _decode_wav recovers count, rate, and exact mean for
+    ANY sample content, including the empty clip."""
+    from etl_sample_spark.operators.multimodal import _decode_wav, encode_wav
+
+    samples = [((seed + i * 7919) % 65536) - 32768 for i in range(n)]
+    got_n, got_rate, got_mean = _decode_wav(encode_wav(samples, sample_rate=rate))
+    assert (got_n, got_rate) == (n, rate)
+    assert got_mean == (sum(samples) / n if n else 0.0)
+
+
+@given(
+    width=st.integers(min_value=1, max_value=16),
+    height=st.integers(min_value=1, max_value=16),
+    n_frames=st.integers(min_value=0, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_codec_roundtrip_property(width, height, n_frames, seed):
+    """encode_avi → _avi_frames recovers dims and bit-exact frame bytes
+    for ANY dims/frame count, odd-length frames (word alignment)
+    included."""
+    from etl_sample_spark.operators.multimodal import _avi_frames, encode_avi
+
+    frames = [
+        bytes((seed + f * 31 + i) % 256 for i in range(width * height * 3))
+        for f in range(n_frames)
+    ]
+    w, h, got = _avi_frames(encode_avi(width, height, frames))
+    assert (w, h) == (width, height)
+    assert got == frames

@@ -495,3 +495,36 @@ def test_ingest_to_jdbc_exactly_once(spark, tmp_path):
     )(batch, 999)
     assert _read("bank_scrape_info").count() == 3
     assert _read("transactions").count() == 3
+
+
+def test_ingest_archives_processed_sources(spark, tmp_path):
+    """S6 archive lifecycle: with cleanSource='archive' the file-source
+    stream must MOVE processed inputs into the archive dir (the
+    reference's archive+delete step, :807-816) — source dir drains,
+    archive fills, and the data is fully processed exactly once."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    arch = str(tmp_path / "archive")
+    batch1 = {k: BANK_DOCS[k] for k in list(BANK_DOCS)[:2]}
+    write_docs(src, batch1)
+    batch1_files = {f for f in os.listdir(src) if f.endswith(".json")}
+
+    stream = stream_documents(spark, src, schemas.BANK_SCRAPE_SCHEMA, archive_dir=arch)
+    _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt))
+    # The cleaner archives a batch's files while PROCESSING a later
+    # batch — feed one more file and drain again so batch 1 triggers
+    # the archival of batch 0's sources.
+    write_docs(src, {k: BANK_DOCS[k] for k in list(BANK_DOCS)[2:]})
+    stream = stream_documents(spark, src, schemas.BANK_SCRAPE_SCHEMA, archive_dir=arch)
+    _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt))
+
+    archived = {
+        f for _, _, fs in os.walk(arch) for f in fs if f.endswith(".json")
+    }
+    assert archived == batch1_files, (archived, batch1_files)
+    remaining = {f for f in os.listdir(src) if f.endswith(".json")}
+    assert archived.isdisjoint(remaining)
+    assert (
+        spark.read.parquet(os.path.join(out, "bank_scrape_info")).count() == len(BANK_DOCS)
+    )
