@@ -81,6 +81,7 @@ _FRONT_PINS = [
     "dup_rate_by_source",
     "cohort_weekly_retention",
     "funnel_view_click_purchase",
+    "unpivot_priority_status_counts",
     # signature folds optimized in r5 (hash-once refactors)
     "simhash_signatures",
     "simhash_neardup_pairs",

@@ -258,3 +258,40 @@ def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "unpivot_priority_status_counts",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, s AS status, n
+    FROM (
+      SELECT o_orderpriority, 'F' AS s, status_f AS n FROM wide
+      UNION ALL SELECT o_orderpriority, 'O', status_o FROM wide
+      UNION ALL SELECT o_orderpriority, 'P', status_p FROM wide)
+    ORDER BY o_orderpriority, status
+    """,
+    doc="Unpivot (melt): the wide pivot table back to long form via "
+    "stack() — the inverse restructuring of pivot_priority_by_status, "
+    "rounding out the reshape family (SURVEY §2.3's transpose "
+    "generalized). Map-only after the grouped agg: stack is a Generate, "
+    "no extra shuffle; the oracle melts with UNION ALL.",
+)
+def unpivot_priority_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.sum((F.col("o_orderstatus") == s).cast("bigint")).alias(f"status_{s.lower()}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    long = wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'F', status_f, 'O', status_o, 'P', status_p) AS (status, n)"),
+    )
+    return long.orderBy("o_orderpriority", "status")
