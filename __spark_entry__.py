@@ -82,6 +82,7 @@ _FRONT_PINS = [
     "cohort_weekly_retention",
     "funnel_view_click_purchase",
     "unpivot_priority_status_counts",
+    "corpus_prep_end_to_end",
     # signature folds optimized in r5 (hash-once refactors)
     "simhash_signatures",
     "simhash_neardup_pairs",

@@ -1588,3 +1588,78 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return image_features(attach_png_media(docs)).orderBy("doc_id")
+
+
+_PREP_SCRUB_SQL = (
+    "REGEXP_REPLACE(REGEXP_REPLACE(text, '{email}', '<EMAIL>', 'g'), "
+    "'{phone}', '<PHONE>', 'g')"
+)
+
+
+@register(
+    "corpus_prep_end_to_end",
+    f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             {_PREP_SCRUB_SQL.format(email=EMAIL_PATTERN, phone=PHONE_PATTERN)} AS text
+      FROM salted),
+    scored AS (
+      SELECT doc_id, text,
+             LEAST(1.0, LENGTH(text) / 500.0) * 0.5
+               + (1.0 - LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {{stop}}))
+                      / LEN(STRING_SPLIT(text, ' '))) * 0.5 AS quality
+      FROM scrubbed),
+    gated AS (SELECT * FROM scored WHERE quality >= 0.55),
+    ranked AS (
+      SELECT doc_id, SHA256(text) AS content_sha, quality,
+             ROW_NUMBER() OVER (PARTITION BY SHA256(text) ORDER BY doc_id) AS rn
+      FROM gated)
+    SELECT doc_id, content_sha, quality
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """.replace("{stop}", _STOP_SQL),
+    doc="L6 full-chain corpus prep: plant PII -> scrub (shared "
+    "Java/RE2-compatible patterns) -> quality gate on the SCRUBBED text "
+    "-> exact dedup on scrubbed content (keep min doc_id per sha256). "
+    "Everything map-side except the single dedup shuffle on 32-byte "
+    "digests. The oracle replays the identical chain in SQL, including "
+    "the redaction regexes and the quality expression.",
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.functions.text import quality_score, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    scrubbed = salted.select("doc_id", redact_pii(F.col("text")).alias("text"))
+    scored = scrubbed.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text"), F.length("text")).alias("quality"),
+    )
+    gated = scored.where(F.col("quality") >= 0.55)
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (
+        gated.withColumn("content_sha", F.sha2(F.col("text"), 256))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_sha", "quality")
+        .orderBy("doc_id")
+    )
