@@ -83,6 +83,7 @@ _FRONT_PINS = [
     "funnel_view_click_purchase",
     "unpivot_priority_status_counts",
     "corpus_prep_end_to_end",
+    "data_quality_orders",
     # signature folds optimized in r5 (hash-once refactors)
     "simhash_signatures",
     "simhash_neardup_pairs",

@@ -607,3 +607,45 @@ def subquery_above_avg_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "data_quality_orders",
+    """
+    SELECT COUNT(*)                                                   AS n_rows,
+           COUNT(*) - COUNT(o_orderkey)                               AS null_keys,
+           COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)             AS dup_keys,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS neg_prices,
+           CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                           OR o_orderdate > TIMESTAMP '2000-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT)                AS out_of_range_dates,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)                AS bad_status
+    FROM orders
+    """,
+    doc="Data-quality rule evaluation in ONE pass: row count, null "
+    "keys, duplicate keys, domain violations (negative money, "
+    "out-of-range dates, unknown status codes) — the post-load "
+    "validation the reference never does (its to_sql appends are "
+    "fire-and-forget). Shape at scale: a single partial-aggregable "
+    "scan; only the uniqueness rule shuffles (distinct on the key), "
+    "everything else is map-side conditional sums.",
+)
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def violations(cond):
+        return F.sum(cond.cast("bigint"))
+
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_keys"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        violations(F.col("o_totalprice") < 0).alias("neg_prices"),
+        violations(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit("2000-01-01").cast("timestamp"))
+        ).alias("out_of_range_dates"),
+        violations(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+    )
