@@ -84,6 +84,7 @@ _FRONT_PINS = [
     "unpivot_priority_status_counts",
     "corpus_prep_end_to_end",
     "data_quality_orders",
+    "data_quality_fk_orphans",
     # signature folds optimized in r5 (hash-once refactors)
     "simhash_signatures",
     "simhash_neardup_pairs",

@@ -649,3 +649,55 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("out_of_range_dates"),
         violations(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
     )
+
+
+@register(
+    "data_quality_fk_orphans",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS lineitem_orphans,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS order_orphans,
+      (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        AS customer_orphans
+    """,
+    doc="Referential-integrity audit: orphan counts across the star's FK "
+    "edges (lineitem->orders, orders->customer, customer->nation) via "
+    "left-anti joins — the check that makes the reference's FK-stamping "
+    "design verifiable after load. Shape at scale: each edge is one "
+    "anti join shuffling only the key columns; the nation edge "
+    "broadcasts.",
+)
+def data_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphan_count(child, parent, cond, alias):
+        return child.join(parent, cond, "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias(alias)
+        )
+
+    a = orphan_count(
+        li, o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "lineitem_orphans"
+    )
+    b = orphan_count(
+        o.select("o_custkey"),
+        c.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "order_orphans",
+    )
+    d = orphan_count(
+        c.select("c_nationkey"),
+        F.broadcast(n),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "customer_orphans",
+    )
+    # 1-row x 1-row crossJoins: the scalar-subquery shape (constant-cost
+    # single-row broadcast), same class as q11/q22.
+    return a.crossJoin(b).crossJoin(d)

@@ -154,6 +154,7 @@ _INTENTIONAL_NON_EQUI = {
 # a single-row broadcast build side — constant per-row work, safe at any
 # scale. Only these names may plan a BNLJ.
 _SCALAR_SUBQUERY = {
+    "data_quality_fk_orphans",
     "q11_important_part_values",
     "q22_idle_customers",
     "subquery_above_avg_lineitems",
