@@ -68,17 +68,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     total = 0.0
+    # reps>1: one untimed per-query warm-up first (codegen compiles and
+    # broadcast builds for THIS plan, not just the suite-global warm).
+    # reps==1 skips it so the single timed run really is the old
+    # single-shot behavior the docstring promises.
+    warmups = 1 if reps > 1 else 0
     for name in HEADLINE:
         spec = REGISTRY[name]
         samples: list[float] = []
         n = -1
-        # reps timed runs + 1 untimed per-query warm-up (codegen compiles
-        # and broadcast builds for THIS plan, not just the suite-global warm).
-        for rep in range(reps + 1):
+        for rep in range(reps + warmups):
             t0 = time.perf_counter()
             n = spec.spark(spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            if rep > 0:
+            if rep >= warmups:
                 samples.append(dt)
         med = statistics.median(samples)
         if len(samples) >= 4:

@@ -113,6 +113,45 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
     fresh.write.mode("append").parquet(path)
 
 
+# Missing-table SQLStates across the dialects the sink may meet:
+# Derby 42X05/42Y07, MySQL/MariaDB 42S02, Postgres 42P01, SQL Server S0002.
+_MISSING_TABLE_SQLSTATES = {"42X05", "42Y07", "42S02", "42P01", "S0002"}
+# Message-text fallback for drivers that surface no SQLState (SQLite-JDBC
+# says "no such table"; MySQL phrases it "doesn't exist").
+_MISSING_TABLE_PHRASES = (
+    "does not exist",
+    "doesn't exist",
+    "invalid object name",
+    "no such table",
+    "table or view not found",
+)
+
+
+def _is_missing_table_error(ex: Exception) -> bool:
+    """True iff ``ex`` means "the target table does not exist yet".
+
+    Classification is by SQLState first — dialect-neutral, per the JDBC
+    spec — walking the Java cause chain for any ``SQLException``. Message
+    text is only the fallback for drivers that set no SQLState.
+    """
+    cause = getattr(ex, "java_exception", None)
+    for _ in range(16):  # bounded walk of the cause chain
+        if cause is None:
+            break
+        try:
+            state = cause.getSQLState()
+        except Exception:  # noqa: BLE001 — not a SQLException; keep walking
+            state = None
+        if state is not None and str(state).upper() in _MISSING_TABLE_SQLSTATES:
+            return True
+        try:
+            cause = cause.getCause()
+        except Exception:  # noqa: BLE001
+            break
+    msg = str(ex).lower()
+    return any(p in msg for p in _MISSING_TABLE_PHRASES)
+
+
 def jdbc_idempotent_append(
     df: DataFrame,
     url: str,
@@ -144,13 +183,12 @@ def jdbc_idempotent_append(
         existing = _opt(spark.read.format("jdbc")).load().select(*keys).distinct()
         out = out.join(existing, on=keys, how="left_anti")
     except Exception as ex:  # noqa: BLE001 — classified below
-        # ONLY "table does not exist yet" (Derby 42X05 / SQLServer 208 /
-        # Postgres 42P01 all phrase it with "does not exist" or "Invalid
-        # object name") may fall through to a create-on-first-append.
-        # Any other failure must raise: appending blindly past a
-        # transient read error is the duplicate bug this sink prevents.
-        msg = str(ex)
-        if "does not exist" not in msg and "Invalid object name" not in msg:
+        # ONLY "table does not exist yet" may fall through to a
+        # create-on-first-append. Classified by SQLState (dialect-neutral)
+        # with message text as the no-SQLState fallback. Any other failure
+        # must raise: appending blindly past a transient read error is the
+        # duplicate bug this sink prevents.
+        if not _is_missing_table_error(ex):
             raise
     _opt(out.write.format("jdbc").mode("append")).save()
 
@@ -183,10 +221,21 @@ def write_partitioned(
     tests/test_jdbc_sink.py::test_write_partitioned_bounds_file_counts.
     """
     out = df
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    # With no non-partition columns the salt below would degenerate to a
+    # constant (xxhash64 of zero columns is the fixed seed) and silently
+    # collapse to one writer per partition value — and Spark rejects
+    # partitioning by ALL columns at write time anyway. Fail fast with
+    # the real diagnosis instead of either silent collapse or a cryptic
+    # ALL_PARTITION_COLUMNS_NOT_ALLOWED later.
+    if not data_cols:
+        raise ValueError(
+            "write_partitioned needs at least one non-partition column: "
+            f"every column of the input is in partition_cols={partition_cols}"
+        )
     if files_per_partition <= 1:
         out = df.repartition(*[F.col(c) for c in partition_cols])
     else:
-        data_cols = [c for c in df.columns if c not in partition_cols]
         # Deterministic salt (hash of the data columns, not RNG): the same
         # input always lands in the same file slot, so retries produce an
         # identical layout.
@@ -219,8 +268,19 @@ def compact_parquet_table(
     Rewrites the table into ``ceil(rows / target_rows_per_file)`` files
     (per partition directory when ``partition_cols`` is given, reusing
     ``write_partitioned``'s salted layout) via read → repartition →
-    overwrite-to-temp → atomic rename, so a crash mid-compact leaves the
-    original table intact rather than truncated. Returns the row count.
+    overwrite-to-temp → rename swap. Returns the row count.
+
+    Crash-safety contract (local/POSIX filesystems ONLY — the swap uses
+    ``os.rename``, which object stores don't support; compact object-store
+    tables with a table format's rewrite instead): the original data is
+    never truncated, but the swap is not a single atomic step. A crash
+    before the first rename leaves the table untouched (the half-written
+    compact copy sits at ``<path>__compact_<hex>``). Between the two
+    renames there is a brief window where the canonical path is absent and
+    the data lives at ``<path>__old_<hex>``; a crash there requires the
+    manual recovery of renaming that directory back. Failures after the
+    swap raise with the stranded directory named, so nothing is lost
+    silently.
     """
     import math
     import shutil
@@ -243,10 +303,19 @@ def compact_parquet_table(
     os.rename(path, old)
     try:
         os.rename(tmp, path)
-    except OSError:
+    except OSError as ex:
         os.rename(old, path)  # restore the original on failure
-        raise
-    shutil.rmtree(old)
+        raise RuntimeError(
+            f"compaction swap failed; original table restored at {path}, "
+            f"compacted copy left at {tmp}"
+        ) from ex
+    try:
+        shutil.rmtree(old)
+    except OSError as ex:
+        raise RuntimeError(
+            f"compacted table is live at {path}, but the pre-compact copy "
+            f"could not be removed and remains at {old} — delete it manually"
+        ) from ex
     return n_rows
 
 

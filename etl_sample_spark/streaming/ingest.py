@@ -16,6 +16,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -66,6 +67,36 @@ def foreach_batch_normalize(
     return _write
 
 
+def with_row_identity(table: DataFrame, keys: list[str], col: str = "SF_ROW_ID") -> DataFrame:
+    """Stamp a deterministic per-ROW identity: sha256 of the full row
+    content plus a duplicate ordinal (identical rows within one key get
+    1, 2, ...). The identity is a pure function of the row set, so a
+    replayed batch reproduces the same identities.
+
+    Why per-row and not per-document: Spark's JDBC writer commits per
+    PARTITION, so a mid-append crash can persist a subset of one
+    document's child rows. A redelivery keyed on the document id alone
+    would anti-join the whole document away and permanently lose the
+    unwritten sibling rows; keyed on row identity, only the rows that
+    actually landed are skipped and the siblings are appended.
+    """
+    from pyspark.sql import Window
+
+    content = F.sha2(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(table.columns)])), 256
+    )
+    tagged = table.withColumn("__row_hash", content)
+    # Ordinal among byte-identical rows: ordering within the group is
+    # irrelevant (all rows are identical), so the (hash, ordinal) SET is
+    # deterministic even though row_number itself is not order-stable.
+    w = Window.partitionBy(*keys, "__row_hash").orderBy(F.lit(1))
+    return (
+        tagged.withColumn(
+            col, F.concat_ws("#", F.col("__row_hash"), F.row_number().over(w))
+        ).drop("__row_hash")
+    )
+
+
 def foreach_batch_normalize_jdbc(
     specs: list[TableSpec],
     url: str,
@@ -79,8 +110,10 @@ def foreach_batch_normalize_jdbc(
 
     foreachBatch is at-least-once (a failed micro-batch re-runs with the
     same batch contents), so each table write goes through
-    ``jdbc_idempotent_append`` keyed on the document id stamped onto
-    every normalized table: a redelivered batch anti-joins to nothing
+    ``jdbc_idempotent_append`` keyed on a full ROW identity
+    (``with_row_identity``: document key + content hash + duplicate
+    ordinal): a redelivered batch anti-joins to exactly the rows already
+    committed — including after a partial per-partition JDBC commit —
     and the pipeline is exactly-once end-to-end."""
     from etl_sample_spark.sources.sinks import jdbc_idempotent_append
 
@@ -88,8 +121,9 @@ def foreach_batch_normalize_jdbc(
         batch_df.cache()
         try:
             for name, table in normalize(batch_df, specs).items():
+                table = with_row_identity(table, keys)
                 jdbc_idempotent_append(
-                    table, url, f"{db_schema}.{name}", keys=keys, options=options
+                    table, url, f"{db_schema}.{name}", keys=["SF_ROW_ID"], options=options
                 )
         finally:
             batch_df.unpersist()

@@ -161,3 +161,51 @@ def test_compact_parquet_table_collapses_append_litter(spark, tmp_path):
     # and the rollover cap still applies when the table exceeds it
     compact_parquet_table(spark, out, target_rows_per_file=50)
     assert n_files(out) == 4
+
+
+def test_write_partitioned_rejects_all_partition_cols(spark, tmp_path):
+    """With NO non-partition columns the file-salt (xxhash64 of zero
+    columns) would be a constant — and Spark rejects all-column
+    partitioning at write time anyway. The guard fails fast with the
+    real diagnosis instead of a silent no-op knob or a cryptic
+    ALL_PARTITION_COLUMNS_NOT_ALLOWED from deep in the writer."""
+    import pytest as _pytest
+
+    from etl_sample_spark.sources.sinks import write_partitioned
+
+    df = spark.range(0, 300, 1, 8).select((F.col("id") % 3).cast("string").alias("bucket"))
+    with _pytest.raises(ValueError, match="non-partition column"):
+        write_partitioned(df, str(tmp_path / "x"), ["bucket"], files_per_partition=4)
+
+
+def test_missing_table_error_classifier():
+    """SQLState-first classification (dialect-neutral), message-phrase
+    fallback for drivers with no SQLState, and NO false positives on
+    transient failures (which must raise, not blind-append)."""
+    from etl_sample_spark.sources.sinks import _is_missing_table_error
+
+    class _JExc:
+        def __init__(self, state, cause=None):
+            self._state, self._cause = state, cause
+
+        def getSQLState(self):
+            return self._state
+
+        def getCause(self):
+            return self._cause
+
+    class _PyEx(Exception):
+        def __init__(self, msg, jexc=None):
+            super().__init__(msg)
+            self.java_exception = jexc
+
+    # SQLStates: Derby / MySQL / Postgres / SQL Server — found deep in a cause chain
+    for state in ("42X05", "42S02", "42P01", "S0002"):
+        assert _is_missing_table_error(_PyEx("opaque", _JExc(None, _JExc(state))))
+    # Phrase fallback: SQLite-JDBC / MySQL wording with no SQLState
+    assert _is_missing_table_error(_PyEx("[SQLITE_ERROR] no such table: t"))
+    assert _is_missing_table_error(_PyEx("Table 'db.t' doesn't exist"))
+    assert _is_missing_table_error(_PyEx("Invalid object name 'dbo.t'"))
+    # Transient failures must NOT classify as missing-table
+    assert not _is_missing_table_error(_PyEx("connection reset", _JExc("08006")))
+    assert not _is_missing_table_error(_PyEx("I/O error while reading from socket"))

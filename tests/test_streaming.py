@@ -528,3 +528,50 @@ def test_ingest_archives_processed_sources(spark, tmp_path):
     assert (
         spark.read.parquet(os.path.join(out, "bank_scrape_info")).count() == len(BANK_DOCS)
     )
+
+
+def test_ingest_jdbc_recovers_partial_partition_commit(spark, tmp_path):
+    """Spark's JDBC writer commits per PARTITION, so a mid-append crash
+    can persist a SUBSET of one document's child rows. Redelivery keyed
+    on the document id alone would anti-join the whole document away and
+    lose the unwritten siblings; keyed on full row identity
+    (with_row_identity), only the landed rows are skipped. Simulated
+    here: pre-commit 1 of ACCT001's 3 transaction rows, then replay the
+    full batch — all 3 must be present, none duplicated."""
+    from etl_sample_spark.sources.sinks import jdbc_idempotent_append
+    from etl_sample_spark.streaming.ingest import (
+        foreach_batch_normalize_jdbc,
+        with_row_identity,
+    )
+    from etl_sample_spark.normalize import normalize
+    from etl_sample_spark.sources.documents import sf_id_column
+
+    url = "jdbc:derby:memory:partialdb;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def _read(table):
+        r = spark.read.format("jdbc").option("url", url).option("dbtable", f"APP.{table}")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    src = str(tmp_path / "in")
+    write_docs(src, {k: BANK_DOCS[k] for k in list(BANK_DOCS)[:1]})  # ACCT001: 3 txn rows
+    batch = spark.read.option("multiLine", "true").schema(schemas.BANK_SCRAPE_SCHEMA).json(src)
+    batch = batch.withColumn("sf_id", sf_id_column())
+
+    # "Crashed mid-append": exactly one of the 3 transaction rows landed.
+    txns = with_row_identity(normalize(batch, bank_form_specs())["transactions"], ["SF_ID"])
+    partial = txns.orderBy("SF_ROW_ID").limit(1)
+    jdbc_idempotent_append(partial, url, "APP.transactions", keys=["SF_ROW_ID"], options=opts)
+    assert _read("transactions").count() == 1
+
+    # Redelivery of the whole batch must append the 2 missing siblings.
+    foreach_batch_normalize_jdbc(bank_form_specs(), url, "APP", keys=["SF_ID"], options=opts)(batch, 0)
+    got = _read("transactions")
+    assert got.count() == 3
+    assert got.select("SF_ROW_ID").distinct().count() == 3
+
+    # And a full replay after that converges (no duplicates).
+    foreach_batch_normalize_jdbc(bank_form_specs(), url, "APP", keys=["SF_ID"], options=opts)(batch, 1)
+    assert _read("transactions").count() == 3
