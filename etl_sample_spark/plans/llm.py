@@ -1029,16 +1029,16 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "stratified_sample_by_lang",
-    None,  # sampling is engine-specific randomness: rows-only check;
-    # pytest bounds per-stratum proportions instead
-    doc="Training-data curation: per-stratum downsampling via sampleBy "
-    "(e.g. cap the dominant language, upweight rare ones) — the "
-    "distributed substitute for collect-then-resample. Map-side Bernoulli "
-    "per row against the stratum's fraction: no shuffle, scales linearly",
-)
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RNG-sampling DEMO, deliberately NOT in the registry: ``sampleBy``
+    is engine-specific randomness, so it can never carry a cross-engine
+    hash oracle — and it is the exact twin of the fully-oracled
+    ``hash_stratified_sample_by_lang`` above this would shadow. Kept as
+    the documented comparison point (per-stratum Bernoulli, map-side,
+    no shuffle); proportions are bounds-tested in
+    ``tests/test_operators.py::test_stratified_sample_proportions``.
+    Production pipelines should prefer the hash-gated form: identical
+    subset on every re-run, engine, and partitioning."""
     from etl_sample_spark.functions.text import lang_id_heuristic
 
     docs = _t(spark, sf_dir, "documents").withColumn(
