@@ -20,8 +20,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 HEADLINE = (
@@ -44,7 +46,51 @@ HEADLINE = (
     "similarity_bruteforce_top10",
     "text_stats",
     "doc_fingerprints",
+    # [REF] normalization core: nested corpus -> normalize() spec ->
+    # FK join-back -> exact-decimal rollup (plans/normcore.py).
+    "normalize_star_rebuild",
 )
+
+
+def bench_streaming_ingest(spark, sf_dir: str, reps: int) -> tuple[list[float], int]:
+    """Time the [REF] production shape end-to-end: availableNow file
+    stream -> normalize() fan-out -> parquet tables, exactly-once.
+
+    Setup (untimed): build the nested order-document corpus from the
+    driver parquet (a deterministic 1-in-8 keyspace slice so the stream
+    leg stays a bounded fraction of suite time) and write it as JSON.
+    Each rep drains the whole source with a FRESH checkpoint, so every
+    rep measures the same full ingest, not an incremental no-op.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark import catalog
+    from etl_sample_spark.plans.normcore import ORDER_DOC_SPECS, orders_as_documents
+    from etl_sample_spark.streaming.ingest import run_ingest_available_now
+
+    root = tempfile.mkdtemp(prefix="sparkgraft_bench_stream_")
+    src = os.path.join(root, "src")
+    try:
+        orders = catalog.table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
+        lineitem = catalog.table(spark, sf_dir, "lineitem")
+        docs = orders_as_documents(orders, lineitem)
+        schema = docs.schema
+        docs.coalesce(8).write.mode("overwrite").json(src)
+
+        samples: list[float] = []
+        n = -1
+        for rep in range(reps):
+            out = os.path.join(root, f"out{rep}")
+            ckpt = os.path.join(root, f"ckpt{rep}")
+            t0 = time.perf_counter()
+            stream = spark.readStream.schema(schema).json(src)
+            q = run_ingest_available_now(stream, ORDER_DOC_SPECS, out, ckpt)
+            assert q.awaitTermination(600), "streaming bench did not finish"
+            samples.append(time.perf_counter() - t0)
+            n = spark.read.parquet(os.path.join(out, "order_lines")).count()
+        return samples, n
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -65,8 +111,11 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
 
+    from etl_sample_spark.plans.inspect import shuffle_bytes_written
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     total = 0.0
     # reps>1: one untimed per-query warm-up first (codegen compiles and
     # broadcast builds for THIS plan, not just the suite-global warm).
@@ -83,6 +132,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if rep >= warmups:
                 samples.append(dt)
+        # One untimed metrics pass: per-query shuffle bytes written, so a
+        # plan regression (a new Exchange) is visible in BENCH_rN even
+        # when wall time hides inside IQR at this sf. Separate run
+        # because count()'s QueryExecution doesn't feed the df's metrics.
+        shuffle_bytes[name] = int(shuffle_bytes_written(spec.spark(spark, sf_dir)))
         med = statistics.median(samples)
         if len(samples) >= 4:
             q = statistics.quantiles(samples, n=4)
@@ -93,9 +147,29 @@ def main() -> None:
         spread[name] = round(iqr, 3)
         total += med
         print(
-            f"  {name}: median {med:.2f}s IQR {iqr:.2f}s over {len(samples)} reps ({n} rows)",
+            f"  {name}: median {med:.2f}s IQR {iqr:.2f}s over {len(samples)} reps "
+            f"({n} rows, {shuffle_bytes[name]} shuffle bytes)",
             file=sys.stderr,
         )
+
+    # Streaming leg: the reference-equivalent ingest path gets the same
+    # median+IQR treatment (no shuffle-bytes entry — foreachBatch runs
+    # its own per-batch QueryExecutions).
+    stream_samples, stream_rows = bench_streaming_ingest(spark, sf_dir, reps)
+    med = statistics.median(stream_samples)
+    if len(stream_samples) >= 4:
+        q = statistics.quantiles(stream_samples, n=4)
+        iqr = q[2] - q[0]
+    else:
+        iqr = max(stream_samples) - min(stream_samples)
+    timings["streaming_ingest_available_now"] = round(med, 3)
+    spread["streaming_ingest_available_now"] = round(iqr, 3)
+    total += med
+    print(
+        f"  streaming_ingest_available_now: median {med:.2f}s IQR {iqr:.2f}s "
+        f"over {len(stream_samples)} reps ({stream_rows} rows)",
+        file=sys.stderr,
+    )
 
     print(
         json.dumps(
@@ -105,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "shuffle_bytes": shuffle_bytes,
                 "reps": reps,
                 "sf": sf,
             }

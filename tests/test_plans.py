@@ -196,3 +196,37 @@ def test_bench_headline_names_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"bench names not registered: {missing}"
+
+
+# Shuffle-byte budgets for the flagship queries at sf0.001, measured and
+# pinned with ~5x headroom. The failure this catches: a refactor that adds
+# an Exchange (or un-broadcasts a dim, shuffling a fact table that the
+# current plan never shuffles) multiplies written bytes far beyond the
+# headroom even at this sf, where wall time would hide inside IQR.
+_SHUFFLE_BUDGETS = {
+    "q1_pricing_summary": 11_000,
+    "q3_shipping_priority": 37_000,
+    "q5_local_supplier_volume": 1_000,  # all dims broadcast: near-zero
+    "q9_product_profit": 39_000,
+    "q18_large_quantity_orders": 77_000,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGETS))
+def test_flagship_shuffle_byte_budget(spark, sf_dir, name):
+    from etl_sample_spark.plans.inspect import shuffle_bytes_written
+
+    got = shuffle_bytes_written(REGISTRY[name].spark(spark, sf_dir))
+    assert got <= _SHUFFLE_BUDGETS[name], (
+        f"{name} wrote {got} shuffle bytes at sf0.001 "
+        f"(budget {_SHUFFLE_BUDGETS[name]}) — a new Exchange crept in"
+    )
+
+
+def test_shuffle_metric_extraction_is_live(spark, sf_dir):
+    """Guard the guard: the metric walk must see real bytes on a query
+    that provably shuffles, else the budgets above would pass vacuously."""
+    from etl_sample_spark.plans.inspect import shuffle_bytes_written
+
+    got = shuffle_bytes_written(REGISTRY["normalize_star_rebuild"].spark(spark, sf_dir))
+    assert got > 0
