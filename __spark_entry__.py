@@ -67,6 +67,8 @@ _R1_CHECKED = {
 # post-change. (The r2-r4 change set was fully re-hashed green in r4 and
 # rotates back into the general window.)
 _FRONT_PINS = [
+    # newly registered in r6
+    "multimodal_jpeg_decode",
     # newly registered in r5
     "embedding_neardup_clusters",
     "multimodal_png_decode",

@@ -640,12 +640,143 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS height
+      FROM documents),
+    blocks AS (
+      SELECT d.doc_id, d.width, d.height,
+             ((d.doc_id * 37 + bx.bx * 11 + by.by * 23) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(d.width // 8))  AS bx(bx),
+           UNNEST(RANGE(d.height // 8)) AS by(by))
+    SELECT doc_id,
+           width,
+           height,
+           CAST(width * height AS INT) AS n_pixels,
+           -- every 8x8 block is constant and decodes bit-exactly, and all
+           -- blocks have equal pixel count, so the image mean equals the
+           -- block-value mean (exact integer sum / small count)
+           SUM(v) / COUNT(*)           AS pixel_mean
+    FROM blocks
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL baseline-JPEG decode: genuine Huffman-coded JFIF payloads "
+    "synthesized per row, then entropy-decoded + dequantized + IDCT'd by "
+    "the pure-Python baseline codec through mapInPandas. Payloads are "
+    "constant 8x8 blocks under an all-8s quant table — the one JPEG "
+    "configuration that decodes bit-exactly — so the oracle recomputes "
+    "the decoded stats in SQL and the full decode pipeline (canonical "
+    "Huffman, DC prediction, zigzag, separable IDCT) is value-checked "
+    "cross-engine. operators/multimodal.py::attach_jpeg_media / "
+    "_decode_jpeg.",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_jpeg_media, decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image(attach_jpeg_media(docs), fake=False).orderBy("doc_id")
+
+
+def _ivf_oracle(n_iters: int, n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of the FULL IVF pipeline (train_ivf_centroids +
+    ivf_assign_cells + probe ranking + exact scan), as one CTE chain:
+
+    - init: the engine-portable arithmetic-hash sample (MUST stay
+      bit-in-sync with operators/similarity.py::train_ivf_centroids,
+      INIT_MOD/INIT_MULT) — integer arithmetic, so the selected seed
+      rows are identical cross-engine;
+    - each Lloyd iteration: cosine argmax assignment (ROW_NUMBER by
+      sim DESC, cell ASC — the same first-max tie-break as Spark's
+      array_position(array_max)) then per-(cell, dim) mean, with empty
+      cells keeping their previous centroid via COALESCE;
+    - probe: rank centroids by cosine to the query, keep n_probe
+      (ties → lower cell, matching Python's stable sort);
+    - final: exact cosine top-k over the probed cells only.
+
+    Float sums follow the same convention as every green similarity
+    oracle here (_COSINE_ORACLE): ulp-level aggregation-order noise is
+    absorbed by ROUND(c, 6) on output, and all comparisons (argmax,
+    probe cut, top-k cut) sit far from ulp ties on this data.
+    """
+    from etl_sample_spark.operators.similarity import INIT_MOD, INIT_MULT
+
+    prev = "cent0"
+    iters = []
+    for it in range(1, n_iters + 1):
+        iters.append(f"""
+    sim{it} AS (
+      SELECT e.vec_id, c.cell,
+             SUM(e.x * c.cx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))) AS s
+      FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.cell),
+    asg{it} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sim{it}) WHERE rn = 1),
+    cent{it} AS (
+      SELECT c0.cell, c0.i, COALESCE(m.cx, c0.cx) AS cx
+      FROM {prev} c0 LEFT JOIN (
+        SELECT a.cell, e.i, SUM(e.x) / COUNT(*) AS cx
+        FROM asg{it} a JOIN e USING (vec_id) GROUP BY a.cell, e.i) m
+      ON m.cell = c0.cell AND m.i = c0.i)""")
+        prev = f"cent{it}"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS i
+      FROM embeddings),
+    init AS (
+      SELECT cell, vec_id FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY ((vec_id % {INIT_MOD}) * {INIT_MULT}) % {INIT_MOD}, vec_id
+               ) - 1 AS cell,
+               vec_id
+        FROM embeddings) WHERE cell < {n_centroids}),
+    cent0 AS (
+      SELECT init.cell, e.i, e.x AS cx FROM init JOIN e USING (vec_id)),
+    {",".join(iters)},
+    fsim AS (
+      SELECT e.vec_id, c.cell,
+             SUM(e.x * c.cx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.cx * c.cx))) AS s
+      FROM e JOIN {prev} c USING (i) GROUP BY e.vec_id, c.cell),
+    fasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM fsim) WHERE rn = 1),
+    q AS (SELECT i, x AS qx FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               SUM(q.qx * c.cx) / (SQRT(SUM(q.qx * q.qx)) * SQRT(SUM(c.cx * c.cx))) AS s
+        FROM q JOIN {prev} c USING (i) GROUP BY c.cell)
+      ORDER BY s DESC, cell LIMIT {n_probe}),
+    sims AS (
+      SELECT e.vec_id,
+             SUM(e.x * q.qx) / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.qx * q.qx))) AS c
+      FROM e JOIN q USING (i)
+      WHERE e.vec_id IN (
+        SELECT vec_id FROM fasg WHERE cell IN (SELECT cell FROM probe))
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(c, 6) AS cosine
+    FROM sims ORDER BY c DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
     "similarity_ivf_top10",
-    None,  # approximate (probe-limited): rows-only check; pytest asserts
-    # full-probe == brute force and partial-probe recall
+    _ivf_oracle(n_iters=1),
     doc="L3: IVF approximate top-k — coarse-quantize into cells, exact-scan "
     "only the n_probe nearest cells (at scale: persist partitioned by cell "
-    "so partition pruning is the index lookup)",
+    "so partition pruning is the index lookup). FULL hash oracle: the "
+    "arithmetic-hash init makes Lloyd training engine-portable, so the "
+    "whole train→assign→probe→scan pipeline is reproduced in SQL "
+    "(_ivf_oracle); pytest additionally asserts full-probe == brute force.",
 )
 def similarity_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.similarity import ivf_topk
@@ -670,10 +801,13 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import uuid
 
-    from etl_sample_spark.operators.similarity import build_ivf_index
+    from etl_sample_spark.operators.similarity import INIT_MOD, INIT_MULT, build_ivf_index
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    parts = [os.path.abspath(src)]
+    # The training ALGORITHM is part of the key: changing the init hash
+    # or iteration count must invalidate indexes built by the old code,
+    # or a cached index would silently diverge from the SQL oracle.
+    parts = [os.path.abspath(src), f"ivf-algo:v2:{INIT_MOD}:{INIT_MULT}:iters=2:k=16"]
     walk = sorted(os.walk(src)) if os.path.isdir(src) else [(os.path.dirname(src), [], [os.path.basename(src)])]
     for root, _, files in walk:
         for f in sorted(files):
@@ -695,12 +829,13 @@ def _ivf_index_cached(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "similarity_ivf_indexed_top10",
-    None,  # approximate (probe-limited): rows-only check; pytest asserts
-    # full-probe == brute force and PartitionFilters pruning on __cell
+    _ivf_oracle(n_iters=2),  # the index trains with n_iters=2
     doc="L3: IVF top-k served from a PERSISTED index — corpus written "
     "partitionBy(__cell) with trained (Lloyd-iterated) centroids stored "
     "alongside; probing n_probe cells = partition pruning at the scan, "
-    "so non-probed cells' files are never opened. "
+    "so non-probed cells' files are never opened. FULL hash oracle "
+    "(_ivf_oracle, 2 Lloyd iterations); pytest additionally asserts "
+    "full-probe == brute force and PartitionFilters pruning on __cell. "
     "operators/similarity.py::build_ivf_index / ivf_topk_indexed.",
 )
 def similarity_ivf_indexed_top10(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,6 +128,86 @@ def test_png_codec_roundtrip_property(width, height, seed):
 
 
 @given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_constant_blocks_decode_bit_exact(bw, bh, seed):
+    """For images of CONSTANT 8x8 blocks under the all-8s quant table,
+    encode_jpeg → _decode_jpeg is BIT-EXACT for any block values: DC =
+    8·(v-128) quantizes losslessly by 8 and every AC coefficient is 0,
+    so the only error source is IDCT float noise (~2e-14), squashed by
+    the final round-to-int. This is the invariant the SQL oracle of
+    multimodal_jpeg_decode rests on."""
+    from etl_sample_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    w, h = bw * 8, bh * 8
+
+    def px(x, y):
+        return (seed + (x // 8) * 11 + (y // 8) * 23) % 256
+
+    dw, dh, nc, samples = _decode_jpeg(encode_jpeg(w, h, px, gray=True))
+    assert (dw, dh, nc) == (w, h, 1)
+    assert samples == [px(x, y) for y in range(h) for x in range(w)]
+
+
+@given(
+    width=st.integers(min_value=1, max_value=20),
+    height=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_error_bound_property(width, height, seed):
+    """For ANY dims (incl. non-multiples of 8 → pad + trim) and ANY pixel
+    content, the grayscale encode→decode round trip stays within the
+    quantization error bound. With q=8 everywhere the worst-case IDCT
+    reconstruction error is bounded by sum over coefficients of q/2
+    spread across the block; empirically ≤ ~10 for adversarial noise —
+    a real bug in either direction (Huffman, zigzag, DC prediction,
+    IDCT normalization) produces errors in the hundreds."""
+    from etl_sample_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    def px(x, y):
+        return (seed + x * 7919 + y * 104729) % 256
+
+    dw, dh, nc, samples = _decode_jpeg(encode_jpeg(width, height, px, gray=True))
+    assert (dw, dh, nc) == (width, height, 1)
+    worst = max(
+        abs(samples[y * width + x] - px(x, y)) for y in range(height) for x in range(width)
+    )
+    assert worst <= 16, f"round-trip error {worst} exceeds quantization bound"
+
+
+def test_jpeg_idct_matches_numpy_reference():
+    """The pure-Python separable IDCT agrees with an independently
+    derived numpy DCT-III matrix implementation to float precision —
+    catches normalization/transposition bugs the round-trip bound could
+    mask (encoder and decoder share the cosine table)."""
+    import numpy as np
+
+    from etl_sample_spark.operators.multimodal import _idct_block
+
+    rng = np.random.default_rng(42)
+    # Orthonormal DCT-II matrix; JPEG IDCT is s = M^T S M with
+    # M[u,x] = C(u)/2 * cos((2x+1)uπ/16).
+    M = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)) * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    for _ in range(20):
+        coef = rng.integers(-1024, 1024, size=(8, 8)).astype(float)
+        expect = M.T @ coef @ M
+        got = np.array(_idct_block(list(coef.flatten()))).reshape(8, 8)
+        assert np.max(np.abs(got - expect)) < 1e-9
+
+
+@given(
     n=st.integers(min_value=0, max_value=200),
     rate=st.sampled_from([8000, 16000, 44100]),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
