@@ -23,6 +23,11 @@ from etl_sample_spark.functions.vectors import cosine_similarity
 
 N_PLANES = 8
 
+# Engine-portable init-selection hash for IVF training (see
+# train_ivf_centroids): ((id % INIT_MOD) * INIT_MULT) % INIT_MOD.
+INIT_MOD = 999999937
+INIT_MULT = 73856093
+
 
 def _plane(p: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane component values in
@@ -204,18 +209,25 @@ def train_ivf_centroids(
     """Train IVF coarse-quantizer centroids with distributed Lloyd (k-means)
     iterations.
 
-    Init is a deterministic pseudo-random corpus sample (order by
-    ``xxhash64(id)`` — reproducible, no RNG state, distribution-blind but
-    immediately corrected by the Lloyd steps). Each iteration is one
-    map pass (cell assignment, JVM-side cosine argmax) plus one groupBy
-    shuffle of ``n_centroids × dim`` partial sums — per-dimension ``SUM``
-    aggregates, so only fixed-width aggregates cross the wire, never
-    vectors. Driver collect is bounded at ``n_centroids`` rows per
-    iteration regardless of corpus size: the 100 TB-safe training shape.
+    Init is a deterministic pseudo-random corpus sample — order by the
+    ENGINE-PORTABLE arithmetic hash ``((id % P) * A) % P`` (P=999999937
+    prime, A=73856093; same trick as the LSH planes in ``_plane``), so
+    the selection is reproducible in ANY engine, bit-for-bit — this is
+    what lets the IVF queries carry a full DuckDB hash oracle instead of
+    a rows-only check. The inner ``% P`` keeps the product under 2^63
+    for arbitrarily large ids (no overflow at 100 TB id ranges).
+    Distribution-blind, but immediately corrected by the Lloyd steps.
+    Each iteration is one map pass (cell assignment, JVM-side cosine
+    argmax) plus one groupBy shuffle of ``n_centroids × dim`` partial
+    sums — per-dimension ``SUM`` aggregates, so only fixed-width
+    aggregates cross the wire, never vectors. Driver collect is bounded
+    at ``n_centroids`` rows per iteration regardless of corpus size:
+    the 100 TB-safe training shape.
     """
+    init_hash = F.pmod(F.pmod(F.col(id_col), F.lit(INIT_MOD)) * F.lit(INIT_MULT), F.lit(INIT_MOD))
     init_rows = (
         embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .orderBy(init_hash, F.col(id_col))
         .limit(n_centroids)  # corpus smaller than n_centroids → fewer, still valid
         .collect()
     )
