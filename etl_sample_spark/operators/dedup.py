@@ -162,29 +162,39 @@ def _bit(x: Column, b: int) -> Column:
     return F.shiftright(x, b).bitwiseAND(F.lit(1))
 
 
-def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """id + 16-bit SimHash of the token stream.
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """id + ``bits``-wide SimHash of the token stream.
 
     Per-bit majority vote over token hashes, folded entirely inside
     higher-order functions: map-only, no explode, no shuffle.
+
+    ``bits`` defaults to the 16 the driver-checked queries pin; the
+    near-dup SCALE configuration is wider (see ``simhash_near_duplicates``
+    — banded join work is Σ bucket² = n²/2^(bits/n_bands) per band, so
+    signature width must grow with log2(corpus size)). ``_token_hash``
+    carries ~35 bits of signal, capping ``bits`` at 32 usable positions.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"simhash bits must be in [1, 32], got {bits}")
     toks = F.split(F.col(text_col), " ")
     # Hash each token ONCE up front: referencing _token_hash inside the
-    # per-bit lambda would re-evaluate it SIMHASH_BITS times per token
+    # per-bit lambda would re-evaluate it `bits` times per token
     # (no CSE across higher-order-function branches).
     hashes = F.transform(toks, _token_hash)
-    zero = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
 
     def bitvec(x: Column) -> Column:
         # 0/1 set-bit counts (cheaper than ±1 votes: no branch per bit);
         # the majority test below is equivalent — sum(±1) > 0 ⟺
         # 2*count(1) > n_tokens.
-        return F.array(*[_bit(x, b).cast("bigint") for b in range(SIMHASH_BITS)])
+        return F.array(*[_bit(x, b).cast("bigint") for b in range(bits)])
 
     votes = F.aggregate(hashes, zero, lambda acc, x: F.zip_with(acc, bitvec(x), lambda a, v: a + v))
     n_toks = F.size(toks).cast("bigint")
     sim = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         term = F.when(
             F.element_at(votes, b + 1) * 2 > n_toks, F.lit(2**b).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
@@ -192,27 +202,69 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(id_col, sim.alias("simhash"))
 
 
+def _striped_band_key(simhash: Column, band: int, n_bands: int, bits: int) -> Column:
+    """Band key from the STRIPED bit partition: band ``i`` owns bit
+    positions {i, i+n_bands, i+2·n_bands, ...}, packed densely.
+
+    Any disjoint partition of the bit positions preserves the pigeonhole
+    recall guarantee; striping is chosen over contiguous ranges because
+    the token hash's high bits carry less entropy (token lengths/ascii
+    cluster), and a contiguous high band would collapse into few bucket
+    values — each band should mix high- and low-entropy bits so bucket
+    sizes stay balanced (the skew control for the banded join).
+    """
+    key = None
+    positions = range(band, bits, n_bands)
+    for j, p in enumerate(positions):
+        term = F.shiftleft(_bit(simhash, p).cast("bigint"), j)
+        key = term if key is None else key + term
+    return key
+
+
 def simhash_near_duplicates(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     Scale path — banded blocking with a pigeonhole guarantee: the
-    ``SIMHASH_BITS``-bit signature is split into ``max_hamming + 1``
-    disjoint bit-bands; a pair within the Hamming budget has fewer
-    differing bits than bands, so at least one band matches EXACTLY.
-    Equi-join on (band index, band value) therefore has 100% recall —
-    this is not an approximation — and costs Σ bucket² per band instead
-    of n²: the shape that survives 100 TB. The exact Hamming check after
-    the join removes band-collision false positives; ``distinct()``
-    collapses pairs that collide in several bands.
+    ``bits``-wide signature is split into ``max_hamming + 1`` DISJOINT
+    bit-bands (striped — see ``_striped_band_key``); a pair within the
+    Hamming budget has fewer differing bits than bands, so at least one
+    band matches EXACTLY. Equi-join on (band index, band value)
+    therefore has 100% recall — this is not an approximation — and
+    costs Σ bucket² per band instead of n². The exact Hamming check
+    after the join removes band-collision false positives;
+    ``distinct()`` collapses pairs that collide in several bands.
+
+    Banding affects ONLY the candidate set, never the result (the
+    Hamming filter is exact), so banding/width changes are
+    output-invariant for a fixed signature width.
+
+    Sizing rule for 100 TB: per-band join work is ≈ n²/2^(bits/n_bands)
+    under IDEAL bit spread, so bits/n_bands should track log2(n) — but
+    the real ceiling is SIGNATURE ENTROPY: SimHash bits are vocabulary
+    majority votes, so a topically homogeneous corpus yields correlated
+    signatures and collapsed buckets REGARDLESS of width or hash quality
+    (measured in tests/test_scaling.py: widening 16→32 bits cuts join
+    work only ~2× on the synth corpus, and xxhash64 tokens don't fix
+    it). ``max_bucket`` is the scale guard for that regime: bands whose
+    bucket exceeds it are dropped from candidate generation (they are
+    low-information bands — the same trade as ``max_df`` stop-shingle
+    removal; a pair is only lost if EVERY band that matches it is
+    oversized). Default ``None`` keeps the exact pigeonhole guarantee
+    for the oracle-checked queries. Corpora needing guaranteed-linear
+    near-dup at scale should prefer the MinHash path, whose shingle-set
+    band keys stay fine-grained (measured: Σ bucket² ≤ 60·n at 10×).
     """
-    sig = simhash_df(df, text_col, id_col)
+    sig = simhash_df(df, text_col, id_col, bits=bits)
     n_bands = max_hamming + 1
-    if n_bands > SIMHASH_BITS:
-        raise ValueError(f"max_hamming={max_hamming} needs more bands than {SIMHASH_BITS} bits")
-    # Contiguous near-equal bit ranges [bounds[i], bounds[i+1]).
-    bounds = [SIMHASH_BITS * i // n_bands for i in range(n_bands + 1)]
+    if n_bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than {bits} bits")
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -221,15 +273,16 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", bounds[i])
-                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-                        .alias("key"),
+                        _striped_band_key(F.col("simhash"), i, n_bands, bits).alias("key"),
                     )
                     for i in range(n_bands)
                 ]
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.band", "b.key")
+    if max_bucket is not None:
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        bands = bands.withColumn("__bn", bucket_n).where(F.col("__bn") <= max_bucket).drop("__bn")
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -130,6 +130,45 @@ def test_simhash_banding_equals_all_pairs(spark, sf_dir):
     assert got == expected
 
 
+def test_simhash_max_bucket_cap_semantics(spark, sf_dir):
+    """The scale-guard cap: with a cap larger than every bucket the
+    result is IDENTICAL to uncapped (the guard is free until it fires);
+    with a cap it can only REMOVE pairs, never invent or corrupt them."""
+    docs = catalog.table(spark, sf_dir, "documents").limit(200)
+    uncapped = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    }
+    huge = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3, max_bucket=10**9).collect()
+    }
+    assert huge == uncapped
+    tight = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3, max_bucket=5).collect()
+    }
+    assert tight <= uncapped
+
+
+def test_simhash_wide_signature_banding_still_exact(spark, sf_dir):
+    """The bits=32 scale configuration keeps the pigeonhole guarantee:
+    banded pairs == naive all-pairs Hamming scan at the wider width."""
+    docs = catalog.table(spark, sf_dir, "documents").limit(150)
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_df(docs, bits=32).collect()}
+    expected = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3, bits=32).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_neardup_plan_has_no_nested_loop_join(spark, sf_dir):
     """The banded pair search must run as a shuffled equi-join — never a
     BroadcastNestedLoopJoin / CartesianProduct all-pairs compare."""

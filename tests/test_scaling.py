@@ -1,0 +1,193 @@
+"""Scale-proof tests over the synthesized sf1-class dataset (re-keyed
+10× union of sf0.1 — ``etl_sample_spark/sources/synth.py``).
+
+Gated behind ``SPARK_GRAFT_SCALE_TEST=1``: the dataset is ~100 MB /
+6M-row lineitem and each timing test runs minutes, which doesn't belong
+in the default suite. Run per round with:
+
+    python -m etl_sample_spark.sources.synth /root/testdata/sf0.1 /tmp/sfsynth1 10
+    SPARK_GRAFT_SCALE_TEST=1 python -m pytest tests/test_scaling.py -q
+
+Findings land in SCALE.md; the bench artifact is BENCH_sf1.json.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.plans import REGISTRY
+
+SYNTH_DIR = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/tmp/sfsynth1")
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_TEST"),
+    reason="scale suite is opt-in (SPARK_GRAFT_SCALE_TEST=1); needs /tmp/sfsynth1",
+)
+
+# The five most expensive headline queries (r5 plan audit). Bound is
+# wall(synth1) <= RATIO_BOUND * max(wall(sf0.1), FLOOR_S): data grows
+# 10×, so a linear stage lands near 10×, an accidentally-quadratic one
+# near 100×. FLOOR_S absorbs fixed overhead (planning, task launch)
+# that dominates sub-second sf0.1 timings.
+FLAGSHIP = (
+    "skewjoin_revenue_by_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q3_shipping_priority",
+    "q18_large_quantity_orders",
+)
+RATIO_BOUND = 12.0
+FLOOR_S = 0.5
+
+
+def _median_wall(spark, name: str, sf_dir: str, reps: int = 3) -> float:
+    spec = REGISTRY[name]
+    spec.spark(spark, sf_dir).count()  # warm: codegen + broadcasts for this plan
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+@pytest.mark.parametrize("name", FLAGSHIP)
+def test_flagship_scaling_near_linear(spark, name):
+    base = _median_wall(spark, name, "/root/testdata/sf0.1")
+    scaled = _median_wall(spark, name, SYNTH_DIR)
+    ratio = scaled / max(base, FLOOR_S)
+    assert ratio <= RATIO_BOUND, (
+        f"{name}: {base:.2f}s at sf0.1 -> {scaled:.2f}s at 10x "
+        f"(ratio {ratio:.1f} > {RATIO_BOUND}) — super-linear stage"
+    )
+
+
+def _band_join_work(bands_df, key_cols: list[str]) -> tuple[int, int, int]:
+    """(n_rows, Σ bucket², max bucket²) for a banded self-join — the
+    candidate-pair work the equi-join will actually do."""
+    sizes = bands_df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("c"))
+    row = sizes.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("work"),
+        F.max(F.col("c") * F.col("c")).alias("worst"),
+    ).head()
+    return int(row["n"]), int(row["work"]), int(row["worst"])
+
+
+def test_minhash_band_buckets_stay_linear(spark):
+    """MinHash LSH band buckets at 10×: join work Σ bucket² must stay a
+    small multiple of n (hash keys spread; near-dup groups are small),
+    and no single bucket may dominate — the skew guard for the banded
+    join shape at 100 TB."""
+    from etl_sample_spark.operators.dedup import minhash_signature_df
+
+    docs = catalog.table(spark, SYNTH_DIR, "documents")
+    sig = minhash_signature_df(docs)
+    bands = sig.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.concat_ws(":", "h0", "h1").alias("key")),
+                F.struct(F.lit(1).alias("band"), F.concat_ws(":", "h2", "h3").alias("key")),
+            )
+        ).alias("b")
+    ).select("b.band", "b.key")
+    n, work, worst = _band_join_work(bands, ["band", "key"])
+    assert work <= 60 * n, f"MinHash band join work {work} > 60*n ({n}) — buckets collapsing"
+    assert worst <= work * 0.25, f"one MinHash bucket is {worst/work:.0%} of all join work"
+
+
+def test_simhash_bucket_entropy_and_cap(spark):
+    """The SimHash scale reality, measured at 50k docs (and pinned so the
+    conclusion can't silently rot):
+
+    1. 16-bit banded join work is quadratic-class (≥ n²/64) — the
+       driver-demo width stops scaling around n≈10⁵.
+    2. Widening to 32 bits helps but does NOT linearize: SimHash bits
+       are vocabulary majority votes, so a homogeneous corpus yields
+       correlated signatures and entropy-bounded buckets regardless of
+       width (this is why xxhash64 tokens don't fix it either).
+    3. The ``max_bucket`` cap is the effective guard: dropping
+       oversized (low-information) bands collapses join work into the
+       linear class, the same trade as max_df stop-shingle removal.
+
+    MinHash remains the guaranteed-linear near-dup path on such corpora
+    (test_minhash_band_buckets_stay_linear)."""
+    from etl_sample_spark.operators.dedup import _striped_band_key, simhash_df
+
+    docs = catalog.table(spark, SYNTH_DIR, "documents")
+    n_bands = 4
+
+    def banded(bits: int):
+        sig = simhash_df(docs, bits=bits)
+        return sig.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            _striped_band_key(F.col("simhash"), i, n_bands, bits).alias("key"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b")
+        ).select("b.band", "b.key")
+
+    n16, work16, _ = _band_join_work(banded(16), ["band", "key"])
+    n32, work32, _ = _band_join_work(banded(32), ["band", "key"])
+    n_docs = n16 // n_bands
+    # (1) the 16-bit ceiling
+    assert work16 >= n_docs * n_docs // 64, "16-bit work unexpectedly low — check measurement"
+    # (2) widening helps but stays quadratic-class (entropy-bounded):
+    # if this ever drops into the linear class, the corpus changed and
+    # the SCALE.md story should be revisited.
+    assert work32 < work16, "widening 16->32 bits did not reduce join work at all"
+    assert work32 > 100 * n_docs, (
+        f"32-bit work {work32} is linear-class — entropy conclusion in "
+        "SCALE.md no longer holds, revisit"
+    )
+    # (3) the cap linearizes: keep only buckets <= 10 * expected uniform
+    # size and the residual join work must be a small multiple of n.
+    cap = 10 * max(n_docs // 256, 1)  # 256 = 8-bit striped band keyspace
+    sizes = banded(32).groupBy("band", "key").agg(F.count(F.lit(1)).alias("c"))
+    row = (
+        sizes.where(F.col("c") <= cap)
+        .agg(F.sum(F.col("c") * F.col("c")).alias("work"), F.sum("c").alias("kept"))
+        .head()
+    )
+    capped_work, kept = int(row["work"]), int(row["kept"])
+    # With bucket sizes bounded by `cap`, Σc² ≤ cap·Σc — join work is
+    # LINEAR in n with the cap as the per-row constant. Pin both the
+    # formula and the measured effectiveness (the cap must actually
+    # bite on this corpus, not pass vacuously).
+    assert capped_work <= cap * kept, "cap arithmetic violated — measurement bug"
+    assert capped_work <= work32 / 10, (
+        f"cap only cut join work {work32} -> {capped_work}; "
+        "oversized buckets no longer dominate — revisit SCALE.md"
+    )
+    # the cap must not amputate the corpus: most band rows survive in
+    # at least one band (pairs lose recall only if ALL their matching
+    # bands are oversized)
+    assert kept >= n_docs, f"cap kept only {kept} band rows for {n_docs} docs"
+
+
+def test_flagship_shuffle_bytes_scale_linearly(spark):
+    """Shuffle bytes written must grow ~linearly (≤ ~20×) for 10× data —
+    a byte-level check that no flagship plan shuffles a fact table it
+    previously pruned/broadcast (wall-clock noise can't hide this)."""
+    from etl_sample_spark.plans.inspect import shuffle_bytes_written
+
+    for name in FLAGSHIP:
+        spec = REGISTRY[name]
+        base = shuffle_bytes_written(spec.spark(spark, "/root/testdata/sf0.1"))
+        scaled = shuffle_bytes_written(spec.spark(spark, SYNTH_DIR))
+        assert scaled <= max(base, 10_000) * 20, (
+            f"{name}: shuffle bytes {base} -> {scaled} at 10x data — "
+            "a previously-pruned relation is being shuffled"
+        )
