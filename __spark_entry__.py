@@ -69,31 +69,18 @@ _R1_CHECKED = {
 _FRONT_PINS = [
     # newly registered in r6
     "multimodal_jpeg_decode",
-    # newly registered in r5
-    "embedding_neardup_clusters",
-    "multimodal_png_decode",
-    "multimodal_resize_stats",
-    "multimodal_wav_decode",
-    "multimodal_video_framesample",
-    "multimodal_image_features",
-    "semantic_dedup_keep_best",
-    "udtf_tokenize_docs",
-    "text_repetition_ratio",
-    "source_mix_report",
-    "dup_rate_by_source",
-    "cohort_weekly_retention",
-    "funnel_view_click_purchase",
-    "unpivot_priority_status_counts",
-    "corpus_prep_end_to_end",
-    "data_quality_orders",
-    "data_quality_fk_orphans",
-    # signature folds optimized in r5 (hash-once refactors)
+    "bm25_score_query",
+    "doc_chunking_overlap",
+    # graduated from rows-only to FULL hash oracles in r6 (first-ever
+    # driver hash check for these two)
+    "similarity_ivf_top10",
+    "similarity_ivf_indexed_top10",
+    # signature/banding code parameterized in r6 (width + striped bands
+    # + max_bucket cap; result-invariant, re-pinned to prove it)
     "simhash_signatures",
     "simhash_neardup_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidate_pairs",
-    # money-sum converted to the exact-decimal pattern in r5
-    "join_left_outer_customer_orders",
+    # (the full r5 change set was re-hashed green in CORRECTNESS_r05 and
+    # rotates back into the general window)
 ]
 
 

@@ -1798,3 +1798,129 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content_sha", "quality")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L4+: retrieval scoring (BM25) and RAG chunking
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "filter", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_score_query",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(LEN(STRING_SPLIT(text, ' '))) AS avg_len
+      FROM documents),
+    doclen AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term IN ('join', 'filter', 'spark')
+      GROUP BY doc_id, term),
+    idf AS (
+      SELECT term, LN(1 + (s.n_docs - COUNT(DISTINCT tf.doc_id) + 0.5)
+                         / (COUNT(DISTINCT tf.doc_id) + 0.5)) AS idf
+      FROM tf, stats s GROUP BY term, s.n_docs),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avg_len))) AS score
+      FROM tf
+      JOIN idf USING (term)
+      JOIN doclen dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="L4+: BM25 ranked retrieval (Robertson k1/b, Lucene-style "
+    "(k1+1) numerator) for a fixed query over the documents table — the "
+    "keyword half of hybrid search next to the cosine tier. 100 TB "
+    "shape: term filter pushed below the explode-groupBy (only query "
+    "terms aggregate); idf and corpus stats are tiny broadcasts; one "
+    "shuffle on (doc_id, term), TakeOrderedAndProject for the top-k. "
+    "Cross-engine: LN/div ulp noise absorbed by ROUND(,6), the "
+    "established similarity-oracle convention.",
+)
+def bm25_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avg_len"),
+    )
+    doclen = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    term_score = F.col("idf") * F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_len"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap
+
+
+@register(
+    "doc_chunking_overlap",
+    f"""
+    SELECT d.doc_id,
+           CAST(s.start // {_CHUNK_STRIDE} AS INT)            AS chunk_idx,
+           CAST(s.start AS INT)                                AS chunk_start,
+           SUBSTRING(d.text, CAST(s.start + 1 AS INT), {_CHUNK_SIZE}) AS chunk_text,
+           CAST(LENGTH(SUBSTRING(d.text, CAST(s.start + 1 AS INT), {_CHUNK_SIZE})) AS INT) AS chunk_len
+    FROM documents d,
+         UNNEST(RANGE(0, GREATEST(d.n_chars - 1, 0) + 1, {_CHUNK_STRIDE})) AS s(start)
+    ORDER BY d.doc_id, chunk_idx
+    """,
+    doc="L4+: overlapping document chunking (200-char windows, 150 "
+    "stride = 50 overlap) — the RAG/embedding prep step. Pure Catalyst "
+    "(sequence + posexplode + substring): map-only, no shuffle, no "
+    "Python; at 100 TB this runs at scan speed and chunk boundaries "
+    "are deterministic byte offsets, reproducible in SQL.",
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_chars") - 1, F.lit(0)).cast("int"), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("chunk_start"),
+            F.expr(f"substring(text, start + 1, {_CHUNK_SIZE})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("int"))
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -73,6 +73,7 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
 _CODEC_QUERIES = {
     "multimodal_bmp_decode",
     "multimodal_png_decode",
+    "multimodal_jpeg_decode",
     "multimodal_resize_stats",
     "multimodal_wav_decode",
     "multimodal_video_framesample",
@@ -154,6 +155,7 @@ _INTENTIONAL_NON_EQUI = {
 # a single-row broadcast build side — constant per-row work, safe at any
 # scale. Only these names may plan a BNLJ.
 _SCALAR_SUBQUERY = {
+    "bm25_score_query",  # corpus stats (n_docs, avg_len): one-row broadcast
     "data_quality_fk_orphans",
     "q11_important_part_values",
     "q22_idle_customers",
