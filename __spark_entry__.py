@@ -71,6 +71,9 @@ _FRONT_PINS = [
     "multimodal_jpeg_decode",
     "bm25_score_query",
     "doc_chunking_overlap",
+    "hybrid_rrf_rerank",
+    "minhash_jaccard_estimate_audit",
+    "decontaminated_split_audit",
     # graduated from rows-only to FULL hash oracles in r6 (first-ever
     # driver hash check for these two)
     "similarity_ivf_top10",

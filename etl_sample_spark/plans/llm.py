@@ -1809,10 +1809,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "bm25_score_query",
-    f"""
-    WITH toks AS (
+# Shared BM25 CTE chain ending in `scored(doc_id, score)` — used by the
+# standalone ranking query and the RRF fusion below.
+_BM25_CTE = f"""toks AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
       FROM documents),
     stats AS (
@@ -1836,7 +1835,13 @@ _BM25_B = 0.75
       JOIN idf USING (term)
       JOIN doclen dl USING (doc_id)
       CROSS JOIN stats s
-      GROUP BY tf.doc_id)
+      GROUP BY tf.doc_id)"""
+
+
+@register(
+    "bm25_score_query",
+    f"""
+    WITH {_BM25_CTE}
     SELECT doc_id, ROUND(score, 6) AS bm25
     FROM scored ORDER BY score DESC, doc_id LIMIT 20
     """,
@@ -1851,6 +1856,17 @@ _BM25_B = 0.75
 )
 def bm25_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, score) for the fixed query — the shared BM25 core.
+    Only docs containing ≥1 query term appear (inner-join semantics)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.col("term").isin(*_BM25_TERMS))
@@ -1872,18 +1888,70 @@ def bm25_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_score = F.col("idf") * F.col("tf") * (_BM25_K1 + 1) / (
         F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avg_len"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(idf), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
-    return (
-        scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
+
+
+@register(
+    "hybrid_rrf_rerank",
+    f"""
+    WITH {_BM25_CTE},
+    brank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+      FROM scored),
+    btop AS (SELECT doc_id, rb FROM brank WHERE rb <= 50),
+    qbase AS (
+      SELECT doc_id, n_chars,
+             LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL})) AS n_stop
+      FROM documents),
+    qrank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY LEAST(1.0, n_chars / 500.0) * 0.5 + (1.0 - n_stop / n) * 0.5 DESC,
+                        doc_id) AS rq
+      FROM qbase)
+    SELECT b.doc_id,
+           CAST(b.rb AS INT)  AS bm25_rank,
+           CAST(q.rq AS INT)  AS quality_rank,
+           1.0 / (60 + b.rb) + 1.0 / (60 + q.rq) AS rrf
+    FROM btop b JOIN qrank q USING (doc_id)
+    ORDER BY rrf DESC, b.doc_id LIMIT 20
+    """,
+    doc="L4+: reciprocal-rank fusion of the BM25 relevance ranking with "
+    "the quality-score ranking (k=60) — the standard hybrid-retrieval / "
+    "curation rerank: relevance and quality each contribute 1/(k+rank). "
+    "Ranks are exact integers (deterministic tie-break by doc_id), so "
+    "the fused score is the same two-term double sum in both engines — "
+    "emitted unrounded. 100 TB shape: both rankings are "
+    "TakeOrdered-style over already-reduced inputs; the fusion join is "
+    "top-50 vs a window output, broadcast-sized.",
+)
+def hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    brank = _bm25_scored(docs).withColumn(
+        "rb", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
     )
+    btop = brank.where(F.col("rb") <= 50).select("doc_id", "rb")
+    qrank = docs.select(
+        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("q")
+    ).withColumn("rq", F.row_number().over(Window.orderBy(F.desc("q"), F.asc("doc_id"))))
+    fused = btop.join(qrank.select("doc_id", "rq"), "doc_id").select(
+        "doc_id",
+        F.col("rb").cast("int").alias("bm25_rank"),
+        F.col("rq").cast("int").alias("quality_rank"),
+        (1.0 / (60 + F.col("rb")) + 1.0 / (60 + F.col("rq"))).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
 
 
 _CHUNK_SIZE = 200
@@ -1923,4 +1991,181 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("int"))
         .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _minhash_audit_oracle() -> str:
+    """Signature-agreement estimate vs TRUE shingle Jaccard for every
+    LSH candidate pair, reusing the portable-hash signature CTEs (must
+    stay bit-in-sync with _lsh_pairs_oracle / operators/dedup.py)."""
+    h = _HASH_SQL.format(t="sh.s")
+    sig_cols = ",\n             ".join(
+        f"CAST(MIN(({h} * {a} + {b}) % 2147483647) AS BIGINT) AS h{j}"
+        for j, (a, b) in enumerate(((7, 3), (13, 17), (31, 29), (61, 47)))
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    sig AS (
+      SELECT sh.doc_id,
+             {sig_cols}
+      FROM sh GROUP BY sh.doc_id),
+    fullsig AS (
+      SELECT d.doc_id, COALESCE(h0, -1) AS h0, COALESCE(h1, -1) AS h1,
+             COALESCE(h2, -1) AS h2, COALESCE(h3, -1) AS h3
+      FROM documents d LEFT JOIN sig USING (doc_id)),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key FROM fullsig
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key FROM fullsig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    nsh AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS i
+      FROM pairs p
+      JOIN dsh sa ON sa.doc_id = p.a_id
+      JOIN dsh sb ON sb.doc_id = p.b_id AND sb.s = sa.s
+      GROUP BY p.a_id, p.b_id)
+    SELECT p.a_id, p.b_id,
+           ((CASE WHEN fa.h0 = fb.h0 THEN 1 ELSE 0 END)
+          + (CASE WHEN fa.h1 = fb.h1 THEN 1 ELSE 0 END)
+          + (CASE WHEN fa.h2 = fb.h2 THEN 1 ELSE 0 END)
+          + (CASE WHEN fa.h3 = fb.h3 THEN 1 ELSE 0 END)) / 4.0 AS est_jaccard,
+           COALESCE(i.i, 0) * 1.0
+             / NULLIF(na.n + nb.n - COALESCE(i.i, 0), 0)       AS true_jaccard
+    FROM pairs p
+    JOIN fullsig fa ON fa.doc_id = p.a_id
+    JOIN fullsig fb ON fb.doc_id = p.b_id
+    JOIN nsh na ON na.doc_id = p.a_id
+    JOIN nsh nb ON nb.doc_id = p.b_id
+    LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+    ORDER BY p.a_id, p.b_id
+    """
+
+
+@register(
+    "minhash_jaccard_estimate_audit",
+    _minhash_audit_oracle(),
+    doc="L2 estimator audit: for every LSH candidate pair, the k=4 "
+    "signature-agreement MinHash estimate next to the TRUE distinct-"
+    "3-shingle Jaccard — the measurement that justifies (or indicts) "
+    "the signature size before trusting it on a corpus. Both values are "
+    "exact integer ratios (quarters and |A∩B|/|A∪B|), emitted "
+    "unrounded. 100 TB shape: pairs come from the banded join (never "
+    "n²); the true-Jaccard join touches only candidate pairs' shingle "
+    "sets, with the pair list broadcast.",
+)
+def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import (
+        _shingles,
+        minhash_lsh_candidates,
+        minhash_signature_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs).select("a_id", "b_id")
+    sig = minhash_signature_df(docs)
+    dsh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
+    )
+    nsh = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    bp = F.broadcast(pairs)
+    inter = (
+        bp.join(dsh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(
+            dsh.alias("sb"),
+            (F.col("b_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    est = (
+        (F.col("fa.h0") == F.col("fb.h0")).cast("int")
+        + (F.col("fa.h1") == F.col("fb.h1")).cast("int")
+        + (F.col("fa.h2") == F.col("fb.h2")).cast("int")
+        + (F.col("fa.h3") == F.col("fb.h3")).cast("int")
+    ) / 4.0
+    union_n = F.col("na.n") + F.col("nb.n") - F.coalesce(F.col("i.i"), F.lit(0))
+    truth = F.when(
+        union_n > 0, F.coalesce(F.col("i.i"), F.lit(0)) * 1.0 / union_n
+    )
+    return (
+        pairs.join(F.broadcast(sig.alias("fa")), F.col("a_id") == F.col("fa.doc_id"))
+        .join(F.broadcast(sig.alias("fb")), F.col("b_id") == F.col("fb.doc_id"))
+        .join(F.broadcast(nsh.alias("na")), F.col("a_id") == F.col("na.doc_id"))
+        .join(F.broadcast(nsh.alias("nb")), F.col("b_id") == F.col("nb.doc_id"))
+        .join(inter.alias("i"), ["a_id", "b_id"], "left")
+        .select("a_id", "b_id", est.alias("est_jaccard"), truth.alias("true_jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+@register(
+    "decontaminated_split_audit",
+    f"""
+    WITH bench AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id < 20),
+    bsh AS (
+      SELECT DISTINCT d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM bench d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    corp AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id >= 20),
+    csh AS (
+      SELECT DISTINCT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM corp d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    rate AS (
+      SELECT doc_id,
+             COUNT(CASE WHEN s IN (SELECT s FROM bsh) THEN 1 END) * 1.0 / COUNT(*) AS r
+      FROM csh GROUP BY doc_id),
+    fp AS (
+      SELECT d.doc_id,
+             CAST(SUM((r.i + 1) * (131*length(d.l[r.i + 1]) + ascii(d.l[r.i + 1]))) % {{fmod}}
+                  AS BIGINT) AS fingerprint
+      FROM corp d, UNNEST(RANGE(LEN(d.l))) AS r(i)
+      GROUP BY d.doc_id)
+    SELECT CASE WHEN fp.fingerprint % 10 < 8 THEN 'train'
+                WHEN fp.fingerprint % 10 = 8 THEN 'val'
+                ELSE 'test' END                              AS split,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(COUNT(CASE WHEN rate.r > 0.2 THEN 1 END) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(CASE WHEN rate.r <= 0.2 THEN 1 END) AS BIGINT) AS n_kept
+    FROM fp JOIN rate USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """.replace("{fmod}", str(FINGERPRINT_MOD)),
+    doc="L4/L6 composition — the decontamination step a real training "
+    "run performs between splitting and shipping: content-hash split "
+    "assignment x benchmark 3-gram contamination gate (rate > 0.2 "
+    "drops), reported per split. Composes contamination_flags and the "
+    "fingerprint split; both sides map-side with the benchmark shingle "
+    "set broadcast. The audit shape (counts per split) is what lands in "
+    "a dataset card.",
+)
+def decontaminated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.text import doc_fingerprint
+    from etl_sample_spark.operators.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") >= 20)
+    rate = contamination_flags(corpus, docs.where(F.col("doc_id") < 20), n=3).select(
+        "doc_id", "contamination_rate"
+    )
+    split = corpus.select(
+        "doc_id",
+        F.when(doc_fingerprint(F.col("text")) % 10 < 8, "train")
+        .when(doc_fingerprint(F.col("text")) % 10 == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        split.join(rate, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("contamination_rate") > 0.2, 1)).alias("n_contaminated"),
+            F.count(F.when(F.col("contamination_rate") <= 0.2, 1)).alias("n_kept"),
+        )
+        .orderBy("split")
     )

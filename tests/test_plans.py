@@ -156,6 +156,7 @@ _INTENTIONAL_NON_EQUI = {
 # scale. Only these names may plan a BNLJ.
 _SCALAR_SUBQUERY = {
     "bm25_score_query",  # corpus stats (n_docs, avg_len): one-row broadcast
+    "hybrid_rrf_rerank",  # inherits the BM25 one-row stats broadcast
     "data_quality_fk_orphans",
     "q11_important_part_values",
     "q22_idle_customers",
