@@ -74,6 +74,7 @@ _FRONT_PINS = [
     "hybrid_rrf_rerank",
     "minhash_jaccard_estimate_audit",
     "decontaminated_split_audit",
+    "scd2_customer_segment_migration",
     # graduated from rows-only to FULL hash oracles in r6 (first-ever
     # driver hash check for these two)
     "similarity_ivf_top10",

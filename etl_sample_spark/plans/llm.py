@@ -2169,3 +2169,67 @@ def decontaminated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "scd2_customer_segment_migration",
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer),
+    changed AS (
+      SELECT b.c_custkey
+      FROM base b JOIN upd u USING (c_custkey)
+      WHERE u.c_mktsegment IS DISTINCT FROM b.c_mktsegment)
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+           TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+           TRUE                            AS is_current
+    FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '1995-01-01 00:00:00',
+           TIMESTAMP '2000-06-01 00:00:00',
+           FALSE
+    FROM base WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment,
+           TIMESTAMP '2000-06-01 00:00:00',
+           TIMESTAMP '9999-12-31 00:00:00',
+           TRUE
+    FROM upd WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    ORDER BY c_custkey, valid_from
+    """,
+    doc="Warehouse-side dimension maintenance the reference's wholesale "
+    "table reloads grow into: SCD Type 2 merge — initial customer load, "
+    "then an update feed migrating every 7th customer's market segment; "
+    "changed keys get their current version CLOSED and a new one OPENED, "
+    "unchanged keys carry through, history stays queryable AS OF any "
+    "time. Pure relational algebra (one key-shuffle change-detection "
+    "join + semi/anti branches reusing its partitioning), full hash "
+    "oracle. operators/scd.py::scd2_merge.",
+)
+def scd2_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.scd import scd2_init, scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    history = scd2_init(cust, "1995-01-01")
+    updates = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MIGRATED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    merged = scd2_merge(history, updates, "c_custkey", ["c_mktsegment"], "2000-06-01")
+    # Present the open end as the standard SCD2 high-date sentinel:
+    # NULL-timestamp round-tripping differs across engines/clients, and
+    # the sentinel keeps BETWEEN-style as-of predicates index-friendly.
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.coalesce("valid_to", F.lit("9999-12-31").cast("timestamp")).alias("valid_to"),
+        "is_current",
+    ).orderBy("c_custkey", "valid_from")

@@ -802,3 +802,39 @@ def test_avi_codec_roundtrip_and_real_frame_sampling(spark, sf_dir):
             for c in range(3)
         )
         assert bytes(r0["frame_bytes"]) == expect
+
+
+def test_scd2_merge_semantics_and_idempotence(spark):
+    """SCD2: changed keys close + reopen, unchanged carry, new keys
+    open; re-merging the SAME batch is a no-op (idempotent feeds); the
+    as-of view reconstructs both points in time."""
+    from etl_sample_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "k INT, attr STRING"
+    )
+    hist = scd2_init(dim, "2020-01-01")
+    updates = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (4, "D")], "k INT, attr STRING"
+    )
+    merged = scd2_merge(hist, updates, "k", ["attr"], "2021-01-01")
+    rows = {(r["k"], r["attr"], r["is_current"]): r for r in merged.collect()}
+    # unchanged key 1 and absent key 3 carried as current
+    assert (1, "A", True) in rows and (3, "C", True) in rows
+    # changed key 2: old version closed at the effective ts, new opened
+    assert (2, "B", False) in rows and (2, "B2", True) in rows
+    assert str(rows[(2, "B", False)]["valid_to"]).startswith("2021-01-01")
+    # new key 4 opened
+    assert (4, "D", True) in rows
+    assert merged.count() == 5
+
+    # idempotence: merging the identical batch again changes nothing
+    again = scd2_merge(merged, updates, "k", ["attr"], "2022-01-01")
+    assert again.count() == 5
+    assert again.where(F.col("valid_from") == "2022-01-01").count() == 0
+
+    # point-in-time reconstruction
+    before = {(r["k"], r["attr"]) for r in scd2_as_of(merged, "2020-06-01").collect()}
+    assert before == {(1, "A"), (2, "B"), (3, "C")}
+    after = {(r["k"], r["attr"]) for r in scd2_as_of(merged, "2021-06-01").collect()}
+    assert after == {(1, "A"), (2, "B2"), (3, "C"), (4, "D")}
