@@ -75,6 +75,7 @@ _FRONT_PINS = [
     "minhash_jaccard_estimate_audit",
     "decontaminated_split_audit",
     "scd2_customer_segment_migration",
+    "feature_drift_psi_events",
     # graduated from rows-only to FULL hash oracles in r6 (first-ever
     # driver hash check for these two)
     "similarity_ivf_top10",

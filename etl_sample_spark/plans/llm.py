@@ -2233,3 +2233,77 @@ def scd2_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce("valid_to", F.lit("9999-12-31").cast("timestamp")).alias("valid_to"),
         "is_current",
     ).orderBy("c_custkey", "valid_from")
+
+
+_PSI_EDGES = (10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
+
+
+def _psi_bucket_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    )
+    return f"CASE {cases} ELSE {len(_PSI_EDGES)} END"
+
+
+@register(
+    "feature_drift_psi_events",
+    f"""
+    WITH tagged AS (
+      SELECT {_psi_bucket_sql("value")} AS bucket,
+             CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+      FROM events),
+    counts AS (
+      SELECT bucket,
+             SUM(is_ref)     AS n_ref,
+             SUM(1 - is_ref) AS n_cur
+      FROM tagged GROUP BY bucket),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+    shares AS (
+      SELECT c.bucket,
+             CAST(c.n_ref AS BIGINT) AS n_ref,
+             CAST(c.n_cur AS BIGINT) AS n_cur,
+             (c.n_ref + 0.5) / (t.t_ref + 0.5 * {len(_PSI_EDGES) + 1}) AS p,
+             (c.n_cur + 0.5) / (t.t_cur + 0.5 * {len(_PSI_EDGES) + 1}) AS q
+      FROM counts c CROSS JOIN tot t)
+    SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
+           ROUND((q - p) * LN(q / p), 6) AS psi_term
+    FROM shares ORDER BY bucket
+    """,
+    doc="ML-ops data-drift monitor: Population Stability Index of the "
+    "event value distribution, first half of the month (reference) vs "
+    "second (current), over fixed deterministic bucket edges with "
+    "Laplace smoothing (so empty buckets don't blow up the log). "
+    "Per-bucket PSI terms are the dataset-card drift report; their sum "
+    "is the alert metric (>0.2 = retrain-grade shift). 100 TB shape: "
+    "one map pass (bucket + period tag) + one tiny groupBy — drift "
+    "monitoring is free at scan speed. LN ulp noise absorbed by "
+    "ROUND(,6), the established convention.",
+)
+def feature_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    bucket = F.lit(len(_PSI_EDGES))
+    for i in range(len(_PSI_EDGES) - 1, -1, -1):
+        bucket = F.when(F.col("value") < _PSI_EDGES[i], F.lit(i)).otherwise(bucket)
+    k = len(_PSI_EDGES) + 1
+    tagged = events.select(
+        bucket.alias("bucket"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("is_ref"),
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * k)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * k)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

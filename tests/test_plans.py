@@ -157,6 +157,7 @@ _INTENTIONAL_NON_EQUI = {
 _SCALAR_SUBQUERY = {
     "bm25_score_query",  # corpus stats (n_docs, avg_len): one-row broadcast
     "hybrid_rrf_rerank",  # inherits the BM25 one-row stats broadcast
+    "feature_drift_psi_events",  # one-row totals broadcast for the shares
     "data_quality_fk_orphans",
     "q11_important_part_values",
     "q22_idle_customers",
