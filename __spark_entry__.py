@@ -76,6 +76,8 @@ _FRONT_PINS = [
     "decontaminated_split_audit",
     "scd2_customer_segment_migration",
     "feature_drift_psi_events",
+    "revenue_trend_slope_by_priority",
+    "tokenizer_fertility_by_lang",
     # graduated from rows-only to FULL hash oracles in r6 (first-ever
     # driver hash check for these two)
     "similarity_ivf_top10",

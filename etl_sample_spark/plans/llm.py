@@ -2307,3 +2307,91 @@ def feature_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "revenue_trend_slope_by_priority",
+    """
+    WITH daily AS (
+      SELECT o.o_orderpriority,
+             DATE_DIFF('day', TIMESTAMP '1995-01-01 00:00:00', o.o_orderdate) AS x,
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority, x)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope
+    FROM daily
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Feature-engineering / analytics composition: closed-form OLS "
+    "trend slope of daily revenue per order priority — the 'is this "
+    "segment growing' statistic computed entirely from distributive "
+    "sums (n, Σx, Σy, Σxy, Σx²), no second pass, no ML library. Daily "
+    "revenue sums are exact decimal through the VARCHAR bridge; the "
+    "slope's float noise sits far below the ROUND(,6) grid. 100 TB "
+    "shape: one fact join + two grouped aggs, both map-side partial.",
+)
+def revenue_trend_slope_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.money import revenue_dec, sum_money
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    daily = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("x"),
+        )
+        .agg(sum_money(revenue_dec()).alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sy = F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return (
+        daily.groupBy("o_orderpriority")
+        .agg(
+            n.cast("bigint").alias("n_days"),
+            F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT)                      AS sum_chars,
+           -- ratio of two exact integer sums: identical double both engines
+           SUM(n_chars) * 1.0 / SUM(LEN(STRING_SPLIT(text, ' '))) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Tokenizer-budget planning stat: corpus chars-per-token by "
+    "language — the fertility number that converts storage size into "
+    "token counts for training-mix math. Integer sums only (the ratio "
+    "of exact sums is emitted unrounded, bit-identical cross-engine); "
+    "one map pass + one tiny groupBy.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(toks).cast("bigint").alias("sum_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            (F.sum("n_chars") * 1.0 / F.sum(toks)).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
