@@ -69,6 +69,7 @@ _R1_CHECKED = {
 _FRONT_PINS = [
     # newly registered in r6
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
     "bm25_score_query",
     "doc_chunking_overlap",
     "hybrid_rrf_rerank",

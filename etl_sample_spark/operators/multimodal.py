@@ -388,6 +388,18 @@ _AC_VALS = bytes.fromhex(
 )
 
 
+def _round_half_up(v: float) -> int:
+    """floor(v + 0.5): explicit half-up rounding for every sample-domain
+    conversion in the JPEG codec. Python's round() is banker's (half to
+    EVEN) while SQL ROUND is half away from zero — and the color matrix
+    has exact-.5-producing terms (0.5·B in Cb, 0.5·R in Cr), so the
+    rounding mode is observable. floor(v+0.5) is unambiguous and
+    reproducible as FLOOR(v + 0.5) in any engine."""
+    import math
+
+    return math.floor(v + 0.5)
+
+
 def _huff_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
     """Canonical Huffman: symbol -> (code, length)."""
     codes: dict[int, tuple[int, int]] = {}
@@ -537,9 +549,9 @@ def encode_jpeg(
                 planes[0][y][x] = int(p)
             else:
                 r, g, b = p
-                planes[0][y][x] = min(255, max(0, int(round(0.299 * r + 0.587 * g + 0.114 * b))))
-                planes[1][y][x] = min(255, max(0, int(round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))))
-                planes[2][y][x] = min(255, max(0, int(round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))))
+                planes[0][y][x] = min(255, max(0, _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)))
+                planes[1][y][x] = min(255, max(0, _round_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)))
+                planes[2][y][x] = min(255, max(0, _round_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -740,7 +752,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[int]]:
                         for yy in range(8):
                             row = (by * 8 + yy) * pw + bx * 8
                             for xx in range(8):
-                                v = int(round(pix[yy * 8 + xx] + 128))
+                                v = _round_half_up(pix[yy * 8 + xx] + 128)
                                 plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
                     mcu += 1
             # trim padding, interleave, colorspace-convert
@@ -751,9 +763,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[int]]:
                         samples.append(planes[0][off])
                     else:
                         yv, cb, cr = planes[0][off], planes[1][off], planes[2][off]
-                        r = int(round(yv + 1.402 * (cr - 128)))
-                        g = int(round(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
-                        b = int(round(yv + 1.772 * (cb - 128)))
+                        r = _round_half_up(yv + 1.402 * (cr - 128))
+                        g = _round_half_up(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+                        b = _round_half_up(yv + 1.772 * (cb - 128))
                         for v in (r, g, b):
                             samples.append(0 if v < 0 else (255 if v > 255 else v))
             break
@@ -784,6 +796,43 @@ def attach_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     lambda x, y: (doc_id * 37 + (x // 8) * 11 + (y // 8) * 23) % 256,
                     gray=True,
                 )
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(payload)
+                out["media_meta"].append(
+                    {"width": w, "height": h, "format": "jpeg", "n_frames": 1}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(encode, schema=schema)
+
+
+def attach_jpeg_color_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Color twin of ``attach_jpeg_media``: 3-component baseline JFIF
+    from CONSTANT RGB 8x8 blocks, driving the interleaved-MCU entropy
+    decode and BOTH colorspace conversions (encoder RGB→YCbCr, decoder
+    YCbCr→RGB). Per-block Y/Cb/Cr are constant, so every coefficient
+    block is DC-only and survives the all-8s quant table exactly; the
+    only transforms between input and output are the two rounded
+    color-matrix applications — fixed-constant double arithmetic,
+    reproducible in SQL."""
+    schema = f"{id_col} BIGINT, media_bytes BINARY, media_meta STRUCT<{MEDIA_META_FIELDS}>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": [], "media_meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = 8 * (1 + doc_id % 2), 8 * (1 + doc_id % 3)
+
+                def px(x: int, y: int) -> tuple[int, int, int]:
+                    bx, by = x // 8, y // 8
+                    return (
+                        (doc_id * 41 + bx * 17 + by * 29) % 256,
+                        (doc_id * 43 + bx * 19 + by * 31) % 256,
+                        (doc_id * 47 + bx * 23 + by * 37) % 256,
+                    )
+
+                payload = encode_jpeg(w, h, px, gray=False)
                 out["doc_id"].append(doc_id)
                 out["media_bytes"].append(payload)
                 out["media_meta"].append(

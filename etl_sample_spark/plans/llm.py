@@ -2395,3 +2395,55 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS width,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS height
+      FROM documents),
+    blocks AS (
+      SELECT d.doc_id, d.width, d.height,
+             (d.doc_id * 41 + bx.bx * 17 + by.by * 29) % 256 AS r,
+             (d.doc_id * 43 + bx.bx * 19 + by.by * 31) % 256 AS g,
+             (d.doc_id * 47 + bx.bx * 23 + by.by * 37) % 256 AS b
+      FROM dims d,
+           UNNEST(RANGE(d.width // 8))  AS bx(bx),
+           UNNEST(RANGE(d.height // 8)) AS by(by)),
+    ycc AS (
+      SELECT doc_id, width, height,
+             LEAST(255, GREATEST(0, CAST(FLOOR(0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b + 0.5) AS BIGINT)))                  AS y,
+             LEAST(255, GREATEST(0, CAST(FLOOR(-0.168736::DOUBLE * r - 0.331264::DOUBLE * g + 0.5::DOUBLE * b + 128 + 0.5) AS BIGINT)))       AS cb,
+             LEAST(255, GREATEST(0, CAST(FLOOR(0.5::DOUBLE * r - 0.418688::DOUBLE * g - 0.081312::DOUBLE * b + 128 + 0.5) AS BIGINT)))        AS cr
+      FROM blocks),
+    rgb AS (
+      SELECT doc_id, width, height,
+             LEAST(255, GREATEST(0, CAST(FLOOR(y + 1.402::DOUBLE * (cr - 128) + 0.5) AS BIGINT)))                             AS r2,
+             LEAST(255, GREATEST(0, CAST(FLOOR(y - 0.344136::DOUBLE * (cb - 128) - 0.714136::DOUBLE * (cr - 128) + 0.5) AS BIGINT)))  AS g2,
+             LEAST(255, GREATEST(0, CAST(FLOOR(y + 1.772::DOUBLE * (cb - 128) + 0.5) AS BIGINT)))                             AS b2
+      FROM rgb_src)
+    SELECT doc_id, width, height,
+           CAST(width * height AS INT) AS n_pixels,
+           SUM(r2 + g2 + b2) * 1.0 / (COUNT(*) * 3) AS pixel_mean
+    FROM rgb
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """.replace("FROM rgb_src", "FROM ycc"),
+    doc="L5 REAL color-JPEG decode: 3-component baseline JFIF payloads "
+    "(interleaved MCUs, shared Huffman tables) from constant RGB "
+    "blocks; the decode runs entropy decode + dequant + IDCT per "
+    "component then the YCbCr->RGB matrix. Both colorspace conversions "
+    "round HALF-UP explicitly (floor(v+0.5)) because Python round() is "
+    "banker's while SQL ROUND is half-away — the one observable "
+    "rounding-mode seam, closed by construction. Oracle replays "
+    "generator -> encoder matrix -> decoder matrix arithmetic in SQL. "
+    "operators/multimodal.py::attach_jpeg_color_media / _decode_jpeg.",
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_jpeg_color_media, decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image(attach_jpeg_color_media(docs), fake=False).orderBy("doc_id")

@@ -74,6 +74,7 @@ _CODEC_QUERIES = {
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
     "multimodal_resize_stats",
     "multimodal_wav_decode",
     "multimodal_video_framesample",
