@@ -179,6 +179,55 @@ def test_jpeg_roundtrip_error_bound_property(width, height, seed):
     assert worst <= 16, f"round-trip error {worst} exceeds quantization bound"
 
 
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_color_constant_blocks_match_matrix_replay(bw, bh, seed):
+    """Color path invariant behind multimodal_jpeg_color_decode's SQL
+    oracle: for constant-RGB blocks the full pipeline (RGB→YCbCr →
+    DCT/quant/Huffman → IDCT → YCbCr→RGB) equals a direct replay of the
+    two rounded color matrices — the DCT leg is bit-transparent, so
+    only the matrix arithmetic (reproducible in SQL) remains."""
+    from etl_sample_spark.operators.multimodal import (
+        _decode_jpeg,
+        _round_half_up,
+        encode_jpeg,
+    )
+
+    w, h = bw * 8, bh * 8
+
+    def px(x, y):
+        bx, by = x // 8, y // 8
+        return (
+            (seed + bx * 17 + by * 29) % 256,
+            (seed * 3 + bx * 19 + by * 31) % 256,
+            (seed * 7 + bx * 23 + by * 37) % 256,
+        )
+
+    dw, dh, nc, samples = _decode_jpeg(encode_jpeg(w, h, px, gray=False))
+    assert (dw, dh, nc) == (w, h, 3)
+
+    def clamp(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    expected = []
+    for y in range(h):
+        for x in range(w):
+            r, g, b = px(x, y)
+            yy = clamp(_round_half_up(0.299 * r + 0.587 * g + 0.114 * b))
+            cb = clamp(_round_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+            cr = clamp(_round_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+            expected += [
+                clamp(_round_half_up(yy + 1.402 * (cr - 128))),
+                clamp(_round_half_up(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+                clamp(_round_half_up(yy + 1.772 * (cb - 128))),
+            ]
+    assert samples == expected
+
+
 def test_jpeg_idct_matches_numpy_reference():
     """The pure-Python separable IDCT agrees with an independently
     derived numpy DCT-III matrix implementation to float precision —
