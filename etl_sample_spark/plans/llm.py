@@ -2447,3 +2447,53 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_image(attach_jpeg_color_media(docs), fake=False).orderBy("doc_id")
+
+
+@register(
+    "incremental_rollup_orders_by_month",
+    """
+    SELECT o_orderpriority,
+           DATE_TRUNC('month', o_orderdate) AS month,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS price_sum,
+           CAST(COUNT(o_totalprice) AS BIGINT)                                       AS price_count,
+           CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS price_min,
+           CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS price_max
+    FROM orders
+    GROUP BY o_orderpriority, month
+    ORDER BY o_orderpriority, month
+    """,
+    doc="Incremental-aggregation correctness under the driver hash "
+    "check: orders arrive as three deterministic batches, each batch is "
+    "partially rolled up (distributive sum/count/min/max, money in "
+    "exact decimal), and the partials are MERGED — the oracle computes "
+    "the same rollup in one pass, so the merge algebra (sum of sums, "
+    "min of mins, ...) is value-checked, which is exactly the property "
+    "that lets a 100 TB rollup absorb a new batch without recomputing "
+    "history. operators/incremental.py::rollup_batch / merge_rollups.",
+)
+def incremental_rollup_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from etl_sample_spark.operators.incremental import merge_rollups, rollup_batch
+
+    # to_date: DuckDB's DATE_TRUNC returns DATE while Spark's date_trunc
+    # returns TIMESTAMP — pin both engines to DATE.
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+    )
+    keys = ["o_orderpriority", "month"]
+    measures = {"price": "CAST(o_totalprice AS DECIMAL(18,2))"}
+    partials = [
+        rollup_batch(orders.where(F.col("o_orderkey") % 3 == i), keys, measures)
+        for i in range(3)
+    ]
+    merged = reduce(lambda a, b: merge_rollups(a, b, keys), partials)
+    bridge = lambda c: F.expr(f"CAST(CAST({c} AS STRING) AS DOUBLE)").alias(c)
+    return merged.select(
+        "o_orderpriority",
+        "month",
+        bridge("price_sum"),
+        F.col("price_count").cast("bigint").alias("price_count"),
+        bridge("price_min"),
+        bridge("price_max"),
+    ).orderBy("o_orderpriority", "month")

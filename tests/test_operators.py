@@ -838,3 +838,46 @@ def test_scd2_merge_semantics_and_idempotence(spark):
     assert before == {(1, "A"), (2, "B"), (3, "C")}
     after = {(r["k"], r["attr"]) for r in scd2_as_of(merged, "2021-06-01").collect()}
     assert after == {(1, "A"), (2, "B2"), (3, "C"), (4, "D")}
+
+
+def test_incremental_rollup_equals_full(spark, sf_dir, tmp_path):
+    """The persisted incremental path: applying batches one at a time
+    through update_rollup_table (write -> swap per batch) converges to
+    the one-shot full rollup, in ANY arrival order."""
+    from functools import reduce
+
+    from etl_sample_spark.operators.incremental import (
+        merge_rollups,
+        rollup_batch,
+        update_rollup_table,
+    )
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    measures = {"price": "CAST(o_totalprice AS DECIMAL(18,2))"}
+    full = {
+        r["o_orderpriority"]: (r["price_sum"], r["price_count"], r["price_min"], r["price_max"])
+        for r in rollup_batch(orders, keys, measures).collect()
+    }
+
+    path = str(tmp_path / "rollup")
+    for i in (2, 0, 1):  # deliberately out of order
+        batch = orders.where(F.col("o_orderkey") % 3 == i)
+        result = update_rollup_table(spark, path, batch, keys, measures)
+    got = {
+        r["o_orderpriority"]: (r["price_sum"], r["price_count"], r["price_min"], r["price_max"])
+        for r in result.collect()
+    }
+    assert got == full
+
+    # merge algebra is order-invariant in-memory too
+    partials = [
+        rollup_batch(orders.where(F.col("o_orderkey") % 3 == i), keys, measures)
+        for i in (1, 2, 0)
+    ]
+    merged = reduce(lambda a, b: merge_rollups(a, b, keys), partials)
+    got2 = {
+        r["o_orderpriority"]: (r["price_sum"], r["price_count"], r["price_min"], r["price_max"])
+        for r in merged.collect()
+    }
+    assert got2 == full
