@@ -2207,8 +2207,9 @@ def decontaminated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "then an update feed migrating every 7th customer's market segment; "
     "changed keys get their current version CLOSED and a new one OPENED, "
     "unchanged keys carry through, history stays queryable AS OF any "
-    "time. Pure relational algebra (one key-shuffle change-detection "
-    "join + semi/anti branches reusing its partitioning), full hash "
+    "time. Pure relational algebra: a change-detection join plus "
+    "semi/anti branches, all equi-joins on the business key over "
+    "DIMENSION-sized inputs (facts never enter the merge), full hash "
     "oracle. operators/scd.py::scd2_merge.",
 )
 def scd2_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
