@@ -881,3 +881,46 @@ def test_incremental_rollup_equals_full(spark, sf_dir, tmp_path):
         for r in merged.collect()
     }
     assert got2 == full
+
+
+def test_doc_chunking_reconstructs_text(spark, sf_dir):
+    """Overlap invariant behind doc_chunking_overlap: chunk 0 plus every
+    later chunk minus its 50-char overlap concatenates back to the
+    exact original text, for every document."""
+    from etl_sample_spark.plans.llm import doc_chunking_overlap
+
+    docs = {r["doc_id"]: r["text"] for r in
+            catalog.table(spark, sf_dir, "documents").limit(100).collect()}
+    chunks = {}
+    for r in doc_chunking_overlap(spark, sf_dir).collect():
+        if r["doc_id"] in docs:
+            chunks.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    overlap = 200 - 150
+    for doc_id, text in docs.items():
+        parts = [t for _, t in sorted(chunks[doc_id])]
+        rebuilt = parts[0] + "".join(p[overlap:] for p in parts[1:])
+        assert rebuilt == text, f"doc {doc_id} reconstruction mismatch"
+
+
+def test_bm25_and_chunking_edge_inputs(spark):
+    """Edge semantics: a corpus where no document contains a query term
+    scores empty (inner-join, not zero-filled); an empty document still
+    yields exactly one (empty) chunk so downstream per-doc joins never
+    silently drop rows."""
+    from etl_sample_spark.plans.llm import _CHUNK_STRIDE, _bm25_scored
+
+    empty_corpus = spark.createDataFrame(
+        [(1, "nothing relevant here", 21), (2, "", 0)],
+        "doc_id BIGINT, text STRING, n_chars BIGINT",
+    )
+    assert _bm25_scored(empty_corpus).count() == 0
+
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_chars") - 1, F.lit(0)).cast("int"), F.lit(_CHUNK_STRIDE)
+    )
+    chunked = empty_corpus.select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    per_doc = {r["doc_id"]: r["cnt"] for r in
+               chunked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_doc == {1: 1, 2: 1}

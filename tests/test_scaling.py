@@ -27,8 +27,18 @@ SYNTH_DIR = os.environ.get("SPARK_GRAFT_SYNTH_DIR", "/tmp/sfsynth1")
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_TEST"),
-    reason="scale suite is opt-in (SPARK_GRAFT_SCALE_TEST=1); needs /tmp/sfsynth1",
+    reason="scale suite is opt-in (SPARK_GRAFT_SCALE_TEST=1)",
 )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ensure_synth_dataset(spark):
+    """Self-provision: synthesize the 10× dataset on first use so the
+    env var is the only gate (generation is ~1 min, one-off)."""
+    if not os.path.exists(os.path.join(SYNTH_DIR, "lineitem.parquet")):
+        from etl_sample_spark.sources.synth import synthesize_scale
+
+        synthesize_scale(spark, "/root/testdata/sf0.1", SYNTH_DIR, factor=10)
 
 # The five most expensive headline queries (r5 plan audit). Bound is
 # wall(synth1) <= RATIO_BOUND * max(wall(sf0.1), FLOOR_S): data grows
