@@ -293,3 +293,56 @@ def test_avi_codec_roundtrip_property(width, height, n_frames, seed):
     w, h, got = _avi_frames(encode_avi(width, height, frames))
     assert (w, h) == (width, height)
     assert got == frames
+
+
+@given(
+    n_dim=st.integers(min_value=0, max_value=12),
+    n_upd=st.integers(min_value=0, max_value=12),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_scd2_merge_matches_reference_model(spark, n_dim, n_upd, seed):
+    """scd2_merge against an independent Python reference model, for
+    arbitrary overlap between the dimension and the update batch
+    (changed / unchanged / new / absent keys, including attribute
+    transitions to and from NULL)."""
+    from etl_sample_spark.operators.scd import scd2_init, scd2_merge
+
+    rng = __import__("random").Random(seed)
+    attrs = ["A", "B", None]
+    dim_rows = [(k, rng.choice(attrs)) for k in range(n_dim)]
+    upd_keys = rng.sample(range(n_dim + 6), min(n_upd, n_dim + 6))
+    upd_rows = [(k, rng.choice(attrs)) for k in upd_keys]
+
+    hist = scd2_init(
+        spark.createDataFrame(dim_rows, "k INT, attr STRING") if dim_rows
+        else spark.createDataFrame([], "k INT, attr STRING"),
+        "2020-01-01",
+    )
+    upd = (
+        spark.createDataFrame(upd_rows, "k INT, attr STRING") if upd_rows
+        else spark.createDataFrame([], "k INT, attr STRING")
+    )
+    got = {
+        (r["k"], r["attr"], str(r["valid_from"])[:10], str(r["valid_to"])[:10], r["is_current"])
+        for r in scd2_merge(hist, upd, "k", ["attr"], "2021-01-01").collect()
+    }
+
+    # reference model
+    dim = dict(dim_rows)
+    updates = dict(upd_rows)
+    expect = set()
+    for k, v in dim.items():
+        if k in updates and updates[k] != v:
+            expect.add((k, v, "2020-01-01", "2021-01-01", False))
+            expect.add((k, updates[k], "2021-01-01", "None", True))
+        else:
+            expect.add((k, v, "2020-01-01", "None", True))
+    for k, v in updates.items():
+        if k not in dim:
+            expect.add((k, v, "2021-01-01", "None", True))
+    assert got == expect
