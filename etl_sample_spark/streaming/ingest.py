@@ -30,14 +30,28 @@ def stream_documents(
     schema: StructType,
     archive_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """File-source stream of JSON documents with optional source
-    archival — the exactly-once replacement for the blob loop."""
+    archival — the exactly-once replacement for the blob loop.
+
+    ``corrupt_col``: like ``sources.documents.read_form``, surfaces
+    malformed documents as rows whose ``corrupt_col`` holds the raw text
+    instead of ALL-NULL rows (PERMISSIVE's default), which would
+    otherwise flow through ``normalize()`` as silently-empty records —
+    the streaming twin of the batch quarantine. Pair with
+    ``foreach_batch_normalize(..., dead_letter_dir=...)``."""
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType, StructType as _ST
+
+        schema = _ST(schema.fields[:]).add(corrupt_col, StringType())
     reader = (
         spark.readStream.option("multiLine", "true")
         .option("mode", "PERMISSIVE")
         .schema(schema)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if archive_dir is not None:
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
@@ -48,18 +62,37 @@ def stream_documents(
 
 
 def foreach_batch_normalize(
-    specs: list[TableSpec], out_dir: str
+    specs: list[TableSpec],
+    out_dir: str,
+    dead_letter_dir: str | None = None,
+    corrupt_col: str = "_corrupt_record",
 ) -> Callable[[DataFrame, int], None]:
     """T6 multi-table fan-out: one micro-batch → every normalized table,
     appended as parquet under ``out_dir/<table>``.
 
     The batch is cached so the 15+ table writes share one materialization
-    of the micro-batch (the single-pass design decision, SURVEY §4)."""
+    of the micro-batch (the single-pass design decision, SURVEY §4).
+
+    ``dead_letter_dir``: when the stream was built with a
+    ``corrupt_col``, malformed documents are split out of the batch and
+    appended (raw text + batch id) under this directory for replay after
+    a parser/schema fix, and only CLEAN rows are normalized — without
+    this, PERMISSIVE-mode failures land in every output table as
+    all-null records."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.cache()
         try:
-            for name, table in normalize(batch_df, specs).items():
+            clean = batch_df
+            if dead_letter_dir is not None and corrupt_col in batch_df.columns:
+                corrupt = batch_df.where(F.col(corrupt_col).isNotNull()).select(
+                    F.col(corrupt_col).alias("raw"),
+                    F.col("sf_id"),
+                    F.lit(batch_id).alias("batch_id"),
+                )
+                corrupt.write.mode("append").parquet(dead_letter_dir)
+                clean = batch_df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+            for name, table in normalize(clean, specs).items():
                 table.write.mode("append").parquet(os.path.join(out_dir, name))
         finally:
             batch_df.unpersist()
@@ -136,12 +169,16 @@ def run_ingest_available_now(
     specs: list[TableSpec],
     out_dir: str,
     checkpoint_dir: str,
+    dead_letter_dir: str | None = None,
 ) -> StreamingQuery:
     """Process everything currently in the source, then stop — the
     streaming equivalent of one reference driver-loop iteration, but
-    exactly-once."""
+    exactly-once. Pass ``dead_letter_dir`` (with a corrupt-col stream)
+    to quarantine malformed documents instead of normalizing nulls."""
     writer: DataStreamWriter = (
-        docs_stream.writeStream.foreachBatch(foreach_batch_normalize(specs, out_dir))
+        docs_stream.writeStream.foreachBatch(
+            foreach_batch_normalize(specs, out_dir, dead_letter_dir=dead_letter_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

@@ -575,3 +575,38 @@ def test_ingest_jdbc_recovers_partial_partition_commit(spark, tmp_path):
     # And a full replay after that converges (no duplicates).
     foreach_batch_normalize_jdbc(bank_form_specs(), url, "APP", keys=["SF_ID"], options=opts)(batch, 1)
     assert _read("transactions").count() == 3
+
+
+def test_streaming_dead_letter_quarantine(spark, tmp_path):
+    """Malformed documents must NOT flow into the star schema as
+    all-null rows: with a corrupt-col stream + dead_letter_dir, clean
+    docs normalize, corrupt payloads land raw in the dead-letter table,
+    and exactly-once still holds across a second drain."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    dlq = str(tmp_path / "dead")
+    first_two = {k: BANK_DOCS[k] for k in list(BANK_DOCS)[:2]}
+    write_docs(src, first_two)
+    with open(os.path.join(src, "BROKEN01_bank_scrape.json"), "w") as f:
+        f.write('{"name": "broken", "accounts": [unquoted-garbage')
+
+    stream = stream_documents(
+        spark, src, schemas.BANK_SCRAPE_SCHEMA, corrupt_col="_corrupt_record"
+    )
+    _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt, dead_letter_dir=dlq))
+
+    info = spark.read.parquet(os.path.join(out, "bank_scrape_info"))
+    assert info.count() == 2  # corrupt doc NOT normalized
+    assert info.where(F.col("name").isNull()).count() == 0
+    dead = spark.read.parquet(dlq).collect()
+    assert len(dead) == 1
+    assert "unquoted-garbage" in dead[0]["raw"]
+
+    # second drain with the same checkpoint: nothing re-processed
+    stream = stream_documents(
+        spark, src, schemas.BANK_SCRAPE_SCHEMA, corrupt_col="_corrupt_record"
+    )
+    _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt, dead_letter_dir=dlq))
+    assert spark.read.parquet(os.path.join(out, "bank_scrape_info")).count() == 2
+    assert spark.read.parquet(dlq).count() == 1
