@@ -241,3 +241,44 @@ def test_combined_form_volume_fan_out(spark, tmp_path_factory):
     assert parents.count() == n
     orphans = tables["transactions"].join(parents, "sf_id", "left_anti").count()
     assert orphans == 0
+
+
+def test_run_batch_pipeline_end_to_end(spark, tmp_path):
+    """The composed one-call pipeline: a mixed folder of all four form
+    types plus one malformed file -> routed, parsed, normalized star
+    schema in parquet, corrupt doc quarantined with its form tag."""
+    import os
+
+    from etl_sample_spark.pipeline import route_files, run_batch_pipeline
+    from tests.fixtures import ACTION_DOCS, BANK_DOCS, COMBINED_DOCS, CREDIT_DOCS, write_docs
+
+    src = str(tmp_path / "in")
+    for docs in (BANK_DOCS, CREDIT_DOCS, COMBINED_DOCS, ACTION_DOCS):
+        write_docs(src, docs)
+    with open(os.path.join(src, "BAD001_bank_scrape.json"), "w") as f:
+        f.write("{broken json")
+
+    routed = route_files(src)
+    assert len(routed["bank_scrape"]) == len(BANK_DOCS) + 1  # incl. the bad file
+    assert len(routed["credit_report"]) == len(CREDIT_DOCS)
+    assert len(routed["action"]) == len(ACTION_DOCS)
+    assert len(routed["combined"]) == len(COMBINED_DOCS)
+
+    out = str(tmp_path / "star")
+    dlq = str(tmp_path / "dead")
+    counts = run_batch_pipeline(
+        spark, src, parquet_out=out, dead_letter_dir=dlq
+    )
+    # jsonpipe (combined form) also appends to bank_scrape_info — exactly
+    # like the reference's jsonpipe, for docs carrying a BankScrapeData
+    # section (absent section -> no rows)
+    n_combined_bank = sum(1 for d in COMBINED_DOCS.values() if "BankScrapeData" in d)
+    assert counts["bank_scrape_info"] == len(BANK_DOCS) + n_combined_bank
+    assert counts["__quarantined"] == 1
+    # the parquet star schema is really there, with the quarantined doc absent
+    info = spark.read.parquet(os.path.join(out, "bank_scrape_info"))
+    assert info.count() == len(BANK_DOCS) + n_combined_bank
+    dead = spark.read.parquet(dlq)
+    assert dead.count() == 1 and dead.head()["form"] == "bank_scrape"
+    # credit + combined forms produced the shared TU_FFR child tables
+    assert counts.get("trades", 0) > 0
