@@ -80,6 +80,7 @@ _FRONT_PINS = [
     "revenue_trend_slope_by_priority",
     "tokenizer_fertility_by_lang",
     "incremental_rollup_orders_by_month",
+    "rebalance_source_mix_3_2_1",
     # graduated from rows-only to FULL hash oracles in r6 (first-ever
     # driver hash check for these two)
     "similarity_ivf_top10",

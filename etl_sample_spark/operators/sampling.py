@@ -83,3 +83,50 @@ def hash_stratified_sample(
 def hash_sample_gate_sql(key_sql: str) -> str:
     """DuckDB twin of ``_gate`` for oracle SQL."""
     return f"({hash_position_sql(key_sql)} % {_BUCKETS})"
+
+
+def rebalance_source_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    parts: Mapping[str, int],
+) -> DataFrame:
+    """Downsample to a TARGET SOURCE MIXTURE (the training-mix
+    re-weighting step): keep sources in the ratio given by integer
+    ``parts`` (e.g. ``{"web": 3, "code": 2, "ref": 1}``), taking as
+    much data as the binding source allows.
+
+    All rate math is INTEGER arithmetic — ``K = min_s(n_s div part_s)``
+    sets the achievable scale (the binding source is kept almost
+    whole), and each source's gate cutoff is
+    ``part_s * K * buckets div n_s`` — so the selection is exactly
+    reproducible in any engine (no float rounding seam), and the
+    hash gate keeps it map-side, retry-deterministic, and auditable.
+
+    100 TB shape: one tiny groupBy for the per-source counts (driver
+    collect bounded at the number of sources), then a pure map-side
+    filter; rows never shuffle.
+    """
+    if not parts:
+        raise ValueError("rebalance_source_mix: empty parts")
+    bad = {s: p for s, p in parts.items() if not (isinstance(p, int) and p > 0)}
+    if bad:
+        raise ValueError(f"rebalance_source_mix: parts must be positive ints: {bad}")
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in df.where(F.col(source_col).isin(*parts))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    missing = [s for s in parts if s not in counts]
+    if missing:
+        raise ValueError(f"rebalance_source_mix: sources absent from corpus: {missing}")
+    k = min(counts[s] // p for s, p in parts.items())
+    gate = _gate(F.col(key_col))
+    keep = None
+    for s, p in parts.items():
+        cutoff = (p * k * _BUCKETS) // counts[s]
+        cond = (F.col(source_col) == s) & (gate < F.lit(cutoff))
+        keep = cond if keep is None else (keep | cond)
+    return df.where(keep)

@@ -2498,3 +2498,44 @@ def incremental_rollup_orders_by_month(spark: SparkSession, sf_dir: str) -> Data
         bridge("price_min"),
         bridge("price_max"),
     ).orderBy("o_orderpriority", "month")
+
+
+def _rebalance_oracle() -> str:
+    from etl_sample_spark.operators.sampling import _BUCKETS, hash_sample_gate_sql
+
+    gate = hash_sample_gate_sql("d.doc_id")
+    return f"""
+    WITH parts(source, part) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+    n AS (
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IN ('src1', 'src2', 'src3') GROUP BY source),
+    k AS (SELECT MIN(n.n // p.part) AS k FROM n JOIN parts p USING (source)),
+    cut AS (
+      SELECT n.source, (p.part * k.k * {_BUCKETS}) // n.n AS cutoff
+      FROM n JOIN parts p USING (source) CROSS JOIN k)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN cut ON d.source = cut.source
+    WHERE {gate} < cut.cutoff
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "rebalance_source_mix_3_2_1",
+    _rebalance_oracle(),
+    doc="Training-mix re-weighting: downsample three sources to a 3:2:1 "
+    "mixture with the hash gate. ALL rate math is integer arithmetic "
+    "(K = min(n_s div part_s); cutoff = part*K*buckets div n_s), so "
+    "the exact kept subset — not just its size — is reproduced in SQL. "
+    "Map-side filter; per-source counts are the only aggregation "
+    "(driver collect bounded at the source count). "
+    "operators/sampling.py::rebalance_source_mix.",
+)
+def rebalance_source_mix_3_2_1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.sampling import rebalance_source_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = rebalance_source_mix(
+        docs, "source", "doc_id", {"src1": 3, "src2": 2, "src3": 1}
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")

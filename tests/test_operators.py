@@ -924,3 +924,36 @@ def test_bm25_and_chunking_edge_inputs(spark):
     per_doc = {r["doc_id"]: r["cnt"] for r in
                chunked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert per_doc == {1: 1, 2: 1}
+
+
+def test_rebalance_source_mix_properties(spark, sf_dir):
+    """Mixture rebalance: deterministic across calls, kept counts near
+    the integer targets (hash-gate binomial noise), kept set is a
+    subset per source, and guards reject bad inputs."""
+    from etl_sample_spark.operators.sampling import rebalance_source_mix
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    parts = {"src1": 3, "src2": 2, "src3": 1}
+    kept1 = rebalance_source_mix(docs, "source", "doc_id", parts)
+    rows = kept1.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in rows}
+    n = {r["source"]: r["count"] for r in docs.where(
+        F.col("source").isin(*parts)).groupBy("source").count().collect()}
+    k = min(n[s] // p for s, p in parts.items())
+    for s, p in parts.items():
+        target = p * k
+        assert abs(got.get(s, 0) - target) <= max(3, target // 3), (s, got, target)
+    # deterministic: identical subset on re-run
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in rebalance_source_mix(
+        docs, "source", "doc_id", parts).select("doc_id").collect()}
+    assert ids1 == ids2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty parts"):
+        rebalance_source_mix(docs, "source", "doc_id", {})
+    with _pytest.raises(ValueError, match="positive ints"):
+        rebalance_source_mix(docs, "source", "doc_id", {"src1": 0})
+    with _pytest.raises(ValueError, match="absent from corpus"):
+        rebalance_source_mix(docs, "source", "doc_id", {"no_such_source": 1})
