@@ -57,3 +57,34 @@ def test_jdbc_sink_stringifies_complex_columns(spark):
     write_jdbc_tables({"complex_rt": out}, url=URL, db_schema="APP", options={"driver": DRIVER})
     back = _read(spark, "APP.complex_rt")
     assert back.where(F.col("flags").contains("recurring")).count() == 1
+
+
+def test_run_batch_pipeline_jdbc_leg(spark, tmp_path):
+    """The composed pipeline's database sink: a folder of bank docs
+    lands as queryable JDBC tables (the reference's actual production
+    shape), in the same run as the parquet fan-out."""
+    import os
+
+    from etl_sample_spark.pipeline import run_batch_pipeline
+    from tests.fixtures import BANK_DOCS, write_docs
+
+    src = str(tmp_path / "in")
+    write_docs(src, BANK_DOCS)
+    url = "jdbc:derby:memory:pipedb;create=true"
+    counts = run_batch_pipeline(
+        spark,
+        src,
+        parquet_out=str(tmp_path / "star"),
+        jdbc_url=url,
+        db_schema="APP",
+        jdbc_options={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "APP.bank_scrape_info")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert back.count() == len(BANK_DOCS) == counts["bank_scrape_info"]
+    assert spark.read.parquet(os.path.join(str(tmp_path / "star"), "transactions")).count() > 0
