@@ -68,6 +68,13 @@ _R1_CHECKED = {
 # rotates back into the general window.)
 _FRONT_PINS = [
     # newly registered in r6
+    "gapfill_hourly_interpolate",
+    "ewma_final_value_by_user",
+    "anomaly_zscore_events",
+    "line_dedup_boilerplate",
+    "fuzzy_join_part_names",
+    "quality_classifier_score",
+    "doc_length_histogram",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

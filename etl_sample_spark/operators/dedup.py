@@ -559,3 +559,80 @@ def contamination_flags(
         .withColumn("contamination_rate", F.col("n_hits") / F.col("n_ngrams"))
         .orderBy(id_col)
     )
+
+
+def line_level_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level deduplication: remove every "line" that
+    occurs in more than ``max_docs`` distinct documents (corpus-wide
+    boilerplate — headers, footers, licence blocks — survives exact and
+    near-dup DOCUMENT dedup because the surrounding text differs, yet
+    still floods the training mix with repeated spans).
+
+    The synthetic corpus stores single-line documents, so a "line" here
+    is a fixed ``line_tokens``-token segment of the whitespace
+    tokenization — the same segmentation rule applied identically in
+    the SQL oracle; on real multi-line text the segmentation column
+    would be ``split(text, '\\n')`` and nothing else changes.
+
+    Returns one row per document: ``(id, n_lines, n_removed,
+    text_clean)`` where ``text_clean`` re-joins the kept segments in
+    their original order (empty string if every segment was
+    boilerplate).
+
+    100 TB shape: segments shuffle once on their literal text to count
+    distinct documents (a map-side-combinable agg); the common-segment
+    set joins back as a shuffle equi-join (NOT a broadcast — on a real
+    corpus the boilerplate set is unbounded), and the per-document
+    re-assembly is one more shuffle on ``id_col``. No all-pairs
+    anything; every stage is linear in corpus size.
+
+    Reference analog: the per-statement line walks in
+    Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:372-763 (ordered
+    per-entity segment processing), re-expressed as set operations.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    seg = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    common = (
+        seg.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("__n_docs"))
+        .where(F.col("__n_docs") > max_docs)
+        .select("line")
+    )
+    kept = seg.join(common, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    base = docs.select(F.col(id_col), n_lines.alias("n_lines"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

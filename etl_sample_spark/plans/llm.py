@@ -2539,3 +2539,196 @@ def rebalance_source_mix_3_2_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "doc_id", {"src1": 3, "src2": 2, "src3": 1}
     )
     return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+@register(
+    "line_dedup_boilerplate",
+    """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+    segs AS (
+      SELECT doc_id,
+             CAST(g.i AS INT) AS pos,
+             ARRAY_TO_STRING(tk[(8 * g.i + 1):(8 * g.i + 8)], ' ') AS line
+      FROM toks, UNNEST(RANGE(CAST(CEIL(LEN(tk) / 8.0) AS BIGINT))) AS g(i)),
+    common AS (
+      SELECT line FROM segs GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.line FROM segs s ANTI JOIN common c USING (line)),
+    rebuilt AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INT)              AS n_kept,
+             STRING_AGG(line, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id),
+    base AS (
+      SELECT doc_id, CAST(CEIL(LEN(tk) / 8.0) AS INT) AS n_lines FROM toks)
+    SELECT b.doc_id,
+           b.n_lines,
+           CAST(b.n_lines - COALESCE(r.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(r.text_clean, '')                     AS text_clean
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    doc="CCNet-style line-level dedup: drop every 8-token segment that "
+    "appears in more than one distinct document (cross-document "
+    "boilerplate that survives document-level dedup), re-assembling each "
+    "document from its kept segments in order. The full cleaned text is "
+    "hash-checked, not just the counts. 100 TB shape: one "
+    "map-side-combinable distinct-doc count per segment, one shuffle "
+    "anti-join against the boilerplate set (NOT broadcast — boilerplate "
+    "is unbounded on a real corpus), one groupBy(doc_id) re-assembly; "
+    "linear in corpus size. operators/dedup.py::line_level_dedup.",
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import line_level_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_level_dedup(docs, "text", "doc_id", line_tokens=8, max_docs=1).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "fuzzy_join_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, STRING_SPLIT(p_name, ' ')[-1] AS block_key FROM names)
+    SELECT a.p_name                              AS name_a,
+           b.p_name                              AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.block_key = b.block_key
+     AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="Blocked fuzzy join (record linkage): near-identical part names "
+    "by edit distance <= 3, candidate pairs generated ONLY inside "
+    "blocks sharing the final token — the classic blocking-key "
+    "containment that turns O(n^2) linkage into sum-of-block^2. The "
+    "expensive levenshtein runs post-equi-join, never as a join "
+    "condition on its own (no NLJ; registry plan guard applies). 100 TB "
+    "shape: dictionary-first — DISTINCT collapses the fact table to its "
+    "name vocabulary before any pairing, so join input is vocabulary- "
+    "not row-count-sized; matched canonical pairs then broadcast back "
+    "to facts for repair (same shape as semantic_dedup_keep_best).",
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    blocked = (
+        part.select("p_name")
+        .distinct()
+        .select("p_name", F.element_at(F.split("p_name", " "), -1).alias("block_key"))
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+# Linear quality-classifier weights (fasttext-style fixed model: the
+# learned coefficients ship as literals; inference is a dot product).
+# Squashing uses softsign 0.5*(1+z/(1+|z|)) rather than the logistic —
+# rational arithmetic only (+ * / abs), so both engines produce the
+# bit-identical double and the keep-threshold cannot flip cross-engine
+# the way exp()'s libm ulp differences could.
+_QC_W = {"log_len": 0.9, "stop_ratio": -2.0, "uniq_ratio": 1.5, "bias": -4.5}
+
+
+@register(
+    "quality_classifier_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LN(CAST(n_chars AS DOUBLE))                               AS log_len,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
+               * 1.0 / LEN(STRING_SPLIT(text, ' '))                    AS stop_ratio,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+               * 1.0 / LEN(STRING_SPLIT(text, ' '))                    AS uniq_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             {_QC_W["log_len"]}::DOUBLE * log_len
+             + {_QC_W["stop_ratio"]}::DOUBLE * stop_ratio
+             + {_QC_W["uniq_ratio"]}::DOUBLE * uniq_ratio
+             + {_QC_W["bias"]}::DOUBLE AS z
+      FROM feats)
+    SELECT doc_id,
+           ROUND(0.5::DOUBLE * (1.0::DOUBLE + z / (1.0::DOUBLE + ABS(z))), 6) AS score,
+           CAST(z > 0 AS BOOLEAN) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Quality-classifier inference: a fixed linear model (fasttext- "
+    "style learned weights shipped as literals) over cheap text "
+    "features, squashed with the rational softsign instead of the "
+    "logistic so the score — and the keep decision at z>0 — is "
+    "bit-identical cross-engine (no libm exp in the comparison path). "
+    "This is the shape of every learned quality gate at 100 TB: "
+    "map-only inference fused into the scan, no shuffle, no Python — "
+    "model coefficients fold into the Catalyst expression tree.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    log_len = F.log(F.col("n_chars").cast("double"))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * 1.0 / n
+    uniq_ratio = F.size(F.array_distinct(toks)) * 1.0 / n
+    z = (
+        F.lit(_QC_W["log_len"]) * log_len
+        + F.lit(_QC_W["stop_ratio"]) * stop_ratio
+        + F.lit(_QC_W["uniq_ratio"]) * uniq_ratio
+        + F.lit(_QC_W["bias"])
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6).alias("score"),
+        (z > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(n_chars // 50 AS BIGINT)      AS bucket,
+           CAST(n_chars // 50 * 50 AS BIGINT) AS bucket_lo,
+           COUNT(*)                           AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)       AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+    doc="Corpus length histogram (fixed 50-char buckets, exact integer "
+    "floor-division bucketing): the length-distribution diagnostic every "
+    "dataset card carries. Map-side-combinable single groupBy; bucket "
+    "count bounded by the value range, not the corpus.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b = F.floor(F.col("n_chars") / 50)
+    return (
+        docs.groupBy(
+            b.cast("bigint").alias("bucket"),
+            (b * 50).cast("bigint").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )

@@ -957,3 +957,56 @@ def test_rebalance_source_mix_properties(spark, sf_dir):
         rebalance_source_mix(docs, "source", "doc_id", {"src1": 0})
     with _pytest.raises(ValueError, match="absent from corpus"):
         rebalance_source_mix(docs, "source", "doc_id", {"no_such_source": 1})
+
+
+def test_line_level_dedup_edge_semantics(spark):
+    """All-boilerplate docs collapse to '' (not a dropped row); unique
+    docs pass through byte-identical; counts reconcile."""
+    from etl_sample_spark.operators.dedup import line_level_dedup
+
+    rows = [
+        # doc 1 and 2 share their entire text -> every segment is
+        # cross-document boilerplate -> both clean to "".
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        # doc 3 is unique -> untouched.
+        (3, "unique tokens only here nothing shared at all"),
+        # doc 4 shares its FIRST 8-token segment with doc 5 but keeps
+        # its distinct tail.
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 tail4 only"),
+        (5, "x1 x2 x3 x4 x5 x6 x7 x8 tail5 differs"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in line_level_dedup(docs, "text", "doc_id", line_tokens=8).collect()
+    }
+    assert out[1]["text_clean"] == "" and out[1]["n_removed"] == out[1]["n_lines"] == 2
+    assert out[2]["text_clean"] == ""
+    assert out[3]["text_clean"] == rows[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "tail4 only" and out[4]["n_removed"] == 1
+    assert out[5]["text_clean"] == "tail5 differs"
+
+
+def test_ewma_matches_reference_fold(spark, sf_dir):
+    """The registered EWMA equals an independently-computed Python fold
+    over the same (ts, event_id)-ordered values (exact recurrence, not
+    the rounded oracle)."""
+    from etl_sample_spark.plans.registry import REGISTRY
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in REGISTRY["ewma_final_value_by_user"].spark(spark, sf_dir).collect()
+    }
+    ev = catalog.table(spark, sf_dir, "events")
+    by_user = {}
+    for r in ev.select("user_id", "ts", "event_id", "value").collect():
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    for uid, rows in by_user.items():
+        xs = [v for _, _, v in sorted(rows, key=lambda t: (t[0], t[1]))]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = 0.3 * x + 0.7 * acc
+        n, ewma = got[uid]
+        assert n == len(xs)
+        assert abs(ewma - acc) < 1e-6, (uid, ewma, acc)
