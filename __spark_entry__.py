@@ -75,6 +75,7 @@ _FRONT_PINS = [
     "fuzzy_join_part_names",
     "quality_classifier_score",
     "doc_length_histogram",
+    "zorder_curve_rank_parts",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",
