@@ -76,6 +76,9 @@ _FRONT_PINS = [
     "quality_classifier_score",
     "doc_length_histogram",
     "zorder_curve_rank_parts",
+    "heavy_hitters_tokens",
+    "countmin_token_estimate",
+    "unigram_logprob_score",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

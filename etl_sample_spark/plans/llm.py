@@ -2732,3 +2732,185 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "heavy_hitters_tokens",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    counts AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
+    SELECT c.t AS token,
+           CAST(c.cnt AS BIGINT) AS cnt,
+           c.cnt * 1.0 / tt.n    AS share
+    FROM counts c CROSS JOIN tot tt
+    WHERE c.cnt * 200 > tt.n
+    ORDER BY token
+    """,
+    doc="Exact heavy hitters: tokens exceeding 0.5% of the corpus token "
+    "mass — the vocabulary-pollution diagnostic (a token this hot is "
+    "usually boilerplate, markup, or a tokenizer bug). share is an "
+    "exact integer ratio, emitted unrounded. 100 TB shape: one explode "
+    "+ one map-side-combinable count; the threshold comparison uses "
+    "integer cross-multiplication (cnt*200 > n), no division, and the "
+    "1-row total broadcasts. The sketch twin for one-pass streaming "
+    "settings is countmin_token_estimate.",
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * 200 > F.col("n"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt") * 1.0 / F.col("n")).alias("share"),
+        )
+        .orderBy("token")
+    )
+
+
+# Count-min sketch geometry: d affine hash rows over w counters. The row
+# hashes are affine variants of the portable token hash — NOT independent
+# (which costs accuracy, documented), but the sketch's one-sided
+# guarantee (estimate >= exact, always) holds for ANY hash family, and
+# portability is what lets the oracle rebuild the sketch bit-for-bit.
+_CM_W = 1024
+_CM_ROWS = [(1, 0), (31, 7), (131, 13), (1000003, 29)]
+
+
+def _cm_cell_sql(h: str, a: int, b: int) -> str:
+    return f"((({h}) * {a} + {b}) % {_CM_W})"
+
+
+@register(
+    "countmin_token_estimate",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    hashed AS (
+      SELECT t, {_HASH_SQL.format(t="t")} AS h FROM tok),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS row_id, {_cm_cell_sql('h', a, b)} AS cell, COUNT(*) AS c "
+          f"FROM hashed GROUP BY 1, 2"
+          for r, (a, b) in enumerate(_CM_ROWS))}),
+    exact AS (
+      SELECT t, MIN(h) AS h, COUNT(*) AS cnt FROM hashed GROUP BY t
+      ORDER BY cnt DESC, t LIMIT 20),
+    probed AS (
+      SELECT e.t, e.cnt,
+             {", ".join(
+                 f"MAX(CASE WHEN c.row_id = {r} AND c.cell = {_cm_cell_sql('e.h', a, b)} "
+                 f"THEN c.c END) AS est_{r}"
+                 for r, (a, b) in enumerate(_CM_ROWS))}
+      FROM exact e CROSS JOIN cells c
+      GROUP BY e.t, e.cnt, e.h)
+    SELECT t AS token,
+           CAST(cnt AS BIGINT) AS exact_cnt,
+           CAST(LEAST(est_0, est_1, est_2, est_3) AS BIGINT) AS cm_estimate
+    FROM probed
+    ORDER BY exact_cnt DESC, token
+    """,
+    doc="Count-min sketch frequency estimation, rebuilt bit-for-bit in "
+    "SQL: d=4 affine-hash rows x w=1024 counters over the corpus token "
+    "stream; the 20 hottest tokens are probed and the estimate "
+    "(min across rows) is emitted next to the exact count. The sketch's "
+    "one-sided guarantee — estimate >= exact for EVERY token, any hash "
+    "family — is pinned for all tokens in pytest "
+    "(test_countmin_never_underestimates). 100 TB shape: the sketch is "
+    "a fixed d*w-cell aggregate (map-side combinable, ~KBs per "
+    "executor) — frequency estimates without a per-token shuffle; the "
+    "probe side broadcasts.",
+)
+def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import _token_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    hashed = tok.select("t", _token_hash(F.col("t")).alias("h"))
+    cells = None
+    for r, (a, b) in enumerate(_CM_ROWS):
+        part = hashed.groupBy(((F.col("h") * a + b) % _CM_W).alias("cell")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(r).alias("row_id"), "cell", "c")
+        cells = part if cells is None else cells.unionAll(part)
+    exact = (
+        hashed.groupBy("t")
+        .agg(F.min("h").alias("h"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "t")
+        .limit(20)
+    )
+    probed = exact.crossJoin(cells)
+    agg_cols = [
+        F.max(
+            F.when(
+                (F.col("row_id") == r)
+                & (F.col("cell") == (F.col("h") * a + b) % _CM_W),
+                F.col("c"),
+            )
+        ).alias(f"est_{r}")
+        for r, (a, b) in enumerate(_CM_ROWS)
+    ]
+    return (
+        probed.groupBy("t", "cnt", "h")
+        .agg(*agg_cols)
+        .select(
+            F.col("t").alias("token"),
+            F.col("cnt").cast("bigint").alias("exact_cnt"),
+            F.least("est_0", "est_1", "est_2", "est_3")
+            .cast("bigint")
+            .alias("cm_estimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(LN(f.cnt * 1.0 / tt.n)) / COUNT(*), 6) AS avg_logprob
+    FROM tok k
+    JOIN freq f ON f.t = k.t
+    CROSS JOIN tot tt
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+    doc="Unigram language-model scoring: each document's mean token "
+    "log-probability under the corpus's own unigram model — the "
+    "KenLM-perplexity-shaped quality signal (gibberish and rare-token "
+    "spam score low; every probe token exists in the model by "
+    "construction, so no smoothing term clouds the oracle). 100 TB "
+    "shape: two passes — a map-side-combinable vocabulary count, then "
+    "one token-stream join against it (at real vocabulary sizes a "
+    "shuffle join; Spark's AQE broadcasts it when small) and a "
+    "groupBy(doc_id). LN ulp noise sits far below ROUND(,6), the "
+    "established convention.",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(freq, "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("cnt") * 1.0 / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1010,3 +1010,35 @@ def test_ewma_matches_reference_fold(spark, sf_dir):
         n, ewma = got[uid]
         assert n == len(xs)
         assert abs(ewma - acc) < 1e-6, (uid, ewma, acc)
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CM one-sided error bound: estimate >= exact for EVERY token (not
+    just the 20 the registered query probes), and equality for tokens
+    whose cells suffered no collisions."""
+    from etl_sample_spark.operators.dedup import _token_hash
+    from etl_sample_spark.plans.llm import _CM_ROWS, _CM_W
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    hashed = tok.select("t", _token_hash(F.col("t")).alias("h")).cache()
+    cells = {}
+    for r, (a, b) in enumerate(_CM_ROWS):
+        for row in (
+            hashed.groupBy(((F.col("h") * a + b) % _CM_W).alias("cell")).count().collect()
+        ):
+            cells[(r, row["cell"])] = row["count"]
+    exact = {
+        row["t"]: (row["h"], row["cnt"])
+        for row in hashed.groupBy("t")
+        .agg(F.min("h").alias("h"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    hashed.unpersist()
+    n_tight = 0
+    for t, (h, cnt) in exact.items():
+        est = min(cells[(r, (h * a + b) % _CM_W)] for r, (a, b) in enumerate(_CM_ROWS))
+        assert est >= cnt, (t, est, cnt)
+        n_tight += est == cnt
+    # the sketch must be informative, not saturated
+    assert n_tight >= len(exact) // 4, (n_tight, len(exact))
