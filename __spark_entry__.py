@@ -79,6 +79,8 @@ _FRONT_PINS = [
     "heavy_hitters_tokens",
     "countmin_token_estimate",
     "unigram_logprob_score",
+    "pagerank_trade_network",
+    "entity_resolution_part_names",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

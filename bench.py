@@ -46,6 +46,11 @@ HEADLINE = (
     "similarity_bruteforce_top10",
     "text_stats",
     "doc_fingerprints",
+    # r6 additions: the multi-shuffle curation pipeline (explode ->
+    # count -> anti-join -> reassemble) and the grid-densify+window
+    # time-series shape — both new families need a trend line.
+    "line_dedup_boilerplate",
+    "gapfill_hourly_interpolate",
     # [REF] normalization core: nested corpus -> normalize() spec ->
     # FK join-back -> exact-decimal rollup (plans/normcore.py).
     "normalize_star_rebuild",

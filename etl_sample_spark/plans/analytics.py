@@ -335,3 +335,109 @@ def zorder_curve_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("int").alias("p_size"),
         z.cast("bigint").alias("zrank"),
     ).orderBy("p_partkey")
+
+
+# Fixed-point PageRank constants: ranks live on an integer 1e12 grid and
+# every update is integer multiply/divide, so the iteration is
+# bit-identical in any engine and independent of partition layout or
+# summation order — the same determinism trick as the money decimals.
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    edges = """
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey"""
+    base = f"(15 * {_PR_SCALE}) // (100 * (SELECT COUNT(*) FROM nation))"
+    steps = ",".join(
+        f"""
+    pr{i} AS (
+      SELECT n.node,
+             CAST({base} + COALESCE(SUM((85 * p.rank) // (100 * od.deg)), 0) AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN pr{i - 1} p ON p.node = e.src
+      LEFT JOIN outdeg od ON od.src = e.src
+      GROUP BY n.node)"""
+        for i in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+    WITH
+    edges AS ({edges}),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (
+      SELECT node,
+             CAST({_PR_SCALE} // (SELECT COUNT(*) FROM nation) AS BIGINT) AS rank
+      FROM nodes),
+    {steps}
+    SELECT na.n_name AS nation, p.rank AS rank
+    FROM pr{_PR_ITERS} p JOIN nation na ON na.n_nationkey = p.node
+    ORDER BY rank DESC, nation
+    """
+
+
+@register(
+    "pagerank_trade_network",
+    _pagerank_oracle(),
+    doc="Iterative graph algorithm: 5 power-iterations of PageRank "
+    "(d=0.85) over the nation trade network (edge = some customer of "
+    "nation A bought from some supplier of nation B). Ranks are "
+    "FIXED-POINT integers on a 1e12 grid — every update is integer "
+    "multiply/divide, so the result is bit-identical across engines, "
+    "partition layouts, and summation orders (floating-point PageRank "
+    "is none of those), letting an iterative algorithm carry a full "
+    "hash oracle (unrolled CTE chain). 100 TB shape: the edge list is "
+    "built once from the facts (distinct collapses it to "
+    "|V|^2-bounded); each iteration is one join + one "
+    "map-side-combinable grouped sum, i.e. k shuffles for k "
+    "iterations — at scale, pre-partition edges and ranks on node so "
+    "iterations co-locate without re-shuffling. Only the node COUNT "
+    "(one scalar) touches the driver.",
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    edges = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(supplier, supplier["s_suppkey"] == lineitem["l_suppkey"])
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()  # bounded: |nation| rows
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = (15 * _PR_SCALE) // (100 * n_nodes)
+
+    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE // n_nodes).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select("dst", F.expr("(85 * rank) div (100 * deg)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("s", F.lit(0))).cast("bigint").alias("rank"),
+            )
+        )
+    return (
+        ranks.join(nation, ranks["node"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "rank")
+        .orderBy(F.desc("rank"), "nation")
+    )

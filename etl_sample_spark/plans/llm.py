@@ -2914,3 +2914,75 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _fuzzy_pairs_oracle() -> str:
+    return """
+      SELECT a.p_name AS a_id, b.p_name AS b_id
+      FROM (SELECT p_name, STRING_SPLIT(p_name, ' ')[-1] AS bk
+            FROM (SELECT DISTINCT p_name FROM part)) a
+      JOIN (SELECT p_name, STRING_SPLIT(p_name, ' ')[-1] AS bk
+            FROM (SELECT DISTINCT p_name FROM part)) b
+        ON a.bk = b.bk AND a.p_name < b.p_name
+           AND levenshtein(a.p_name, b.p_name) <= 3"""
+
+
+@register(
+    "entity_resolution_part_names",
+    f"""
+    WITH RECURSIVE pairs AS ({_fuzzy_pairs_oracle()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(name, r) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.name, e.v FROM reach r JOIN edges e ON r.r = e.u),
+    canon AS (SELECT name, MIN(r) AS canonical FROM reach GROUP BY name)
+    SELECT d.p_name                        AS name,
+           COALESCE(c.canonical, d.p_name) AS canonical,
+           CAST(COUNT(*) AS BIGINT)        AS n_parts
+    FROM part d LEFT JOIN canon c ON c.name = d.p_name
+    GROUP BY 1, 2
+    ORDER BY canonical, name
+    """,
+    doc="Entity resolution end-to-end: blocked fuzzy pairs "
+    "(fuzzy_join_part_names) -> connected components over the match "
+    "graph -> canonical surface form (min name per component) -> "
+    "repair-back join counting the fact rows each mapping touches. The "
+    "full dirty-dimension cleanup a warehouse runs before conformed "
+    "joins. Oracle = recursive-CTE transitive closure, an independent "
+    "algorithm vs the label-propagation fixpoint. 100 TB shape: "
+    "everything pairwise happens on the DISTINCT name vocabulary "
+    "(dictionary-sized); the only fact-table touch is the final "
+    "broadcastable canonical-map join.",
+)
+def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import neardup_clusters
+
+    part = _t(spark, sf_dir, "part")
+    blocked = (
+        part.select("p_name")
+        .distinct()
+        .select("p_name", F.element_at(F.split("p_name", " "), -1).alias("bk"))
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(F.col("a.p_name").alias("a_id"), F.col("b.p_name").alias("b_id"))
+    )
+    canon = neardup_clusters(pairs).select(
+        F.col("doc_id").alias("name"), F.col("cluster_id").alias("canonical")
+    )
+    return (
+        part.join(F.broadcast(canon), part["p_name"] == canon["name"], "left")
+        .groupBy(
+            F.col("p_name").alias("name"),
+            F.coalesce("canonical", "p_name").alias("canonical"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("canonical", "name")
+    )
