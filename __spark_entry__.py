@@ -81,6 +81,9 @@ _FRONT_PINS = [
     "unigram_logprob_score",
     "pagerank_trade_network",
     "entity_resolution_part_names",
+    "next_event_training_pairs",
+    "snapshot_diff_orders",
+    "quantile_binning_order_prices",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

@@ -441,3 +441,111 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), "rank")
         .orderBy(F.desc("rank"), "nation")
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN ROUND(o_totalprice + 1.0, 2) ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           ROUND(a.o_totalprice, 2) AS price_before,
+           ROUND(b.o_totalprice, 2) AS price_after
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice OR a.o_orderstatus <> b.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+    doc="Snapshot reconciliation: diff two versions of a table by key "
+    "into added / removed / changed rows (the data-versioning audit "
+    "behind every ingest validation and CDC backfill check; snapshot B "
+    "deterministically perturbs 1% of prices so 'changed' is "
+    "non-vacuous). One full-outer shuffle join on the key, unchanged "
+    "rows filtered before any output materializes. 100 TB shape: "
+    "both sides bucket/cluster on the key -> the join co-locates; the "
+    "output is only the delta, never the table.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    snap_a = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_b = orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.round(F.col("o_totalprice") + 1.0, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        joined.where(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        )
+        .select(
+            F.coalesce("a.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), "added")
+            .when(F.col("b.o_orderkey").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            F.round("a.o_totalprice", 2).alias("price_before"),
+            F.round("b.o_totalprice", 2).alias("price_after"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "quantile_binning_order_prices",
+    """
+    WITH binned AS (
+      SELECT o_orderstatus, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(bin AS INT)            AS bin,
+           CAST(COUNT(*) AS BIGINT)    AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM binned
+    GROUP BY o_orderstatus, bin
+    ORDER BY o_orderstatus, bin
+    """,
+    doc="Equi-depth feature discretization: quartile bin per order "
+    "within its status via NTILE over a total order (o_orderkey "
+    "tiebreak makes the binning exactly deterministic — rank-based, no "
+    "interpolation, so no cross-engine percentile boundary to disagree "
+    "on), reported as per-bin count + value range (the bin edges a "
+    "feature store would persist). One window shuffle + one groupBy.",
+)
+def quantile_binning_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_orderstatus", "o_totalprice", F.ntile(4).over(w).alias("bin"))
+        .groupBy("o_orderstatus", F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderstatus", "bin")
+    )
