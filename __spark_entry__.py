@@ -84,6 +84,7 @@ _FRONT_PINS = [
     "next_event_training_pairs",
     "snapshot_diff_orders",
     "quantile_binning_order_prices",
+    "multimodal_mjpeg_framesample",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

@@ -1171,3 +1171,116 @@ def frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(stats, schema=schema)
+
+
+def encode_mjpeg_avi(width: int, height: int, jpeg_frames: list[bytes], fps: int = 10) -> bytes:
+    """Motion-JPEG AVI: the same RIFF container as ``encode_avi`` but
+    with compressed '00dc' frame chunks, each a complete baseline JFIF
+    payload — the simplest real compressed-video format (every frame
+    independently decodable; no inter-frame prediction)."""
+    import struct
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return ctype + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0, len(jpeg_frames), 0, 1, width * height * 3,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _avi_frames_tagged(data: bytes) -> tuple[int, int, list[tuple[bytes, bytes]]]:
+    """RIFF chunk walk returning (width, height, [(fourcc, frame_bytes)])
+    for both raw ('00db') and compressed ('00dc') streams."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = None
+    frames: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if ctype == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif ctype == b"avih":
+                hdr = struct.unpack_from("<IIIIIIIIII", data, body_start)
+                width, height = hdr[8], hdr[9]
+            elif ctype in (b"00db", b"00dc"):
+                frames.append((ctype, data[body_start : body_start + length]))
+            pos = body_start + length + (length & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", data, 4)[0])
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return width, height, frames
+
+
+def attach_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize GENUINE Motion-JPEG AVI payloads: each frame is a real
+    Huffman-coded baseline JFIF (constant 8x8 blocks + all-8s quant, the
+    bit-exact configuration — see ``attach_jpeg_media``) packed into the
+    RIFF container as '00dc' chunks. Closes the compressed-video gap:
+    the container walk AND the per-frame entropy decode both execute for
+    real."""
+    schema = f"{id_col} BIGINT, media_bytes BINARY, media_meta STRUCT<{MEDIA_META_FIELDS}>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": [], "media_meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h, nf = 8 * (1 + doc_id % 2), 8 * (1 + doc_id % 3), 2 + doc_id % 4
+                frames = [
+                    encode_jpeg(
+                        w, h,
+                        lambda x, y, f=f: (doc_id * 37 + f * 19 + (x // 8) * 11 + (y // 8) * 23) % 256,
+                        gray=True,
+                    )
+                    for f in range(nf)
+                ]
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(encode_mjpeg_avi(w, h, frames))
+                out["media_meta"].append(
+                    {"width": w, "height": h, "format": "mjpeg", "n_frames": nf}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(encode, schema=schema)
+
+
+def mjpeg_frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Sampled-frame statistics for Motion-JPEG AVI payloads: container
+    walk, keep every ``every_nth`` frame, JPEG-decode it, emit per-frame
+    dims + exact pixel mean — the compressed twin of ``frame_stats``."""
+    schema = "doc_id BIGINT, frame_idx INT, width INT, height INT, frame_mean DOUBLE"
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "width": [], "height": [], "frame_mean": []}
+            for _, r in pdf.iterrows():
+                _w, _h, frames = _avi_frames_tagged(bytes(r["media_bytes"]))
+                for fi in range(0, len(frames), every_nth):
+                    fourcc, payload = frames[fi]
+                    if fourcc != b"00dc":
+                        raise ValueError("mjpeg_frame_stats expects compressed frames")
+                    w, h, _ncomp, px = _decode_jpeg(payload)
+                    rows["doc_id"].append(int(r["doc_id"]))
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_mean"].append(sum(px) / len(px) if px else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(stats, schema=schema)

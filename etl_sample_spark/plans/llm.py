@@ -2845,26 +2845,33 @@ def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "t")
         .limit(20)
     )
-    probed = exact.crossJoin(cells)
-    agg_cols = [
-        F.max(
-            F.when(
-                (F.col("row_id") == r)
-                & (F.col("cell") == (F.col("h") * a + b) % _CM_W),
-                F.col("c"),
+    # Probe = equi-join: explode each probe token to its d (row, cell)
+    # addresses and join the (bounded, broadcastable) sketch table — no
+    # cross join anywhere, and the shape stays a map-side hash probe no
+    # matter how many tokens are queried.
+    probe_cells = exact.select(
+        "t",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        ((F.col("h") * a + b) % _CM_W).alias("cell"),
+                    )
+                    for r, (a, b) in enumerate(_CM_ROWS)
+                ]
             )
-        ).alias(f"est_{r}")
-        for r, (a, b) in enumerate(_CM_ROWS)
-    ]
+        ).alias("rc"),
+    ).select("t", "cnt", "rc.row_id", "rc.cell")
     return (
-        probed.groupBy("t", "cnt", "h")
-        .agg(*agg_cols)
+        probe_cells.join(F.broadcast(cells), ["row_id", "cell"])
+        .groupBy("t", "cnt")
+        .agg(F.min("c").alias("est"))
         .select(
             F.col("t").alias("token"),
             F.col("cnt").cast("bigint").alias("exact_cnt"),
-            F.least("est_0", "est_1", "est_2", "est_3")
-            .cast("bigint")
-            .alias("cm_estimate"),
+            F.col("est").cast("bigint").alias("cm_estimate"),
         )
         .orderBy(F.desc("exact_cnt"), "token")
     )
@@ -2985,4 +2992,47 @@ def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("canonical", "name")
+    )
+
+
+@register(
+    "multimodal_mjpeg_framesample",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 2) AS INT) AS w,
+             CAST(8 * (1 + doc_id % 3) AS INT) AS h,
+             CAST(2 + doc_id % 4 AS INT)       AS nf
+      FROM documents),
+    fr AS (
+      SELECT doc_id, w, h, CAST(f.f AS INT) AS frame_idx
+      FROM dims, UNNEST(RANGE(0, nf, 2)) AS f(f)),
+    blocks AS (
+      SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+             ((fr.doc_id * 37 + fr.frame_idx * 19 + bx.bx * 11 + by.by * 23) % 256) AS v
+      FROM fr,
+           UNNEST(RANGE(fr.w // 8)) AS bx(bx),
+           UNNEST(RANGE(fr.h // 8)) AS by(by))
+    SELECT doc_id, frame_idx, w AS width, h AS height,
+           SUM(v) / COUNT(*) AS frame_mean
+    FROM blocks
+    GROUP BY doc_id, frame_idx, w, h
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="L5 REAL compressed-video decode: genuine Motion-JPEG AVI "
+    "payloads — each '00dc' chunk a real Huffman-coded baseline JFIF — "
+    "container-walked AND per-frame entropy-decoded (Huffman + dequant "
+    "+ IDCT) by the pure-Python codecs through mapInPandas; every 2nd "
+    "frame sampled. Constant 8x8 blocks + all-8s quant decode "
+    "bit-exactly, so the oracle recomputes the sampled frame means in "
+    "SQL and the whole compressed-video path is value-checked "
+    "cross-engine. Closes the last stubbed video codec. "
+    "operators/multimodal.py::attach_mjpeg_media / mjpeg_frame_stats.",
+)
+def multimodal_mjpeg_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_mjpeg_media, mjpeg_frame_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return mjpeg_frame_stats(attach_mjpeg_media(docs), every_nth=2).orderBy(
+        "doc_id", "frame_idx"
     )

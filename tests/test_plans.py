@@ -78,6 +78,7 @@ _CODEC_QUERIES = {
     "multimodal_resize_stats",
     "multimodal_wav_decode",
     "multimodal_video_framesample",
+    "multimodal_mjpeg_framesample",
     "multimodal_image_features",
 }
 # The registered-UDTF surface demo (SURVEY §2.11): deliberately Python,
@@ -164,6 +165,8 @@ _SCALAR_SUBQUERY = {
     "q22_idle_customers",
     "subquery_above_avg_lineitems",
     "tfidf_sample_docs",
+    "heavy_hitters_tokens",  # one-row total-token-count broadcast
+    "unigram_logprob_score",  # same one-row totals broadcast
 }
 
 

@@ -346,3 +346,41 @@ def test_scd2_merge_matches_reference_model(spark, n_dim, n_upd, seed):
         if k not in dim:
             expect.add((k, v, "2021-01-01", "None", True))
     assert got == expect
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    n_frames=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_mjpeg_container_and_frame_decode_property(bw, bh, n_frames, seed):
+    """Motion-JPEG AVI: the container walk recovers every '00dc' chunk
+    byte-exactly, and each chunk JPEG-decodes to the constant-block
+    pattern it was encoded from (bit-exact under the all-8s quant
+    table) — for arbitrary block dims and frame counts."""
+    from etl_sample_spark.operators.multimodal import (
+        _avi_frames_tagged,
+        _decode_jpeg,
+        encode_jpeg,
+        encode_mjpeg_avi,
+    )
+
+    w, h = bw * 8, bh * 8
+    def val(f, x, y):
+        return (seed + f * 19 + (x // 8) * 11 + (y // 8) * 23) % 256
+
+    jpegs = [
+        encode_jpeg(w, h, lambda x, y, f=f: val(f, x, y), gray=True)
+        for f in range(n_frames)
+    ]
+    gw, gh, tagged = _avi_frames_tagged(encode_mjpeg_avi(w, h, jpegs))
+    assert (gw, gh) == (w, h)
+    assert [t for t, _ in tagged] == [b"00dc"] * n_frames
+    assert [b for _, b in tagged] == jpegs
+    for f, (_, payload) in enumerate(tagged):
+        dw, dh, ncomp, px = _decode_jpeg(payload)
+        assert (dw, dh, ncomp) == (w, h, 1)
+        expect = [val(f, x, y) for y in range(h) for x in range(w)]
+        assert px == expect

@@ -51,6 +51,14 @@ FLAGSHIP = (
     "q9_product_profit",
     "q3_shipping_priority",
     "q18_large_quantity_orders",
+    # r6 additions: the heaviest new shapes — multi-shuffle line dedup,
+    # token-stream LM scoring, iterative PageRank (k joins), and the
+    # fuzzy-closure entity-resolution composition. Each must also stay
+    # ~linear at 10× or its 100 TB story is wrong.
+    "line_dedup_boilerplate",
+    "unigram_logprob_score",
+    "pagerank_trade_network",
+    "entity_resolution_part_names",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
