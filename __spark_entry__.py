@@ -85,6 +85,9 @@ _FRONT_PINS = [
     "snapshot_diff_orders",
     "quantile_binning_order_prices",
     "multimodal_mjpeg_framesample",
+    "inverted_index_postings",
+    "bigram_pmi_collocations",
+    "markov_event_transitions",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

@@ -3036,3 +3036,180 @@ def multimodal_mjpeg_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_frame_stats(attach_mjpeg_media(docs), every_nth=2).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    tf AS (
+      SELECT t, doc_id, COUNT(*) AS f FROM tok GROUP BY t, doc_id)
+    SELECT t AS token,
+           CAST(COUNT(*) AS BIGINT)  AS df,
+           CAST(SUM(f) AS BIGINT)    AS cf,
+           list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 5) AS top_postings
+    FROM (SELECT t, doc_id, f,
+                 ROW_NUMBER() OVER (PARTITION BY t ORDER BY f DESC, doc_id) AS rn
+          FROM tf)
+    GROUP BY t
+    ORDER BY token
+    """,
+    doc="Inverted-index construction: per token, document frequency, "
+    "collection frequency, and the head of the posting list (top-5 docs "
+    "by term frequency, doc_id-tiebroken) — the index build behind "
+    "BM25/ranked retrieval (bm25_score_query recomputes stats inline; "
+    "this materializes them). 100 TB shape: explode + one "
+    "map-side-combinable (token, doc) count + one token-partitioned "
+    "window; posting heads are bounded per token so the output is "
+    "vocabulary-sized. Full postings would partitionBy(token) to "
+    "parquet instead of collecting into a row.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("t").orderBy(F.desc("f"), "doc_id")
+    ranked = tf.select("t", "doc_id", "f", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("f").cast("bigint").alias("cf"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= 5, F.col("doc_id")))
+            ).alias("top_postings"),
+        )
+        .select(F.col("t").alias("token"), "df", "cf", "top_postings")
+        .orderBy("token")
+    )
+
+
+@register(
+    "bigram_pmi_collocations",
+    """
+    WITH tok AS (
+      SELECT doc_id, t, i FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS i
+        FROM documents)),
+    bi AS (
+      SELECT a.t AS w1, b.t AS w2
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n_uni FROM tok),
+    bic AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    btot AS (SELECT COUNT(*) AS n_bi FROM bi)
+    SELECT b.w1, b.w2,
+           CAST(b.c12 AS BIGINT) AS n_pair,
+           ROUND(LN((b.c12 * 1.0 / bt.n_bi)
+                    / ((u1.c * 1.0 / t.n_uni) * (u2.c * 1.0 / t.n_uni))), 6) AS pmi
+    FROM bic b
+    JOIN uni u1 ON u1.t = b.w1
+    JOIN uni u2 ON u2.t = b.w2
+    CROSS JOIN tot t CROSS JOIN btot bt
+    WHERE b.c12 >= 20
+    ORDER BY pmi DESC, b.w1, b.w2
+    """,
+    doc="Collocation mining: pointwise mutual information of adjacent "
+    "token pairs (observed bigram probability vs independence), "
+    "min-support 20 — the phrase detector behind tokenizer vocab "
+    "construction and boilerplate discovery. Bigrams come from a "
+    "positional self-join (equi on doc + adjacent index; at scale the "
+    "map-side array-zip form avoids even that). Counts are exact; the "
+    "single LN sits under ROUND(,6). One-row totals broadcast.",
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # Map-side bigram construction: zip the token array with its tail —
+    # no positional self-join needed (the SQL oracle spells the join
+    # form; same multiset either way).
+    bi = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = docs.select(F.explode(toks).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni"))
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    btot = bic.agg(F.sum("c12").alias("n_bi"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") * 1.0 / F.col("n_bi"))
+        / ((F.col("c1") * 1.0 / F.col("n_uni")) * (F.col("c2") * 1.0 / F.col("n_uni")))
+    )
+    return (
+        bic.where(F.col("c12") >= 20)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, SUM(c) AS n FROM trans GROUP BY src)
+    SELECT t.src, t.dst,
+           CAST(t.c AS BIGINT) AS n,
+           t.c * 1.0 / tt.n    AS p
+    FROM trans t JOIN tot tt ON tt.src = t.src
+    ORDER BY t.src, t.dst
+    """,
+    doc="First-order Markov transition matrix over user event streams: "
+    "P(next event type | current), from one LEAD window + two tiny "
+    "grouped counts — the session-dynamics model behind journey "
+    "analysis and synthetic-sequence generation. p is an exact integer "
+    "ratio (unrounded, bit-identical). 100 TB shape: one user_id "
+    "shuffle; the transition matrix is |types|^2-bounded.",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+    trans = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = trans.groupBy("src").agg(F.sum("c").alias("n"))
+    return (
+        trans.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            F.col("c").cast("bigint").alias("n"),
+            (F.col("c") * 1.0 / F.col("n")).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )

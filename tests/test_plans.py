@@ -167,6 +167,7 @@ _SCALAR_SUBQUERY = {
     "tfidf_sample_docs",
     "heavy_hitters_tokens",  # one-row total-token-count broadcast
     "unigram_logprob_score",  # same one-row totals broadcast
+    "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
 }
 
 
