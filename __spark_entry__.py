@@ -88,6 +88,8 @@ _FRONT_PINS = [
     "inverted_index_postings",
     "bigram_pmi_collocations",
     "markov_event_transitions",
+    "rfm_customer_scores",
+    "benford_first_digit_audit",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

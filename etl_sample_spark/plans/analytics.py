@@ -549,3 +549,127 @@ def quantile_binning_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus", "bin")
     )
+
+
+@register(
+    "rfm_customer_scores",
+    """
+    WITH base AS (
+      SELECT o_custkey                                             AS c_custkey,
+             DATE_DIFF('day', MAX(o_orderdate), TIMESTAMP '2001-09-01') AS recency_days,
+             COUNT(*)                                              AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)))              AS monetary_dec
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary_dec,
+             NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency ASC,  c_custkey)    AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_dec ASC, c_custkey)  AS m_score
+      FROM base)
+    SELECT CAST(c_custkey AS BIGINT)     AS c_custkey,
+           CAST(recency_days AS INT)     AS recency_days,
+           CAST(frequency AS BIGINT)     AS frequency,
+           CAST(CAST(monetary_dec AS VARCHAR) AS DOUBLE) AS monetary,
+           CAST(r_score AS INT)          AS r_score,
+           CAST(f_score AS INT)          AS f_score,
+           CAST(m_score AS INT)          AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    ORDER BY c_custkey
+    """,
+    doc="RFM customer scoring: recency (days to a fixed as-of date), "
+    "frequency, exact-decimal monetary, each quintiled with NTILE over "
+    "a custkey-tiebroken total order (rank-based -> no percentile "
+    "interpolation to disagree on; monetary ranks on the DECIMAL sum, "
+    "so ordering is exact), concatenated into the classic 555-style "
+    "segment label. The standard marketing-feature materialization. "
+    "100 TB shape: one groupBy(custkey) + three global windows — at "
+    "scale the NTILEs would switch to percent_rank within hash buckets "
+    "or a two-pass histogram cutoff; the semantics here are the "
+    "checkable core.",
+)
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.functions.money import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec2("o_totalprice")).alias("monetary_dec"),
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), "c_custkey")
+    f_w = Window.orderBy(F.asc("frequency"), "c_custkey")
+    m_w = Window.orderBy(F.asc("monetary_dec"), "c_custkey")
+    scored = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_dec",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "benford_first_digit_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT c.digit,
+           CAST(c.n AS BIGINT)       AS n,
+           c.n * 1.0 / t.total       AS observed_share,
+           ROUND(LOG10(1.0 + 1.0 / c.digit), 6) AS benford_share
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.digit
+    """,
+    doc="Benford's-law first-digit audit of order prices: observed "
+    "leading-digit distribution (exact integer ratios, unrounded) next "
+    "to the Benford expectation log10(1+1/d) — the classic "
+    "fabricated-data / corrupted-feed detector a data-quality suite "
+    "runs on money columns. One map pass + a 9-row aggregate; the "
+    "1-row total broadcasts. (Synthetic uniform-ish prices should and "
+    "do deviate from Benford — the audit reports, it doesn't gate.)",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") * 1.0 / F.col("total")).alias("observed_share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )

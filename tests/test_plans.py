@@ -168,6 +168,7 @@ _SCALAR_SUBQUERY = {
     "heavy_hitters_tokens",  # one-row total-token-count broadcast
     "unigram_logprob_score",  # same one-row totals broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
+    "benford_first_digit_audit",  # one-row total broadcast for the shares
 }
 
 
