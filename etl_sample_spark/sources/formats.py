@@ -1,0 +1,69 @@
+"""Tabular source formats beyond parquet/JSON: CSV with corrupt-record
+quarantine, ORC, and schema-evolution reads.
+
+[EXT] surface: the reference ingests only JSON blobs
+(Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:769-805), but an
+engine replacing it ingests whatever lands in the lake. Same principles
+as the JSON reader (sources/documents.py::read_form): explicit schema,
+PERMISSIVE mode, malformed rows quarantined — never silently dropped,
+never inferred-schema surprises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema'd CSV scan returning ``(good, quarantine)``: rows that
+    fail the schema (wrong arity, uncastable values) surface in the
+    quarantine frame with the raw line preserved — the CSV twin of the
+    JSON corrupt-record path. PERMISSIVE + explicit schema keeps the
+    scan a single pass (no inference job) and pushdown-friendly.
+
+    Note Spark's documented caveat: referencing ONLY the corrupt column
+    of a CSV scan is disallowed, so callers must keep at least one data
+    column selected — both returned frames do.
+    """
+    full = schema.add(CORRUPT_COL, StringType())
+    df = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+        .cache()  # one scan feeds both splits; unpersist after sinking
+    )
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.where(F.col(CORRUPT_COL).isNotNull())
+    return good, quarantine
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (native Spark support, no extra packages): the other
+    columnar lake format; same predicate-pushdown + column-pruning
+    behavior as parquet, verified in tests/test_formats.py."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under EVOLVING schemas (columns added over
+    time) as one frame: ``mergeSchema`` unions the footers' schemas and
+    fills missing columns with nulls — the append-only schema-evolution
+    contract a long-lived lake table needs (no rewrite of old files)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
