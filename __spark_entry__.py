@@ -90,6 +90,9 @@ _FRONT_PINS = [
     "markov_event_transitions",
     "rfm_customer_scores",
     "benford_first_digit_audit",
+    "correlation_qty_price_exact",
+    "agg_argmax_order_per_status",
+    "q6_via_sql_interface",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

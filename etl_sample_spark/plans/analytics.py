@@ -673,3 +673,137 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "correlation_qty_price_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*)                                            AS n,
+             SUM(CAST(l_quantity AS BIGINT))                     AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)))         AS sy,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_extendedprice AS DECIMAL(18,2)))       AS sxy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2)))       AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(
+             CAST(CAST(CAST(n AS DECIMAL(38,4)) * sxy - CAST(sx AS DECIMAL(38,4)) * sy AS VARCHAR) AS DOUBLE)
+             / SQRT(
+                 CAST(CAST(CAST(n AS DECIMAL(38,4)) * CAST(sxx AS DECIMAL(38,4))
+                           - CAST(sx AS DECIMAL(38,4)) * CAST(sx AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(CAST(n AS DECIMAL(38,4)) * syy - sy * sy AS VARCHAR) AS DOUBLE)
+               ), 6) AS corr_qty_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    doc="Pearson correlation from EXACT moments: quantity is integral "
+    "and price sits on the 2dp decimal grid, so every moment (n, Σx, "
+    "Σy, Σxy, Σx², Σy²) accumulates exactly (BIGINT / DECIMAL(38,4)) "
+    "and the closed-form correlation is computed from identical numbers "
+    "in both engines — unlike the engines' one-pass corr() kernels, "
+    "whose partial-sum order differs. The feature-redundancy screen a "
+    "feature store runs pairwise. 100 TB shape: one "
+    "map-side-combinable aggregate, six partials per group, no second "
+    "pass. Decimal-to-double via the VARCHAR bridge, the money-suite "
+    "convention.",
+)
+def correlation_qty_price_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * price).alias("sxy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price * price).alias("syy"),
+    )
+    n_d = F.col("n").cast("decimal(38,4)")
+    num = (n_d * F.col("sxy") - F.col("sx").cast("decimal(38,4)") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (
+        n_d * F.col("sxx").cast("decimal(38,4)")
+        - F.col("sx").cast("decimal(38,4)") * F.col("sx").cast("decimal(38,4)")
+    ).cast("double")
+    den_y = (n_d * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / F.sqrt(den_x * den_y), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_argmax_order_per_status",
+    """
+    SELECT o_orderstatus,
+           CAST(struct_extract(MAX({'p': o_totalprice, 'k': o_orderkey}), 'p') AS DOUBLE) AS top_price,
+           CAST(struct_extract(MAX({'p': o_totalprice, 'k': o_orderkey}), 'k') AS BIGINT) AS top_orderkey,
+           CAST(struct_extract(MIN({'p': o_totalprice, 'k': o_orderkey}), 'k') AS BIGINT) AS bottom_orderkey
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Deterministic argmax/argmin WITHOUT a window: MAX/MIN over a "
+    "(value, key) struct — lexicographic struct ordering makes the key "
+    "an explicit tiebreak, unlike max_by/arg_max whose ties are "
+    "engine-nondeterministic. One map-side-combinable aggregate versus "
+    "a full window sort: the cheap form of top-1-per-group at 100 TB.",
+)
+def agg_argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pair = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.max(pair)["o_totalprice"].cast("double").alias("top_price"),
+            F.max(pair)["o_orderkey"].cast("bigint").alias("top_orderkey"),
+            F.min(pair)["o_orderkey"].cast("bigint").alias("bottom_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q6_via_sql_interface",
+    """
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,4))
+                              AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="SQL-interface parity: TPC-H Q6 submitted as a spark.sql() TEXT "
+    "query over registered temp views — the second front door every "
+    "engine user expects (the DataFrame form is q6_forecast_revenue; "
+    "both compile to the same Catalyst plan, which is the point). The "
+    "statement text is near-identical on both engines; only the "
+    "decimal-sum-to-double step differs (Spark CAST vs the DuckDB "
+    "VARCHAR bridge) because that seam is about output typing, not "
+    "query semantics.",
+)
+def q6_via_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("li_sql_view")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,4))
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM li_sql_view
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
