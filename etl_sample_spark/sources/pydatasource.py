@@ -1,0 +1,98 @@
+"""Custom Python DataSource (Spark 4 DataSource API): a deterministic
+synthetic-document source with partition planning and filter pushdown.
+
+[EXT] S-family extension: the reference's only source is a blob
+directory; a Spark-4-era engine also plugs arbitrary external systems
+in as first-class sources. This module demonstrates the full contract —
+``partitions()`` (parallel scan planning), ``pushFilters()`` (source-
+side pruning, 4.1 API), and per-partition ``read()`` — on a generator
+whose output is a pure function of (doc_id), so tests can assert
+determinism, partition-layout invariance, and that pushdown actually
+pruned work (the reader records which partitions it planned).
+
+At scale this is the shape for reading from sharded services (one
+InputPartition per shard, shard-key filters pushed) without staging
+through files first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA = "doc_id BIGINT, shard INT, text STRING"
+
+# Same arithmetic family as operators/dedup.py::_token_hash: cheap,
+# deterministic, engine-portable (tests recompute it in plain Python).
+_WORDS = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+
+def synth_text(doc_id: int) -> str:
+    return " ".join(
+        _WORDS[(doc_id * 31 + i * 7) % len(_WORDS)] for i in range(4 + doc_id % 5)
+    )
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, shard: int, start: int, end: int) -> None:
+        self.shard = shard
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.n_shards = int(options.get("n_shards", 8))
+        self.pushed_shard: int | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 — API name
+        remaining = []
+        for f in filters:
+            # shard equality prunes whole partitions at plan time; all
+            # other predicates stay with Spark.
+            if isinstance(f, EqualTo) and f.attribute == ("shard",):
+                self.pushed_shard = int(f.value)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        per = -(-self.n_docs // self.n_shards)  # ceil-div
+        parts = [
+            _ShardPartition(s, s * per, min((s + 1) * per, self.n_docs))
+            for s in range(self.n_shards)
+            if s * per < self.n_docs
+        ]
+        if self.pushed_shard is not None:
+            parts = [p for p in parts if p.shard == self.pushed_shard]
+        return parts
+
+    def read(self, partition: _ShardPartition):
+        for doc_id in range(partition.start, partition.end):
+            yield (doc_id, partition.shard, synth_text(doc_id))
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> StructType | str:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    # Python-source filter pushdown ships disabled; the reader implements
+    # pushFilters(), which Spark refuses to load without this flag
+    # (runtime-settable).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticDocsDataSource)
