@@ -93,6 +93,7 @@ _FRONT_PINS = [
     "correlation_qty_price_exact",
     "agg_argmax_order_per_status",
     "q6_via_sql_interface",
+    "surrogate_keys_customers",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

@@ -807,3 +807,46 @@ def q6_via_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@register(
+    "surrogate_keys_customers",
+    """
+    WITH keyed AS (
+      SELECT c_custkey,
+             sha256(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment) AS skey
+      FROM customer)
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           SUBSTR(skey, 1, 16)       AS skey16,
+           CAST(COUNT(*) OVER (PARTITION BY SUBSTR(skey, 1, 16)) AS BIGINT) AS n_sharing
+    FROM keyed
+    ORDER BY c_custkey
+    """,
+    doc="Deterministic surrogate-key assignment: content-hash keys "
+    "(sha-256 over the pipe-delimited natural key, 64-bit hex prefix) "
+    "instead of monotonically_increasing_id/sequence — stable across "
+    "re-runs, cluster sizes, and partition layouts, which is what makes "
+    "dimension keying retry-safe and backfill-safe at 100 TB (an id "
+    "sequence is neither). n_sharing is the inline collision audit "
+    "(expected 1 everywhere; a prefix collision would surface as 2 and "
+    "hash-diverge the driver check). Map-only + one window on the key.",
+)
+def surrogate_keys_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    skey = F.sha2(
+        F.concat_ws(
+            "|", F.col("c_name"), F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+        ),
+        256,
+    )
+    keyed = cust.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.substring(skey, 1, 16).alias("skey16"),
+    )
+    return keyed.select(
+        "c_custkey",
+        "skey16",
+        F.count(F.lit(1)).over(Window.partitionBy("skey16")).cast("bigint").alias("n_sharing"),
+    ).orderBy("c_custkey")

@@ -317,3 +317,50 @@ def running_user_totals_tws(
             timeMode="None",
         )
     )
+
+
+def ewma_user_value_stateful(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch EWMA (plans/timeseries.py::
+    ewma_final_value_by_user): the same a*x + (1-a)*acc recurrence
+    carried incrementally as per-key GroupState across micro-batches —
+    the unbounded-stream form the batch query's docstring promises.
+    Within a batch, rows fold in (ts, event_id) order; across batches,
+    state seeds the fold, so in-order delivery reproduces the batch
+    fold exactly (pinned in test_streaming.py).
+
+    State is (n, ewma) per key — O(distinct keys) at any scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} BIGINT, n_events BIGINT, ewma DOUBLE"
+    state_schema = "n BIGINT, ewma DOUBLE"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n, acc = state.get if state.exists else (0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, "event_id"])
+        for v in rows["value"]:
+            v = float(v)
+            acc = v if n == 0 else alpha * v + (1.0 - alpha) * acc
+            n += 1
+        state.update((n, acc))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "ewma": [acc]})
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

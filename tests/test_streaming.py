@@ -610,3 +610,65 @@ def test_streaming_dead_letter_quarantine(spark, tmp_path):
     _await(run_ingest_available_now(stream, bank_form_specs(), out, ckpt, dead_letter_dir=dlq))
     assert spark.read.parquet(os.path.join(out, "bank_scrape_info")).count() == 2
     assert spark.read.parquet(dlq).count() == 1
+
+
+def test_stateful_ewma_matches_batch_fold_across_batches(spark, tmp_path):
+    """The streaming EWMA's state must carry the recurrence across the
+    micro-batch boundary such that in-order delivery reproduces the
+    batch fold (same alpha, same (ts, event_id) order) exactly."""
+    from etl_sample_spark.streaming.windows import ewma_user_value_stateful
+
+    src = str(tmp_path / "ev_ewma")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    out = str(tmp_path / "ewma_out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        q = (
+            ewma_user_value_stateful(stream, alpha=0.3)
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "a", "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "a", "value": 20.0},
+        {"event_id": 3, "ts": "2024-01-01 10:00:30", "user_id": 8, "event_type": "a", "value": 5.0},
+    ]
+    batch2 = [
+        {"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 7, "event_type": "a", "value": 40.0},
+        {"event_id": 5, "ts": "2024-01-01 10:11:00", "user_id": 8, "event_type": "a", "value": 15.0},
+    ]
+    _write_events_json(src, batch1, "e1.json")
+    run_once()
+    _write_events_json(src, batch2, "e2.json")
+    run_once()
+
+    import pandas as pd
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["user_id", "n_events"])
+        .groupby("user_id")
+        .last()
+    )
+
+    # independent batch fold over the full ordered stream
+    def fold(vals):
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = 0.3 * v + 0.7 * acc
+        return acc
+
+    all_events = sorted(batch1 + batch2, key=lambda e: (e["ts"], e["event_id"]))
+    for uid in (7, 8):
+        vals = [e["value"] for e in all_events if e["user_id"] == uid]
+        assert got.loc[uid, "n_events"] == len(vals)
+        assert abs(got.loc[uid, "ewma"] - fold(vals)) < 1e-12
