@@ -384,3 +384,68 @@ def test_mjpeg_container_and_frame_decode_property(bw, bh, n_frames, seed):
         assert (dw, dh, ncomp) == (w, h, 1)
         expect = [val(f, x, y) for y in range(h) for x in range(w)]
         assert px == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    line_tokens=st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_line_level_dedup_properties(spark, docs, line_tokens):
+    """Invariants for ANY corpus/segmentation: (1) with an infinite
+    threshold nothing is removed and every text reconstructs
+    byte-identically (the segmentation round-trips); (2) with
+    max_docs=1, a removed count is consistent with the kept text; and
+    (3) every SEGMENT of a cleaned text occurs in at most one document's
+    original segmentation — the defining postcondition."""
+    from etl_sample_spark.operators.dedup import line_level_dedup
+
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # (1) infinite threshold: pure round-trip
+    out = {
+        r["doc_id"]: r
+        for r in line_level_dedup(
+            df, "text", "doc_id", line_tokens=line_tokens, max_docs=10**9
+        ).collect()
+    }
+    for i, text in rows:
+        assert out[i]["text_clean"] == text
+        assert out[i]["n_removed"] == 0
+
+    # reference segmentation
+    def segs(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[j : j + line_tokens])
+            for j in range(0, len(toks), line_tokens)
+        ]
+
+    from collections import Counter
+
+    seg_docs = Counter()
+    for i, text in rows:
+        for s in set(segs(text)):
+            seg_docs[s] += 1
+
+    # (2)+(3) threshold 1: removed segments are exactly the shared ones
+    cleaned = {
+        r["doc_id"]: r
+        for r in line_level_dedup(
+            df, "text", "doc_id", line_tokens=line_tokens, max_docs=1
+        ).collect()
+    }
+    for i, text in rows:
+        expect_kept = [s for s in segs(text) if seg_docs[s] <= 1]
+        assert cleaned[i]["text_clean"] == " ".join(expect_kept)
+        assert cleaned[i]["n_removed"] == len(segs(text)) - len(expect_kept)
+        assert cleaned[i]["n_lines"] == len(segs(text))
