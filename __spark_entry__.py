@@ -94,6 +94,8 @@ _FRONT_PINS = [
     "agg_argmax_order_per_status",
     "q6_via_sql_interface",
     "surrogate_keys_customers",
+    "weighted_sample_by_length",
+    "embedding_int8_quantization",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

@@ -130,3 +130,27 @@ def rebalance_source_mix(
         cond = (F.col(source_col) == s) & (gate < F.lit(cutoff))
         keep = cond if keep is None else (keep | cond)
     return df.where(keep)
+
+
+def weighted_sample_integer(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column,
+    weight_cap: int = _BUCKETS,
+) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep a row iff its
+    hash gate falls under its OWN integer weight (capped at
+    ``weight_cap`` = always kept). P(keep) = min(weight, cap)/cap per
+    row, but with NO randomness: the kept subset is a pure function of
+    (key, weight), so re-runs, retries, and other engines select the
+    identical rows — the property RNG-based importance sampling can't
+    give a reproducible training corpus.
+
+    ``weight_col`` must be an integer expression (exact cross-engine
+    comparison; derive integer weights from the quality signal rather
+    than multiplying a double by the cap).
+
+    100 TB shape: pure map-side filter, no shuffle, no state.
+    """
+    gate = hash_position(F.col(key_col)) % weight_cap
+    return df.where(gate < F.least(weight_col.cast("bigint"), F.lit(weight_cap)))

@@ -3213,3 +3213,116 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "weighted_sample_by_length",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, n_chars, lang,
+             ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 2147483647 % 10000 AS gate
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           lang
+    FROM gated
+    WHERE gate < LEAST(n_chars * 20, 10000)
+    ORDER BY doc_id
+    """,
+    doc="Importance-weighted deterministic sampling: keep probability "
+    "proportional to document length (weight = min(n_chars*20, cap) on "
+    "the 10000-bucket hash gate), with ZERO randomness — the kept "
+    "subset is a pure function of (doc_id, n_chars), so retries and "
+    "other engines reproduce it exactly (the same hash-gate discipline "
+    "as hash_stratified_sample, extended to per-row weights). The "
+    "quality-weighted downsampling shape used to skew a training mix "
+    "toward long/high-quality documents. Map-side filter, no shuffle. "
+    "operators/sampling.py::weighted_sample_integer.",
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.sampling import weighted_sample_integer
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = weighted_sample_integer(
+        docs, "doc_id", F.col("n_chars") * 20, weight_cap=10000
+    )
+    return kept.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             (SELECT MAX(ABS(CAST(x AS DOUBLE))) FROM UNNEST(embedding) AS t(x)) AS max_abs
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, max_abs,
+             [LEAST(127, GREATEST(-127,
+                CAST(FLOOR(CAST(x AS DOUBLE) * 127.0::DOUBLE / max_abs + 0.5::DOUBLE) AS INT)))
+              FOR x IN embedding] AS qvec,
+             embedding
+      FROM scaled WHERE max_abs > 0)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(max_abs, 6)      AS max_abs,
+           qvec,
+           CAST(LEN(qvec) AS INT) AS dim,
+           ROUND(list_max([ABS(CAST(embedding[i] AS DOUBLE) - qvec[i] * max_abs / 127.0::DOUBLE)
+                           FOR i IN range(1, LEN(embedding) + 1)]), 6) AS max_err
+    FROM q
+    ORDER BY vec_id
+    """,
+    doc="Int8 embedding quantization (max-abs symmetric, the ANN-index "
+    "compression standard: 4x smaller vectors, SIMD-friendly dot "
+    "products): per-vector scale = 127/max_abs, half-up rounding "
+    "(FLOOR(x+0.5), the portable convention), clamp to [-127, 127], "
+    "plus the max reconstruction error every index build logs. All "
+    "array higher-order functions — map-side, no shuffle, no Python. "
+    "The error bound max_err <= max_abs/254 + ulp is pinned in pytest.",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    qv = F.transform(
+        x,
+        lambda v: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                F.floor(v * 127.0 / F.col("max_abs") + 0.5).cast("int"),
+            ),
+        ),
+    )
+    err = F.round(
+        F.array_max(
+            F.zip_with(
+                x,
+                F.col("qvec"),
+                lambda v, q: F.abs(v - q.cast("double") * F.col("max_abs") / 127.0),
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select("vec_id", "embedding", max_abs.alias("max_abs"))
+        .where(F.col("max_abs") > 0)
+        .withColumn("qvec", qv)
+        # err computed in its OWN stage: putting it in the same select as
+        # round(max_abs).alias("max_abs") lets the collapsed projection
+        # resolve err's max_abs reference to the ROUNDED alias (observed:
+        # a 2.7e-7 shift that crossed the 6dp grid on one vector).
+        .withColumn("max_err", err)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.round("max_abs", 6).alias("max_abs"),
+            "qvec",
+            F.size("qvec").cast("int").alias("dim"),
+            "max_err",
+        )
+        .orderBy("vec_id")
+    )

@@ -1042,3 +1042,20 @@ def test_countmin_never_underestimates(spark, sf_dir):
         n_tight += est == cnt
     # the sketch must be informative, not saturated
     assert n_tight >= len(exact) // 4, (n_tight, len(exact))
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Symmetric max-abs int8 quantization: reconstruction error must be
+    <= step/2 = max_abs/254 (+ float ulp) for EVERY vector, and the
+    clamp must only ever fire at the extreme values."""
+    from etl_sample_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["embedding_int8_quantization"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # max_err and max_abs are 6dp-rounded outputs: allow half a
+        # rounding grid on each side of the analytic step/2 bound.
+        bound = r["max_abs"] / 254.0 + 1.5e-6
+        assert r["max_err"] <= bound, (r["vec_id"], r["max_err"], bound)
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        assert max(abs(q) for q in r["qvec"]) == 127  # scale is tight
