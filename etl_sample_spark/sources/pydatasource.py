@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -89,6 +90,9 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema: StructType) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register(spark) -> None:
     # Python-source filter pushdown ships disabled; the reader implements
@@ -96,3 +100,39 @@ def register(spark) -> None:
     # (runtime-settable).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source (Spark 4 SimpleDataSourceStreamReader):
+    emits ``batch_size`` documents per micro-batch from the same
+    deterministic generator, with the offset = next doc_id to produce.
+    Offsets are plain dicts checkpointed by Spark, so a restarted query
+    resumes exactly where it stopped (pinned in test_pydatasource.py) —
+    the contract a queue/ledger-backed source must honor for
+    exactly-once.
+
+    ``readBetweenOffsets`` (replay after restart) re-generates the same
+    rows for the same offset range — determinism IS the replayability.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.batch_size = int(options.get("batch_size", 10))
+        self.max_docs = int(options.get("n_docs", 50))
+
+    def initialOffset(self) -> dict:  # noqa: N802 — API name
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.max_docs)
+        rows = [(i, i % 8, synth_text(i)) for i in range(lo, hi)]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter(
+            (i, i % 8, synth_text(i))
+            for i in range(int(start["next"]), int(end["next"]))
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to acknowledge: the generator is stateless
