@@ -78,6 +78,7 @@ def write_zordered(
     bits: int = 16,
     target_files: int = 16,
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-curve of
     ``cluster_cols``: global range-partition by the interleaved rank
@@ -111,11 +112,13 @@ def write_zordered(
         for c in cluster_cols
     ]
     zval = interleave_bits(scaled, bits)
-    (
+    writer = (
         df.withColumn("__z", zval)
         .repartitionByRange(target_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode(mode)
-        .parquet(path)
     )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(path)

@@ -200,6 +200,7 @@ def write_partitioned(
     mode: str = "overwrite",
     files_per_partition: int = 1,
     max_records_per_file: int = 5_000_000,
+    compression: str | None = None,
 ) -> None:
     """Hive-style partitioned parquet layout: one directory per partition
     value. At 100 TB this is the coarsest and cheapest pruning lever —
@@ -245,12 +246,12 @@ def write_partitioned(
             .repartition(*[F.col(c) for c in partition_cols], F.col("__file_salt"))
             .drop("__file_salt")
         )
-    (
-        out.write.mode(mode)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        # zstd for cold-storage tables per the measured trade-off in
+        # SCALE.md; default stays Spark's snappy.
+        writer = writer.option("compression", compression)
+    writer.partitionBy(*partition_cols).parquet(path)
 
 
 def compact_parquet_table(
@@ -258,6 +259,7 @@ def compact_parquet_table(
     path: str,
     target_rows_per_file: int = 5_000_000,
     partition_cols: list[str] | None = None,
+    compression: str | None = None,
 ) -> int:
     """Small-file compaction for an append-accumulated parquet table —
     the maintenance job every streaming sink needs: micro-batch appends
@@ -293,12 +295,16 @@ def compact_parquet_table(
         write_partitioned(
             df, tmp, partition_cols, mode="overwrite",
             max_records_per_file=target_rows_per_file,
+            compression=compression,
         )
     else:
         n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-        df.repartition(n_files).write.mode("overwrite").option(
+        writer = df.repartition(n_files).write.mode("overwrite").option(
             "maxRecordsPerFile", target_rows_per_file
-        ).parquet(tmp)
+        )
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     try:
