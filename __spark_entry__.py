@@ -96,6 +96,8 @@ _FRONT_PINS = [
     "surrogate_keys_customers",
     "weighted_sample_by_length",
     "embedding_int8_quantization",
+    "geo_candidate_pairs",
+    "hierarchy_rollup_suppliers",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

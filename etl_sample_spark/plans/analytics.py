@@ -850,3 +850,180 @@ def surrogate_keys_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skey16",
         F.count(F.lit(1)).over(Window.partitionBy("skey16")).cast("bigint").alias("n_sharing"),
     ).orderBy("c_custkey")
+
+
+def _geo_cells_sql() -> str:
+    from etl_sample_spark.operators.layout import interleave_bits_sql
+
+    cell = interleave_bits_sql(["lat_s", "lon_s"], bits=4)
+    return f"""
+      SELECT c_custkey,
+             lat_micro, lon_micro,
+             CAST({cell} AS BIGINT) AS cell
+      FROM (
+        SELECT c_custkey,
+               ((c_custkey * 2654435761) % 2147483647 * 7919) % 180000000 - 90000000  AS lat_micro,
+               ((c_custkey * 2654435789) % 2147483629 * 104729) % 360000000 - 180000000 AS lon_micro,
+               (((c_custkey * 2654435761) % 2147483647 * 7919) % 180000000) // 11250000   AS lat_s,
+               (((c_custkey * 2654435789) % 2147483629 * 104729) % 360000000) // 22500000 AS lon_s
+        FROM customer)"""
+
+
+@register(
+    "geo_candidate_pairs",
+    f"""
+    WITH pts AS ({_geo_cells_sql()})
+    SELECT a.c_custkey AS cust_a,
+           b.c_custkey AS cust_b,
+           a.cell,
+           ROUND(12742.0::DOUBLE * ASIN(SQRT(
+             POW(SIN(RADIANS((b.lat_micro - a.lat_micro) / 2000000.0::DOUBLE)), 2)
+             + COS(RADIANS(a.lat_micro / 1000000.0::DOUBLE))
+               * COS(RADIANS(b.lat_micro / 1000000.0::DOUBLE))
+               * POW(SIN(RADIANS((b.lon_micro - a.lon_micro) / 2000000.0::DOUBLE)), 2)
+           )), 3) AS dist_km
+    FROM pts a JOIN pts b
+      ON a.cell = b.cell AND a.c_custkey < b.c_custkey
+    WHERE 12742.0::DOUBLE * ASIN(SQRT(
+             POW(SIN(RADIANS((b.lat_micro - a.lat_micro) / 2000000.0::DOUBLE)), 2)
+             + COS(RADIANS(a.lat_micro / 1000000.0::DOUBLE))
+               * COS(RADIANS(b.lat_micro / 1000000.0::DOUBLE))
+               * POW(SIN(RADIANS((b.lon_micro - a.lon_micro) / 2000000.0::DOUBLE)), 2)
+           )) <= 200.0::DOUBLE
+    ORDER BY cust_a, cust_b
+    """,
+    doc="Geospatial blocked similarity join: deterministic synthetic "
+    "coordinates (micro-degrees from the customer key), geohash-style "
+    "cells via the SAME Morton interleave as the Z-order layout "
+    "(4 bits/axis -> 256 cells), candidate pairs generated ONLY inside "
+    "a cell, haversine-filtered to <= 200 km. The spatial twin of the "
+    "LSH banding shape: join work is sum(cell^2), never n^2, with the "
+    "documented cell-boundary recall trade (neighbor-cell expansion is "
+    "the production completion, same banding math). The haversine is "
+    "the identical double expression both engines evaluate; ROUND(,3) "
+    "output. 100 TB shape: map-side cell assignment + one equi-join.",
+)
+def geo_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.layout import interleave_bits
+
+    cust = _t(spark, sf_dir, "customer")
+    lat_micro = ((F.col("c_custkey") * 2654435761) % 2147483647 * 7919) % 180000000 - 90000000
+    lon_micro = ((F.col("c_custkey") * 2654435789) % 2147483629 * 104729) % 360000000 - 180000000
+    lat_s = (((F.col("c_custkey") * 2654435761) % 2147483647 * 7919) % 180000000) / 11250000
+    lon_s = (((F.col("c_custkey") * 2654435789) % 2147483629 * 104729) % 360000000) / 22500000
+    pts = cust.select(
+        "c_custkey",
+        lat_micro.alias("lat_micro"),
+        lon_micro.alias("lon_micro"),
+        interleave_bits(
+            [F.floor(lat_s).cast("bigint"), F.floor(lon_s).cast("bigint")], bits=4
+        ).alias("cell"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = (F.col("b.lat_micro") - F.col("a.lat_micro")) / F.lit(2000000.0)
+    dlon = (F.col("b.lon_micro") - F.col("a.lon_micro")) / F.lit(2000000.0)
+    hav = (
+        F.pow(F.sin(rad(dlat)), 2)
+        + F.cos(rad(F.col("a.lat_micro") / F.lit(1000000.0)))
+        * F.cos(rad(F.col("b.lat_micro") / F.lit(1000000.0)))
+        * F.pow(F.sin(rad(dlon)), 2)
+    )
+    dist = F.lit(12742.0) * F.asin(F.sqrt(hav))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= 200.0)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.cell").alias("cell"),
+            F.round(dist, 3).alias("dist_km"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+@register(
+    "hierarchy_rollup_suppliers",
+    """
+    WITH RECURSIVE
+    nodes AS (
+      SELECT s_suppkey AS node,
+             CASE WHEN s_suppkey = 0 THEN NULL
+                  ELSE (s_suppkey - 1) // 2 END AS parent,
+             CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+      FROM supplier),
+    up(node, anc) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT u.node, n.parent
+      FROM up u JOIN nodes n ON n.node = u.anc
+      WHERE n.parent IS NOT NULL)
+    SELECT CAST(u.anc AS BIGINT)  AS node,
+           CAST(COUNT(*) AS BIGINT) AS subtree_size,
+           CAST(CAST(SUM(n.bal) AS VARCHAR) AS DOUBLE) AS subtree_bal
+    FROM up u JOIN nodes n ON n.node = u.node
+    GROUP BY u.anc
+    ORDER BY node
+    """,
+    doc="Hierarchical (BOM/org-chart) rollup: each node's subtree size "
+    "and exact-decimal subtree balance over a synthesized binary "
+    "hierarchy (parent(k) = (k-1) div 2 — deterministic, so both "
+    "engines build the identical tree from the flat supplier table). "
+    "Spark computes the ancestor closure by iterated parent-pointer "
+    "doubling (log2(n) joins: each round the known-ancestor set jumps "
+    "twice as far up, so 1M-node trees need ~20 rounds, not depth "
+    "rounds); the oracle is a recursive-CTE closure — two different "
+    "algorithms, one answer. 100 TB shape: closure edges are "
+    "O(n log n) for balanced trees; each doubling round is one "
+    "self-join shuffle on the ancestor key; the rollup is one grouped "
+    "decimal sum. The classic chart-of-accounts / parts-explosion "
+    "aggregation.",
+)
+def hierarchy_rollup_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.money import sum_money
+
+    sup = _t(spark, sf_dir, "supplier")
+    nodes = sup.select(
+        F.col("s_suppkey").alias("node"),
+        F.when(F.col("s_suppkey") == 0, F.lit(None)).otherwise(
+            ((F.col("s_suppkey") - 1) / 2).cast("bigint")
+        ).alias("parent"),
+        F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    n_nodes = nodes.count()  # bounded scalar: sizes the doubling rounds
+    # pairs (node, ancestor-or-self); "jump" is each pair's frontier —
+    # doubling: join frontier to the CURRENT pair set, not just parents.
+    pairs = nodes.select("node", F.col("node").alias("anc")).unionByName(
+        nodes.where(F.col("parent").isNotNull()).select(
+            "node", F.col("parent").alias("anc")
+        )
+    )
+    rounds = max(1, (n_nodes - 1).bit_length())
+    for _ in range(rounds):
+        hop = (
+            pairs.alias("p")
+            .join(
+                pairs.where(F.col("node") != F.col("anc")).alias("q"),
+                F.col("p.anc") == F.col("q.node"),
+            )
+            .select(F.col("p.node").alias("node"), F.col("q.anc").alias("anc"))
+        )
+        new_pairs = pairs.unionByName(hop).distinct().localCheckpoint(eager=True)
+        if new_pairs.count() == pairs.count():
+            pairs = new_pairs
+            break
+        pairs = new_pairs
+    return (
+        pairs.join(nodes, "node")
+        .groupBy(F.col("anc").cast("bigint").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("subtree_size"),
+            sum_money(F.col("bal")).alias("subtree_bal"),
+        )
+        .orderBy("node")
+    )
