@@ -414,6 +414,10 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
+        # Pinned: the edge list feeds outdeg plus all five iteration
+        # subtrees — without this the 4-table fact join re-executes per
+        # iteration (the same discipline as neardup_clusters' _pin).
+        .localCheckpoint(eager=True)
     )
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     n_nodes = nodes.count()  # bounded: |nation| rows

@@ -3215,12 +3215,16 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from etl_sample_spark.operators.sampling import hash_sample_gate_sql as _hsg  # noqa: E402
+_ws_gate = _hsg("doc_id")
+
+
 @register(
     "weighted_sample_by_length",
     f"""
     WITH gated AS (
       SELECT doc_id, n_chars, lang,
-             ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 2147483647 % 10000 AS gate
+             {_ws_gate} AS gate
       FROM documents)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_chars AS BIGINT) AS n_chars,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -24,18 +24,24 @@ def read_csv_quarantined(
     schema: StructType,
     header: bool = True,
     sep: str = ",",
-) -> tuple[DataFrame, DataFrame]:
-    """Schema'd CSV scan returning ``(good, quarantine)``: rows that
-    fail the schema (wrong arity, uncastable values) surface in the
-    quarantine frame with the raw line preserved — the CSV twin of the
-    JSON corrupt-record path. PERMISSIVE + explicit schema keeps the
-    scan a single pass (no inference job) and pushdown-friendly.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Schema'd CSV scan returning ``(good, quarantine, raw)``: rows
+    that fail the schema (wrong arity, uncastable values) surface in
+    the quarantine frame with the raw line preserved — the CSV twin of
+    the JSON corrupt-record path. PERMISSIVE + explicit schema keeps the
+    scan a single pass (no inference job).
 
-    Note Spark's documented caveat: referencing ONLY the corrupt column
-    of a CSV scan is disallowed, so callers must keep at least one data
-    column selected — both returned frames do.
+    ``raw`` is the CACHED underlying scan: Spark disallows queries that
+    reference only the corrupt column of a raw CSV scan
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — which a pruned
+    ``quarantine.count()`` becomes), and caching is the documented
+    workaround. It is returned so the caller owns the lifecycle:
+    ``raw.unpersist()`` after sinking both splits.
     """
-    full = schema.add(CORRUPT_COL, StringType())
+    # A NEW StructType: StructType.add MUTATES the receiver in place, so
+    # building on the caller's schema would append the corrupt column to
+    # their object on every call (duplicate columns on reuse).
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     df = (
         spark.read.schema(full)
         .option("header", header)
@@ -43,11 +49,11 @@ def read_csv_quarantined(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
-        .cache()  # one scan feeds both splits; unpersist after sinking
+        .cache()
     )
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = df.where(F.col(CORRUPT_COL).isNotNull())
-    return good, quarantine
+    return good, quarantine, df
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

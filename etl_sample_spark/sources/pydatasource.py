@@ -72,6 +72,11 @@ class SyntheticDocsReader(DataSourceReader):
         ]
         if self.pushed_shard is not None:
             parts = [p for p in parts if p.shard == self.pushed_shard]
+        if not parts:
+            # PySpark's planner substitutes [None] for an empty partition
+            # list and then calls read(None) — a fully-pruned (or empty)
+            # source must return a sentinel empty range, not crash.
+            parts = [_ShardPartition(-1, 0, 0)]
         return parts
 
     def read(self, partition: _ShardPartition):
@@ -118,6 +123,14 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.batch_size = int(options.get("batch_size", 10))
         self.max_docs = int(options.get("n_docs", 50))
+        self.n_shards = int(options.get("n_shards", 8))
+
+    def _shard(self, doc_id: int) -> int:
+        # SAME contiguous-block mapping as the batch reader, so a
+        # checkpointed stream backfilled through the batch path assigns
+        # identical shard values to identical doc_ids.
+        per = -(-self.max_docs // self.n_shards)
+        return doc_id // per
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name
         return {"next": 0}
@@ -125,12 +138,12 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = int(start["next"])
         hi = min(lo + self.batch_size, self.max_docs)
-        rows = [(i, i % 8, synth_text(i)) for i in range(lo, hi)]
+        rows = [(i, self._shard(i), synth_text(i)) for i in range(lo, hi)]
         return iter(rows), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         return iter(
-            (i, i % 8, synth_text(i))
+            (i, self._shard(i), synth_text(i))
             for i in range(int(start["next"]), int(end["next"]))
         )
 

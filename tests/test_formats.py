@@ -39,7 +39,7 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
         f.write("2,bob,20.0\n")
         f.write("3,carol,NOT_A_NUMBER\n")  # uncastable -> quarantine
         f.write("4,dave,40.25\n")
-    good, quarantine = read_csv_quarantined(spark, p, CSV_SCHEMA)
+    good, quarantine, raw = read_csv_quarantined(spark, p, CSV_SCHEMA)
     assert {r["id"] for r in good.collect()} == {1, 2, 4}
     bad = quarantine.collect()
     assert len(bad) == 1
@@ -47,6 +47,13 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     assert "NOT_A_NUMBER" in bad[0]["_corrupt_record"]
     # totals reconcile: nothing silently dropped
     assert good.count() + quarantine.count() == 4
+    # the schema passed in is NOT mutated (StructType.add pitfall) —
+    # a second call with the same object must behave identically
+    assert [f.name for f in CSV_SCHEMA.fields] == ["id", "name", "amount"]
+    good2, quarantine2, raw2 = read_csv_quarantined(spark, p, CSV_SCHEMA)
+    assert good2.count() == 3 and quarantine2.count() == 1
+    raw.unpersist()
+    raw2.unpersist()
 
 
 def test_csv_roundtrip_matches_parquet_source(spark, sf_dir, tmp_path):
@@ -65,11 +72,12 @@ def test_csv_roundtrip_matches_parquet_source(spark, sf_dir, tmp_path):
             StructField("o_orderpriority", StringType()),
         ]
     )
-    back, quarantine = read_csv_quarantined(spark, p, schema)
+    back, quarantine, raw = read_csv_quarantined(spark, p, schema)
     assert quarantine.count() == 0
     a = {tuple(r) for r in orders.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+    raw.unpersist()
 
 
 def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
