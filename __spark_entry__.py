@@ -98,6 +98,7 @@ _FRONT_PINS = [
     "embedding_int8_quantization",
     "geo_candidate_pairs",
     "hierarchy_rollup_suppliers",
+    "ab_test_two_proportion_z",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

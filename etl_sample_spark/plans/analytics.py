@@ -1031,3 +1031,87 @@ def hierarchy_rollup_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register(
+    "ab_test_two_proportion_z",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN ((((user_id % 2147483647) + 2147483647) % 2147483647)
+                        * 2654435761) % 2147483647 % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 17
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT variant,
+             COUNT(*)       AS n_users,
+             SUM(converted) AS n_converted
+      FROM assigned GROUP BY variant),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 'control'   THEN n_users END)     AS n_c,
+             MAX(CASE WHEN variant = 'control'   THEN n_converted END) AS x_c,
+             MAX(CASE WHEN variant = 'treatment' THEN n_users END)     AS n_t,
+             MAX(CASE WHEN variant = 'treatment' THEN n_converted END) AS x_t
+      FROM arms)
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CAST(x_c AS BIGINT) AS conv_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(x_t AS BIGINT) AS conv_treatment,
+           x_c * 1.0 / n_c     AS rate_control,
+           x_t * 1.0 / n_t     AS rate_treatment,
+           ROUND(
+             (x_t * 1.0 / n_t - x_c * 1.0 / n_c)
+             / NULLIF(SQRT((x_c + x_t) * 1.0 / (n_c + n_t)
+                    * (1.0 - (x_c + x_t) * 1.0 / (n_c + n_t))
+                    * (1.0 / n_c + 1.0 / n_t)), 0.0), 6) AS z_stat
+    FROM wide
+    """,
+    doc="A/B experiment analysis: users assigned to arms by the "
+    "deterministic hash gate (the stable-bucketing property real "
+    "experimentation platforms need — a user's arm never changes across "
+    "sessions or reruns), conversion = a heavy-purchaser gate (>= 17 purchase events), and the "
+    "pooled two-proportion z-statistic from exact integer counts (the "
+    "rates are exact ratios; only the final z carries a ROUND). One "
+    "groupBy(user) + one tiny arm aggregate. The decision stat every "
+    "growth team computes, expressed as two shuffles over the raw "
+    "event log.",
+)
+def ab_test_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.sampling import hash_position
+
+    ev = _t(spark, sf_dir, "events")
+    variant = F.when(hash_position(F.col("user_id")) % 2 == 0, "control").otherwise(
+        "treatment"
+    )
+    assigned = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 17
+        ).cast("int").alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "control", F.col("n_users"))).alias("n_c"),
+        F.max(F.when(F.col("variant") == "control", F.col("n_converted"))).alias("x_c"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_users"))).alias("n_t"),
+        F.max(F.when(F.col("variant") == "treatment", F.col("n_converted"))).alias("x_t"),
+    )
+    p_pool = (F.col("x_c") + F.col("x_t")) * 1.0 / (F.col("n_c") + F.col("n_t"))
+    z = (
+        F.col("x_t") * 1.0 / F.col("n_t") - F.col("x_c") * 1.0 / F.col("n_c")
+    ) / F.nullif(
+        F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.col("x_c").cast("bigint").alias("conv_control"),
+        F.col("n_t").cast("bigint").alias("n_treatment"),
+        F.col("x_t").cast("bigint").alias("conv_treatment"),
+        (F.col("x_c") * 1.0 / F.col("n_c")).alias("rate_control"),
+        (F.col("x_t") * 1.0 / F.col("n_t")).alias("rate_treatment"),
+        F.round(z, 6).alias("z_stat"),
+    )
