@@ -99,6 +99,8 @@ _FRONT_PINS = [
     "geo_candidate_pairs",
     "hierarchy_rollup_suppliers",
     "ab_test_two_proportion_z",
+    "seasonal_naive_backtest",
+    "k_anonymity_audit",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "bm25_score_query",

@@ -1115,3 +1115,38 @@ def ab_test_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x_t") * 1.0 / F.col("n_t")).alias("rate_treatment"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             COUNT(*) AS cell_size
+      FROM customer c GROUP BY 1, 2)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_mktsegment,
+           CAST(cell_size AS BIGINT)   AS cell_size,
+           CAST(cell_size < 5 AS BOOLEAN) AS below_k
+    FROM cells
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier pair "
+    "(nation, market segment): any equivalence class smaller than k "
+    "re-identifies its members when the table is shared — the privacy "
+    "gate run before exporting an 'anonymized' extract, and the "
+    "counterpart of text_scrub_pii for structured columns (suppress or "
+    "generalize the flagged cells before release). One "
+    "map-side-combinable groupBy; cell count bounded by the "
+    "quasi-identifier domain, not the table.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_size"))
+        .withColumn("below_k", F.col("cell_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
