@@ -73,3 +73,36 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     fills missing columns with nulls — the append-only schema-evolution
     contract a long-lived lake table needs (no rewrite of old files)."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+class SchemaContractError(ValueError):
+    """Raised when a frame violates its declared schema contract."""
+
+
+def validate_schema_contract(df: DataFrame, contract: StructType) -> None:
+    """Data-contract gate: the frame must carry EXACTLY the contract's
+    columns with the contract's types (order-insensitive; nullability
+    is advisory in Spark and ignored here). Raises
+    :class:`SchemaContractError` naming every missing / unexpected /
+    mistyped column at once — the precise diff an on-call engineer
+    needs, not the first mismatch.
+
+    Run it at pipeline boundaries (after ingest, before publish): at
+    100 TB a schema drift caught at the boundary costs an error
+    message; caught downstream it costs a backfill.
+    """
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    expected = {f.name: f.dataType for f in contract.fields}
+    missing = sorted(set(expected) - set(actual))
+    unexpected = sorted(set(actual) - set(expected))
+    mistyped = sorted(
+        f"{name}: expected {expected[name].simpleString()}, got {actual[name].simpleString()}"
+        for name in set(expected) & set(actual)
+        if expected[name] != actual[name]
+    )
+    if missing or unexpected or mistyped:
+        raise SchemaContractError(
+            "schema contract violated — "
+            f"missing: {missing or 'none'}; unexpected: {unexpected or 'none'}; "
+            f"mistyped: {mistyped or 'none'}"
+        )

@@ -377,3 +377,50 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def erase_rows_by_key(
+    spark,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+    compression: str | None = None,
+) -> tuple[int, int]:
+    """Right-to-erasure (GDPR/CCPA) rewrite: remove every row whose
+    ``key_col`` appears in ``keys_df`` from the parquet table at
+    ``path``, via the same read → rewrite → rename swap (and the same
+    local/POSIX crash-safety contract) as ``compact_parquet_table``.
+    Returns ``(rows_before, rows_after)`` so the caller can record the
+    erasure audit (count removed per request batch).
+
+    The deletion is an anti-join — the erase-request side is typically
+    tiny and broadcasts; the table is read once and rewritten without
+    the matching rows. At lakehouse scale a table format's delete files
+    avoid the full rewrite; on plain parquet the rewrite IS the
+    guarantee that bytes are gone (tombstones would leave the data
+    readable).
+    """
+    import math
+    import os
+    import uuid
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(F.broadcast(keys_df.select(key_col).distinct()), key_col, "left_anti")
+    tmp = f"{path}__erase_{uuid.uuid4().hex[:8]}"
+    writer = kept.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except Exception:
+        os.rename(old, path)
+        raise
+    import shutil
+
+    shutil.rmtree(old, ignore_errors=True)
+    return before, after

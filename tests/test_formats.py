@@ -120,3 +120,60 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[3]["score"] == 0.5
     assert len(rows) == 4
+
+
+def test_schema_contract_reports_every_violation(spark):
+    from pyspark.sql.types import DoubleType, LongType, StringType
+
+    from etl_sample_spark.sources.formats import (
+        SchemaContractError,
+        validate_schema_contract,
+    )
+
+    contract = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    ok = spark.createDataFrame([(1, "a", 0.5)], schema=contract)
+    validate_schema_contract(ok, contract)  # no raise
+    # column order must not matter
+    validate_schema_contract(ok.select("score", "id", "name"), contract)
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, 2, "x")], ["id", "name", "extra"])
+    with _pytest.raises(SchemaContractError) as e:
+        validate_schema_contract(bad, contract)
+    msg = str(e.value)
+    assert "missing: ['score']" in msg
+    assert "unexpected: ['extra']" in msg
+    assert "name: expected string, got bigint" in msg
+
+
+def test_erase_rows_by_key_rewrites_without_the_keys(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_sample_spark.sources.sinks import erase_rows_by_key
+
+    path = str(tmp_path / "events_tbl")
+    ev = catalog.table(spark, sf_dir, "events")
+    ev.write.parquet(path)
+    n_total = ev.count()
+    victims = ev.select("user_id").distinct().limit(3)
+    victim_ids = {r["user_id"] for r in victims.collect()}
+    n_victim_rows = ev.where(F.col("user_id").isin(victim_ids)).count()
+
+    before, after = erase_rows_by_key(spark, path, "user_id", victims)
+    assert (before, after) == (n_total, n_total - n_victim_rows)
+    back = spark.read.parquet(path)
+    assert back.count() == after
+    assert back.where(F.col("user_id").isin(victim_ids)).count() == 0
+    # no stranded temp/old directories
+    assert not glob.glob(path + "__*")
+    assert os.path.isdir(path)
