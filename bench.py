@@ -47,10 +47,13 @@ HEADLINE = (
     "text_stats",
     "doc_fingerprints",
     # r6 additions: the multi-shuffle curation pipeline (explode ->
-    # count -> anti-join -> reassemble) and the grid-densify+window
-    # time-series shape — both new families need a trend line.
+    # count -> anti-join -> reassemble), the grid-densify+window
+    # time-series shape, and the iterative-join family (5 PageRank
+    # rounds incl. the pinned edge build) — new families need trend
+    # lines.
     "line_dedup_boilerplate",
     "gapfill_hourly_interpolate",
+    "pagerank_trade_network",
     # [REF] normalization core: nested corpus -> normalize() spec ->
     # FK join-back -> exact-decimal rollup (plans/normcore.py).
     "normalize_star_rebuild",
