@@ -332,6 +332,8 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                 elif fmt == "jpeg" and payload[:2] == b"\xff\xd8":
                     w, h, _nc, jsamples = _decode_jpeg(payload)
                     mean = sum(jsamples) / len(jsamples) if jsamples else 0.0
+                elif fmt == "gif" and payload[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, mean = _decode_gif(payload)
                 elif fake:
                     m = r["media_meta"]
                     w, h = int(m["width"]), int(m["height"])
@@ -1284,3 +1286,177 @@ def mjpeg_frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(stats, schema=schema)
+
+
+def encode_gif(width: int, height: int, pixel: "callable") -> bytes:
+    """Pure-Python GIF87a encoder (grayscale, 256-entry color table).
+
+    The LZW stream uses the degenerate-but-valid literal form: a CLEAR
+    code is emitted at least every 253 literals, which keeps the
+    decoder's growing dictionary below 512 entries so the code width
+    stays at 9 bits throughout — the same encoder-simple /
+    decoder-complete split as the PNG/JPEG codecs (the DECODER is the
+    real artifact; see ``_decode_gif``'s full variable-width LZW).
+    ``pixel(x, y)`` returns a luma int 0..255 (the palette maps index i
+    to gray (i, i, i)).
+    """
+    import struct
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW min code size
+
+    CLEAR, EOI = 256, 257
+    codes: list[tuple[int, int]] = [(CLEAR, 9)]
+    n_since_clear = 0
+    for y in range(height):
+        for x in range(width):
+            if n_since_clear >= 253:
+                codes.append((CLEAR, 9))
+                n_since_clear = 0
+            codes.append((int(pixel(x, y)) & 0xFF, 9))
+            n_since_clear += 1
+    codes.append((EOI, 9))
+
+    bits = bytearray()
+    acc, nacc = 0, 0
+    for code, width_bits in codes:
+        acc |= code << nacc
+        nacc += width_bits
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, float]:
+    """Full GIF87a/89a decode for the single-image grayscale case:
+    header + color table walk, then COMPLETE variable-code-width LZW
+    (dictionary growth, width bumps at 2^w, CLEAR resets, the
+    copy-previous+first-char rule for the not-yet-defined code) —
+    unlike the encoder, the decoder handles any conformant stream.
+    Returns (width, height, mean gray value via the palette)."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    palette: list[int] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        for i in range(n):
+            r, g, b = data[pos + 3 * i : pos + 3 * i + 3]
+            palette.append((r + g + b) // 3)
+        pos += 3 * n
+    # skip extensions until the image descriptor
+    while data[pos] == 0x21:
+        pos += 2
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+    if data[pos] != 0x2C:
+        raise ValueError("no image descriptor")
+    _, _, width, height = struct.unpack_from("<HHHH", data, pos + 1)
+    lflags = data[pos + 9]
+    pos += 10
+    if lflags & 0x80:
+        n = 2 << (lflags & 0x07)
+        for i in range(n):
+            r, g, b = data[pos + 3 * i : pos + 3 * i + 3]
+            palette.append((r + g + b) // 3)
+        pos += 3 * n
+    if lflags & 0x40:
+        raise NotImplementedError("interlaced GIF")
+    min_code = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos]:
+        ln = data[pos]
+        stream += data[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    acc = nacc = bitpos = 0
+
+    def read_code(w: int) -> int:
+        nonlocal acc, nacc, bitpos
+        while nacc < w:
+            if bitpos >= len(stream):
+                return EOI
+            acc |= stream[bitpos] << nacc
+            bitpos += 1
+            nacc += 8
+        v = acc & ((1 << w) - 1)
+        acc >>= w
+        nacc -= w
+        return v
+
+    def reset():
+        return {i: [i] for i in range(1 << min_code)}, min_code + 1
+
+    table, width_bits = reset()
+    indices: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read_code(width_bits)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table, width_bits = reset()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+            if prev is not None:
+                table[len(table) + 2] = prev + [entry[0]]
+        elif prev is not None and code == len(table) + 2:
+            entry = prev + [prev[0]]
+            table[code] = entry
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        indices.extend(entry)
+        prev = entry
+        if len(table) + 2 >= (1 << width_bits) and width_bits < 12:
+            width_bits += 1
+
+    px = [palette[i] for i in indices[: width * height]]
+    mean = sum(px) / len(px) if px else 0.0
+    return width, height, mean
+
+
+def attach_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize GENUINE GIF87a payloads (deterministic grayscale
+    pattern) so the full LZW decode executes in-container — the
+    palette-indexed compressed-image twin of ``attach_png_media``."""
+    schema = f"{id_col} BIGINT, media_bytes BINARY, media_meta STRUCT<{MEDIA_META_FIELDS}>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_bytes": [], "media_meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = 5 + doc_id % 4, 4 + doc_id % 5
+                payload = encode_gif(
+                    w, h, lambda x, y: (doc_id * 29 + x * 11 + y * 17) % 256
+                )
+                out["doc_id"].append(doc_id)
+                out["media_bytes"].append(payload)
+                out["media_meta"].append(
+                    {"width": w, "height": h, "format": "gif", "n_frames": 1}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(encode, schema=schema)

@@ -3330,3 +3330,42 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "multimodal_gif_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 4 AS INT) AS width,
+             CAST(4 + doc_id % 5 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.width, d.height,
+             ((d.doc_id * 29 + x.x * 11 + y.y * 17) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(d.width))  AS x(x),
+           UNNEST(RANGE(d.height)) AS y(y))
+    SELECT doc_id,
+           width,
+           height,
+           CAST(width * height AS INT) AS n_pixels,
+           SUM(v) / COUNT(*)           AS pixel_mean
+    FROM px
+    GROUP BY doc_id, width, height
+    ORDER BY doc_id
+    """,
+    doc="L5 REAL palette-image decode: genuine GIF87a payloads "
+    "(256-entry grayscale color table + LZW-compressed index stream) "
+    "decoded by the pure-Python codec through mapInPandas — the "
+    "decoder implements COMPLETE variable-code-width LZW (dictionary "
+    "growth, width bumps, CLEAR resets, the copy-ahead rule), so the "
+    "lossless pixel stats are value-checked cross-engine like "
+    "PNG/BMP. Closes the LZW family alongside zlib (PNG) and Huffman "
+    "(JPEG). operators/multimodal.py::attach_gif_media / _decode_gif.",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import attach_gif_media, decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image(attach_gif_media(docs), fake=False).orderBy("doc_id")

@@ -79,6 +79,7 @@ _CODEC_QUERIES = {
     "multimodal_wav_decode",
     "multimodal_video_framesample",
     "multimodal_mjpeg_framesample",
+    "multimodal_gif_decode",
     "multimodal_image_features",
 }
 # The registered-UDTF surface demo (SURVEY §2.11): deliberately Python,

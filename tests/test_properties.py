@@ -449,3 +449,24 @@ def test_line_level_dedup_properties(spark, docs, line_tokens):
         assert cleaned[i]["text_clean"] == " ".join(expect_kept)
         assert cleaned[i]["n_removed"] == len(segs(text)) - len(expect_kept)
         assert cleaned[i]["n_lines"] == len(segs(text))
+
+
+@given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_codec_roundtrip_property(width, height, seed):
+    """encode_gif -> _decode_gif recovers dims and the exact pixel mean
+    for ANY dims/content (lossless LZW + palette), including streams
+    long enough to cross CLEAR boundaries and code-width bumps."""
+    from etl_sample_spark.operators.multimodal import _decode_gif, encode_gif
+
+    def px(x, y):
+        return (seed + x * 11 + y * 17) % 256
+
+    w, h, mean = _decode_gif(encode_gif(width, height, px))
+    expect = [px(x, y) for y in range(height) for x in range(width)]
+    assert (w, h) == (width, height)
+    assert abs(mean - sum(expect) / len(expect)) < 1e-12
