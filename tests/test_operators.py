@@ -1159,3 +1159,26 @@ def test_ewma_lies_within_value_range(spark, sf_dir):
     for uid, ewma in got.items():
         lo, hi = bounds[uid]
         assert lo - 1e-6 <= ewma <= hi + 1e-6, (uid, ewma, lo, hi)
+
+
+def test_audio_transcode_adpcm_stats_distributed(spark, sf_dir):
+    """The WAV -> ADPCM -> decode audit runs through mapInPandas over
+    the synthesized audio corpus: ~4:1 compression, positive SNR, and
+    sample counts matching the PCM payloads."""
+    from etl_sample_spark.operators.multimodal import (
+        attach_wav_media,
+        audio_transcode_adpcm_stats,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents").limit(40)
+    out = audio_transcode_adpcm_stats(attach_wav_media(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["n_samples"] > 0
+        assert r["pcm_bytes"] == 2 * r["n_samples"]
+        # header (5B) + one nibble per sample
+        assert r["adpcm_bytes"] <= 5 + (r["n_samples"] + 1) // 2
+        # the synthetic corpus waveform is noise-like (hash-derived), the
+        # worst case for ADPCM's slope tracking — require positive SNR
+        # (reconstruction beats silence) rather than a hi-fi number.
+        assert r["snr_db"] > 0.0, (r["doc_id"], r["snr_db"])
