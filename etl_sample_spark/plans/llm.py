@@ -3369,3 +3369,126 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_image(attach_gif_media(docs), fake=False).orderBy("doc_id")
+
+
+_ga_gate = _hsg("user_id")
+
+
+@register(
+    "group_aware_split_events",
+    f"""
+    WITH tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN {_ga_gate} < 8000 THEN 'train'
+                  WHEN {_ga_gate} < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                 AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_users
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="Group-aware train/val/test split: the gate hashes the USER, "
+    "not the row, so every event of a user lands in one split — the "
+    "leakage guard sequence/session models need (row-level splits put "
+    "a user's history in train and their future in test, inflating "
+    "eval). The complement of train_val_test_split's content-hash "
+    "document split. Deterministic hash gate; map-side tag + one tiny "
+    "groupBy. The per-split event/user counts are the dataset-card "
+    "numbers; the tag itself joins back map-side for the actual "
+    "export.",
+)
+def group_aware_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.sampling import hash_position
+
+    ev = _t(spark, sf_dir, "events")
+    gate = hash_position(F.col("user_id")) % 10000
+    split = (
+        F.when(gate < 8000, "train").when(gate < 9000, "val").otherwise("test")
+    )
+    return (
+        ev.select(split.alias("split"), "user_id", "event_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "per_group_k_sample_docs",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_hsg("doc_id")}, doc_id) AS rn
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+    FROM ranked WHERE rn <= 20
+    ORDER BY doc_id
+    """,
+    doc="Per-group uniform k-sample: exactly min(k, |group|) documents "
+    "per source, chosen by ranking on the deterministic hash gate "
+    "(doc_id tiebreak) — the eyeball-sample/debug-extract primitive "
+    "(k per tenant, k per day) with reproducible membership, unlike "
+    "RNG sampling. One window shuffle on the group key; at 100 TB "
+    "combine with WindowGroupLimit (pinned in "
+    "tests/test_partition_pruning.py), which keeps only k rows per "
+    "partition before the exchange.",
+)
+def per_group_k_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.operators.sampling import hash_position
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        hash_position(F.col("doc_id")) % 10000, "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    WITH pred AS (
+      SELECT lang AS actual,
+             CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
+                       * 1.0 / LEN(STRING_SPLIT(text, ' ')) > 0.08 THEN 'en'
+                  WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                           t -> t IN ('spark','vector','hash','query')))
+                       * 1.0 / LEN(STRING_SPLIT(text, ' ')) > 0.12 THEN 'tech'
+                  ELSE 'unknown' END AS predicted
+      FROM documents)
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+    doc="Classifier evaluation: confusion matrix of the language-ID "
+    "heuristic against the corpus's labeled lang column — the "
+    "quality-gate calibration every heuristic classifier needs before "
+    "its threshold gates a corpus. One map pass + a "
+    "|labels|x|labels|-bounded groupBy.",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual"),
+            lang_id_heuristic(F.col("text")).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
