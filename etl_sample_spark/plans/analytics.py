@@ -1150,3 +1150,67 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("below_k", F.col("cell_size") < 5)
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "abc_pareto_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS r
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(r) OVER () AS total
+      FROM rev)
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS class_revenue
+    FROM ranked
+    GROUP BY 1
+    ORDER BY abc_class
+    """,
+    doc="ABC / Pareto classification: parts ranked by exact-decimal "
+    "revenue, classed A/B/C at the 80%/95% cumulative-share cuts. "
+    "Every comparison is decimal-on-decimal (cum*100 <= total*80 — "
+    "integer cross-multiplication, no division), so the class "
+    "boundary cannot flip cross-engine, and the running sum is exact "
+    "regardless of partition order. The inventory-prioritization "
+    "classic. Shape: one grouped agg + one ordered window (global "
+    "order over the PART dimension, which is dimension- not "
+    "fact-sized) + one 3-row rollup.",
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.functions.money import revenue_dec
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(revenue_dec()).alias("r"))
+    w_cum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

@@ -319,3 +319,75 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(after_view, 1)).alias("clicked_after_view"),
         F.count(F.when(full, 1)).alias("full_funnel"),
     )
+
+
+@register(
+    "multitouch_attribution_linear",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'),
+    touches AS (
+      SELECT p.purchase_id, p.value, c.click_id
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.cts <= p.pts
+       AND c.cts >  p.pts - INTERVAL '6 hours'),
+    credited AS (
+      SELECT click_id,
+             ROUND(value / (COUNT(*) OVER (PARTITION BY purchase_id)), 2) AS credit
+      FROM touches)
+    SELECT CAST(click_id AS BIGINT) AS click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           ROUND(SUM(credit), 2)    AS attributed_value
+    FROM credited
+    GROUP BY click_id
+    ORDER BY click_id
+    """,
+    doc="Multi-touch attribution (linear model): every click within the "
+    "6-hour window before a purchase shares the purchase value equally "
+    "(value / n_touches, 2dp-rounded per credit so both engines "
+    "aggregate identical cents), then credits roll up per click — the "
+    "marketing-spend allocation query. Shape: an interval join "
+    "(range-bounded, per-user equi + time band — the plan-guarded "
+    "no-NLJ interval-join family) + one count window per purchase + "
+    "one grouped sum. 100 TB: both sides pre-filtered by type before "
+    "the join; the window partitions by purchase (bounded touch "
+    "counts).",
+)
+def multitouch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"), "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    touches = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (clicks["cts"] <= purchases["pts"])
+        & (clicks["cts"] > purchases["pts"] - F.expr("INTERVAL 6 HOURS")),
+    ).select("purchase_id", "value", "click_id")
+    credit = F.round(
+        F.col("value") / F.count(F.lit(1)).over(Window.partitionBy("purchase_id")), 2
+    )
+    return (
+        touches.select("click_id", credit.alias("credit"))
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+            F.round(F.sum("credit"), 2).alias("attributed_value"),
+        )
+        .select(
+            F.col("click_id").cast("bigint").alias("click_id"),
+            "n_purchases_touched",
+            "attributed_value",
+        )
+        .orderBy("click_id")
+    )
