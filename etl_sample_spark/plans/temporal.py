@@ -338,19 +338,23 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND c.cts >  p.pts - INTERVAL '6 hours'),
     credited AS (
       SELECT click_id,
-             ROUND(value / (COUNT(*) OVER (PARTITION BY purchase_id)), 2) AS credit
+             CAST(FLOOR(value * 1000000.0::DOUBLE
+                        / (COUNT(*) OVER (PARTITION BY purchase_id))
+                        + 0.5::DOUBLE) AS BIGINT) AS credit_micro
       FROM touches)
-    SELECT CAST(click_id AS BIGINT) AS click_id,
-           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
-           ROUND(SUM(credit), 2)    AS attributed_value
+    SELECT CAST(click_id AS BIGINT)    AS click_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_purchases_touched,
+           CAST(SUM(credit_micro) AS BIGINT) AS attributed_micro
     FROM credited
     GROUP BY click_id
     ORDER BY click_id
     """,
     doc="Multi-touch attribution (linear model): every click within the "
-    "6-hour window before a purchase shares the purchase value equally "
-    "(value / n_touches, 2dp-rounded per credit so both engines "
-    "aggregate identical cents), then credits roll up per click — the "
+    "6-hour window before a purchase shares the purchase value equally. "
+    "Credits are integer MICRO-units (floor(value*1e6/n + 0.5) — the "
+    "portable half-up on a bit-identical double input), so per-click "
+    "sums are exact integers with no rounding-tie seam (a 2dp ROUND "
+    "diverged cross-engine on boundary credits at sf0.01) — the "
     "marketing-spend allocation query. Shape: an interval join "
     "(range-bounded, per-user equi + time band — the plan-guarded "
     "no-NLJ interval-join family) + one count window per purchase + "
@@ -374,20 +378,21 @@ def multitouch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         & (clicks["cts"] <= purchases["pts"])
         & (clicks["cts"] > purchases["pts"] - F.expr("INTERVAL 6 HOURS")),
     ).select("purchase_id", "value", "click_id")
-    credit = F.round(
-        F.col("value") / F.count(F.lit(1)).over(Window.partitionBy("purchase_id")), 2
-    )
+    n_touch = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    credit_micro = F.floor(
+        F.col("value") * F.lit(1000000.0) / n_touch + F.lit(0.5)
+    ).cast("bigint")
     return (
-        touches.select("click_id", credit.alias("credit"))
+        touches.select("click_id", credit_micro.alias("credit_micro"))
         .groupBy("click_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
-            F.round(F.sum("credit"), 2).alias("attributed_value"),
+            F.sum("credit_micro").cast("bigint").alias("attributed_micro"),
         )
         .select(
             F.col("click_id").cast("bigint").alias("click_id"),
             "n_purchases_touched",
-            "attributed_value",
+            "attributed_micro",
         )
         .orderBy("click_id")
     )
