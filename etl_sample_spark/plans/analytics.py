@@ -1214,3 +1214,62 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "wow_revenue_growth",
+    """
+    WITH weekly AS (
+      SELECT DATE_DIFF('day', TIMESTAMP '1995-01-02', o_orderdate) // 7 AS week_idx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-02'
+      GROUP BY 1),
+    laged AS (
+      SELECT week_idx, rev,
+             LAG(rev) OVER (ORDER BY week_idx) AS prev
+      FROM weekly)
+    SELECT CAST(week_idx AS BIGINT) AS week_idx,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE)  AS revenue,
+           CAST(CAST(prev AS VARCHAR) AS DOUBLE) AS prev_revenue,
+           ROUND(CAST(CAST(rev - prev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(prev AS VARCHAR) AS DOUBLE), 6) AS wow_growth
+    FROM laged
+    WHERE prev IS NOT NULL
+    ORDER BY week_idx
+    """,
+    doc="Week-over-week growth: the executive trend KPI — weekly revenue "
+    "on the exact decimal grid (Monday-anchored integer week index, no "
+    "engine week-numbering semantics to disagree on), LAG for the "
+    "prior week, growth ratio of two exactly-equal decimals bridged to "
+    "double (identical operands both engines; ROUND(,6) absorbs the "
+    "division ulp). One grouped agg + one tiny global window over the "
+    "week dimension.",
+)
+def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.functions.money import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    anchor = F.lit("1995-01-02").cast("timestamp")
+    weekly = (
+        orders.where(F.col("o_orderdate") >= anchor)
+        .groupBy(
+            F.floor(F.datediff(F.col("o_orderdate"), anchor) / 7).alias("week_idx")
+        )
+        .agg(F.sum(dec2("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("week_idx")
+    laged = weekly.select(
+        "week_idx", "rev", F.lag("rev").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return laged.select(
+        F.col("week_idx").cast("bigint").alias("week_idx"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("prev").cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("rev") - F.col("prev")).cast("double") / F.col("prev").cast("double"),
+            6,
+        ).alias("wow_growth"),
+    ).orderBy("week_idx")

@@ -396,3 +396,62 @@ def multitouch_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_id")
     )
+
+
+@register(
+    "bounce_rate_by_usertype",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT CASE WHEN user_id % 3 = 0 THEN 'cohort_a'
+                WHEN user_id % 3 = 1 THEN 'cohort_b'
+                ELSE 'cohort_c' END AS cohort,
+           CAST(COUNT(*) AS BIGINT)                          AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS bounce_rate
+    FROM per_session
+    GROUP BY 1
+    ORDER BY cohort
+    """,
+    doc="Bounce rate: share of 30-minute-gap sessions containing exactly "
+    "one event, by (deterministic) user cohort — the engagement KPI "
+    "built on the same sessionization as window_session_30m (same gap "
+    "flag + running-sum session ids), then one more grouped pass. "
+    "bounce_rate is an exact integer ratio, emitted unrounded. One "
+    "user-partitioned window + two small groupBys.",
+)
+def bounce_rate_by_usertype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Native session windows (the same 30m-gap semantics the LAG-based
+    # oracle spells out — the pairing window_session_30m already proved).
+    per_session = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    cohort = (
+        F.when(F.col("user_id") % 3 == 0, "cohort_a")
+        .when(F.col("user_id") % 3 == 1, "cohort_b")
+        .otherwise("cohort_c")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per_session.groupBy(cohort.alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            bounces.cast("bigint").alias("n_bounces"),
+            (bounces * 1.0 / F.count(F.lit(1))).alias("bounce_rate"),
+        )
+        .orderBy("cohort")
+    )
