@@ -62,68 +62,33 @@ _R1_CHECKED = {
     "minhash_lsh_candidate_pairs", "simhash_signatures",
     "ngram_jaccard_sample_pairs",
 }
-# Every query added or code-touched in round 5 — pinned to the very
-# front of the window so CORRECTNESS_r05 (re-)hashes each at sf0.01
-# post-change. (The r2-r4 change set was fully re-hashed green in r4 and
-# rotates back into the general window.)
+# Round-7 pin set. Policy unchanged: every query whose code changed
+# since its last driver-grade check, plus every query that has never had
+# a driver row, goes first. (The r6 pin set was re-hashed in
+# CORRECTNESS_r06 — 46/50 green — and rotates back.)
 _FRONT_PINS = [
-    # newly registered in r6
-    "gapfill_hourly_interpolate",
-    "ewma_final_value_by_user",
-    "anomaly_zscore_events",
-    "line_dedup_boilerplate",
-    "fuzzy_join_part_names",
-    "quality_classifier_score",
-    "doc_length_histogram",
-    "zorder_curve_rank_parts",
-    "heavy_hitters_tokens",
-    "countmin_token_estimate",
-    "unigram_logprob_score",
-    "pagerank_trade_network",
-    "entity_resolution_part_names",
+    # r6's four `err` rows: value-correct but driver-uncanonicalizable
+    # output shapes (raw arrays / 9999-12-31 sentinel). Reshaped to
+    # array_join'd scalars / formatted-string sentinel in r7 — re-pinned
+    # to turn the official record green.
     "next_event_training_pairs",
-    "snapshot_diff_orders",
-    "quantile_binning_order_prices",
-    "multimodal_mjpeg_framesample",
     "inverted_index_postings",
-    "bigram_pmi_collocations",
-    "markov_event_transitions",
-    "rfm_customer_scores",
-    "benford_first_digit_audit",
-    "correlation_qty_price_exact",
-    "agg_argmax_order_per_status",
-    "q6_via_sql_interface",
-    "surrogate_keys_customers",
-    "weighted_sample_by_length",
     "embedding_int8_quantization",
-    "geo_candidate_pairs",
-    "hierarchy_rollup_suppliers",
-    "ab_test_two_proportion_z",
-    "seasonal_naive_backtest",
-    "k_anonymity_audit",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode",
-    "bm25_score_query",
-    "doc_chunking_overlap",
-    "hybrid_rrf_rerank",
-    "minhash_jaccard_estimate_audit",
-    "decontaminated_split_audit",
     "scd2_customer_segment_migration",
-    "feature_drift_psi_events",
-    "revenue_trend_slope_by_priority",
-    "tokenizer_fertility_by_lang",
-    "incremental_rollup_orders_by_month",
-    "rebalance_source_mix_3_2_1",
-    # graduated from rows-only to FULL hash oracles in r6 (first-ever
-    # driver hash check for these two)
-    "similarity_ivf_top10",
-    "similarity_ivf_indexed_top10",
-    # signature/banding code parameterized in r6 (width + striped bands
-    # + max_bucket cap; result-invariant, re-pinned to prove it)
-    "simhash_signatures",
-    "simhash_neardup_pairs",
-    # (the full r5 change set was re-hashed green in CORRECTNESS_r05 and
-    # rotates back into the general window)
+    # registered late in r6, after the 50-query window had filled —
+    # first-ever driver rows
+    "multimodal_gif_decode",
+    "group_aware_split_events",
+    "per_group_k_sample_docs",
+    "lang_confusion_matrix",
+    "multitouch_attribution_linear",
+    "abc_pareto_classification",
+    "bounce_rate_by_usertype",
+    "wow_revenue_growth",
+    # the two principled rows-only sketches — never yet had even their
+    # rows-only driver row; let them through the window once
+    "agg_hll_approx_distinct",
+    "agg_percentile_approx_prices",
 ]
 
 

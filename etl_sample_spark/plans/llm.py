@@ -2185,19 +2185,19 @@ def decontaminated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE u.c_mktsegment IS DISTINCT FROM b.c_mktsegment)
     SELECT c_custkey, c_mktsegment,
            TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
-           TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+           '9999-12-31 00:00:00'           AS valid_to,
            TRUE                            AS is_current
     FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
     UNION ALL
     SELECT c_custkey, c_mktsegment,
            TIMESTAMP '1995-01-01 00:00:00',
-           TIMESTAMP '2000-06-01 00:00:00',
+           '2000-06-01 00:00:00',
            FALSE
     FROM base WHERE c_custkey IN (SELECT c_custkey FROM changed)
     UNION ALL
     SELECT c_custkey, c_mktsegment,
            TIMESTAMP '2000-06-01 00:00:00',
-           TIMESTAMP '9999-12-31 00:00:00',
+           '9999-12-31 00:00:00',
            TRUE
     FROM upd WHERE c_custkey IN (SELECT c_custkey FROM changed)
     ORDER BY c_custkey, valid_from
@@ -2224,14 +2224,19 @@ def scd2_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
     merged = scd2_merge(history, updates, "c_custkey", ["c_mktsegment"], "2000-06-01")
-    # Present the open end as the standard SCD2 high-date sentinel:
-    # NULL-timestamp round-tripping differs across engines/clients, and
-    # the sentinel keeps BETWEEN-style as-of predicates index-friendly.
+    # Present the open end as the standard SCD2 high-date sentinel,
+    # FORMATTED AS A STRING: 9999-12-31 overflows pandas' ns-timestamp
+    # range (max 2262-04-11), so a timestamp-typed sentinel can't be
+    # canonicalized by pandas-based clients; the fixed-width string
+    # keeps BETWEEN-style as-of predicates order-correct.
     return merged.select(
         "c_custkey",
         "c_mktsegment",
         "valid_from",
-        F.coalesce("valid_to", F.lit("9999-12-31").cast("timestamp")).alias("valid_to"),
+        F.date_format(
+            F.coalesce("valid_to", F.lit("9999-12-31").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("valid_to"),
         "is_current",
     ).orderBy("c_custkey", "valid_from")
 
@@ -3048,7 +3053,8 @@ def multimodal_mjpeg_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t AS token,
            CAST(COUNT(*) AS BIGINT)  AS df,
            CAST(SUM(f) AS BIGINT)    AS cf,
-           list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 5) AS top_postings
+           ARRAY_TO_STRING(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 5), ',')
+             AS top_postings
     FROM (SELECT t, doc_id, f,
                  ROW_NUMBER() OVER (PARTITION BY t ORDER BY f DESC, doc_id) AS rn
           FROM tf)
@@ -3062,8 +3068,9 @@ def multimodal_mjpeg_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this materializes them). 100 TB shape: explode + one "
     "map-side-combinable (token, doc) count + one token-partitioned "
     "window; posting heads are bounded per token so the output is "
-    "vocabulary-sized. Full postings would partitionBy(token) to "
-    "parquet instead of collecting into a row.",
+    "vocabulary-sized (emitted ','-joined — driver-canonicalizable "
+    "scalar). Full postings would partitionBy(token) to parquet "
+    "instead of collecting into a row.",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -3081,8 +3088,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("df"),
             F.sum("f").cast("bigint").alias("cf"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("rn") <= 5, F.col("doc_id")))
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= 5, F.col("doc_id")))
+                ),
+                ",",
             ).alias("top_postings"),
         )
         .select(F.col("t").alias("token"), "df", "cf", "top_postings")
@@ -3273,7 +3283,7 @@ def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scaled WHERE max_abs > 0)
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            ROUND(max_abs, 6)      AS max_abs,
-           qvec,
+           ARRAY_TO_STRING(qvec, ',') AS qvec,
            CAST(LEN(qvec) AS INT) AS dim,
            ROUND(list_max([ABS(CAST(embedding[i] AS DOUBLE) - qvec[i] * max_abs / 127.0::DOUBLE)
                            FOR i IN range(1, LEN(embedding) + 1)]), 6) AS max_err
@@ -3324,7 +3334,12 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").cast("bigint").alias("vec_id"),
             F.round("max_abs", 6).alias("max_abs"),
-            "qvec",
+            # ','-joined scalar emit: int8 codes render identically in
+            # both engines, and the driver's pandas canonicalizer needs
+            # hashable (non-list) cells.
+            F.array_join(
+                F.transform(F.col("qvec"), lambda q: q.cast("string")), ","
+            ).alias("qvec"),
             F.size("qvec").cast("int").alias("dim"),
             "max_err",
         )

@@ -71,11 +71,53 @@ def normalize_result(columns, rows):
     return cols_sorted, normed
 
 
+def assert_driver_canonicalizable(spark_df, rows=None):
+    """Registry-wide OUTPUT-contract guard (r6 VERDICT item 3).
+
+    The driver canonicalizes query results through a plain pandas
+    sort_values/hash pass: complex-typed cells (array/map/struct) are
+    unhashable there, and timestamps outside pandas' ns range
+    (1677-09-21 .. 2262-04-11) overflow — either one records `err` for
+    a value-correct query. Four r6 queries hit exactly this; the guard
+    makes the class unrepresentable going forward.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"driver-uncanonicalizable complex columns {complex_cols}: emit "
+        "array_join/to_json scalars instead (plans/relational.py:523 pattern)"
+    )
+    if rows is None:
+        rows = [tuple(r) for r in spark_df.collect()]
+    lo = pd.Timestamp.min.ceil("us").to_pydatetime().replace(tzinfo=None)
+    hi = pd.Timestamp.max.floor("us").to_pydatetime().replace(tzinfo=None)
+    for r in rows:
+        for v in r:
+            if isinstance(v, datetime.datetime):
+                naive = v.replace(tzinfo=None)
+                assert lo <= naive <= hi, (
+                    f"timestamp {v} outside pandas ns range — the driver's "
+                    "canonicalizer overflows; emit a formatted string"
+                )
+            elif isinstance(v, datetime.date):
+                assert 1678 <= v.year <= 2261, (
+                    f"date {v} outside pandas ns range — the driver's "
+                    "canonicalizer overflows; emit a formatted string"
+                )
+    return rows
+
+
 def assert_matches_oracle(spark_df, duck_con, sql):
     """Compare a Spark DataFrame against DuckDB output the way the driver
     does: row count, sorted column names, order-insensitive values."""
     spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    spark_rows = assert_driver_canonicalizable(spark_df)
     rel = duck_con.sql(sql)
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()

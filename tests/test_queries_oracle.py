@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 
 from etl_sample_spark.plans import REGISTRY
-from tests.conftest import assert_matches_oracle
+from tests.conftest import assert_driver_canonicalizable, assert_matches_oracle
 
 ORACLE_QUERIES = sorted(name for name, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(name for name, s in REGISTRY.items() if s.oracle is None)
@@ -29,9 +29,11 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 def test_rows_only_query_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.spark(spark, sf_dir)
-    # Same contract the driver checks: runs, stable schema, >= 0 rows.
+    # Same contract the driver checks: runs, stable schema, >= 0 rows —
+    # plus the pandas-canonicalizability contract every driver row needs.
     assert df.columns
-    assert df.count() >= 0
+    rows = assert_driver_canonicalizable(df)
+    assert len(rows) >= 0
 
 
 def test_entry_smoke(spark):
