@@ -37,6 +37,15 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     n = len(cols)
     if n == 0:
         raise ValueError("interleave_bits needs at least one column")
+    if n * bits > 63:
+        # The curve rank lives in a signed 64-bit long: bit position
+        # n*bits-1 must stay below the sign bit or z-values wrap negative
+        # and silently corrupt the ordering (4 cols at the default 16
+        # bits would land a bit at position 63).
+        raise ValueError(
+            f"interleave of {n} columns x {bits} bits needs {n * bits} bits; "
+            f"max 63 in a signed bigint — reduce bits to {63 // n}"
+        )
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -49,6 +58,13 @@ def interleave_bits_sql(exprs: list[str], bits: int = 16) -> str:
     """The identical interleave as an ANSI-SQL expression string (for
     DuckDB oracles): same bit placement as :func:`interleave_bits`."""
     n = len(exprs)
+    if n == 0:
+        raise ValueError("interleave_bits_sql needs at least one expression")
+    if n * bits > 63:
+        raise ValueError(
+            f"interleave of {n} expressions x {bits} bits needs {n * bits} "
+            f"bits; max 63 in a signed bigint — reduce bits to {63 // n}"
+        )
     # Outer parens are load-bearing: SQL gives << lower precedence than +,
     # so an unparenthesized "a << k + b << m" folds the + into the shift.
     terms = [
@@ -98,6 +114,11 @@ def write_zordered(
     """
     if not cluster_cols:
         raise ValueError("cluster_cols must be non-empty")
+    # Auto-coarsen so the interleave fits a signed bigint: 4+ cluster
+    # columns at the default bits=16 would overflow bit 63. Fewer bits
+    # per column only coarsens the curve (file-level skipping is driven
+    # by the top bits), it never breaks ordering.
+    bits = min(bits, 63 // len(cluster_cols))
     bounds = df.agg(
         *[F.min(c).cast("bigint").alias(f"__lo_{c}") for c in cluster_cols],
         *[F.max(c).cast("bigint").alias(f"__hi_{c}") for c in cluster_cols],

@@ -1484,9 +1484,10 @@ def _ima_clamp(v: int, lo: int, hi: int) -> int:
 
 def encode_ima_adpcm(samples: list[int]) -> bytes:
     """IMA ADPCM encoder (4 bits/sample, 4:1 compression vs 16-bit PCM):
-    the standard predict-quantize-adapt loop. Payload layout: 2-byte
-    sample count, 2-byte initial predictor, 1-byte initial step index,
-    then packed nibbles (low nibble first)."""
+    the standard predict-quantize-adapt loop. Payload layout: 4-byte
+    sample count (a 2-byte count capped clips at ~1.5 s of 44.1 kHz
+    audio), 2-byte initial predictor, 1-byte initial step index, then
+    packed nibbles (low nibble first)."""
     import struct
 
     pred = samples[0] if samples else 0
@@ -1520,7 +1521,7 @@ def encode_ima_adpcm(samples: list[int]) -> bytes:
         lo = out_nibbles[i]
         hi = out_nibbles[i + 1] if i + 1 < len(out_nibbles) else 0
         packed.append(lo | (hi << 4))
-    head = struct.pack("<Hhb", len(samples), samples[0] if samples else 0, 0)
+    head = struct.pack("<Ihb", len(samples), samples[0] if samples else 0, 0)
     return head + bytes(packed)
 
 
@@ -1532,8 +1533,8 @@ def decode_ima_adpcm(data: bytes) -> list[int]:
     tests pin, analogous to the JPEG constant-block configuration)."""
     import struct
 
-    n, pred, index = struct.unpack_from("<Hhb", data, 0)
-    pos = 5
+    n, pred, index = struct.unpack_from("<Ihb", data, 0)
+    pos = 7
     out: list[int] = []
     first = True
     for i in range(n):

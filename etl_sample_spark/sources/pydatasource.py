@@ -46,10 +46,25 @@ class _ShardPartition(InputPartition):
         self.end = end
 
 
+def _block_size(options: dict) -> int:
+    """Contiguous-block size of the doc_id -> shard mapping, shared by
+    the batch and streaming readers. An explicit ``docs_per_shard``
+    option pins the mapping independently of ``n_docs`` (required when a
+    checkpointed stream is resumed with a different n_docs — otherwise
+    the ceil(n_docs/n_shards) fallback shifts shard boundaries between
+    runs and the same doc_id lands in a different shard)."""
+    explicit = int(options.get("docs_per_shard", 0))
+    if explicit > 0:
+        return explicit
+    n_docs = int(options.get("n_docs", 1000))
+    n_shards = int(options.get("n_shards", 8))
+    return -(-n_docs // n_shards)  # ceil-div
+
+
 class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.n_docs = int(options.get("n_docs", 1000))
-        self.n_shards = int(options.get("n_shards", 8))
+        self.per = _block_size(options)
         self.pushed_shard: int | None = None
 
     def pushFilters(self, filters):  # noqa: N802 — API name
@@ -64,11 +79,11 @@ class SyntheticDocsReader(DataSourceReader):
         return remaining
 
     def partitions(self):
-        per = -(-self.n_docs // self.n_shards)  # ceil-div
+        per = self.per
+        n_shards = -(-self.n_docs // per)  # ceil-div
         parts = [
             _ShardPartition(s, s * per, min((s + 1) * per, self.n_docs))
-            for s in range(self.n_shards)
-            if s * per < self.n_docs
+            for s in range(n_shards)
         ]
         if self.pushed_shard is not None:
             parts = [p for p in parts if p.shard == self.pushed_shard]
@@ -123,14 +138,17 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.batch_size = int(options.get("batch_size", 10))
         self.max_docs = int(options.get("n_docs", 50))
-        self.n_shards = int(options.get("n_shards", 8))
+        self.per = _block_size(options)
 
     def _shard(self, doc_id: int) -> int:
         # SAME contiguous-block mapping as the batch reader, so a
         # checkpointed stream backfilled through the batch path assigns
-        # identical shard values to identical doc_ids.
-        per = -(-self.max_docs // self.n_shards)
-        return doc_id // per
+        # identical shard values to identical doc_ids. Pass
+        # ``docs_per_shard`` to keep the mapping stable when n_docs
+        # changes across runs (checkpoint resume with a grown corpus);
+        # without it, the mapping is only stable for a fixed
+        # n_docs/n_shards configuration.
+        return doc_id // self.per
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name
         return {"next": 0}

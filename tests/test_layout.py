@@ -117,3 +117,30 @@ def test_interleave_bits_locality_property(spark):
         .collect()[0][0]
     )
     assert spread == 15
+
+
+def test_interleave_bits_overflow_guard(spark, tmp_path):
+    """4+ columns at the default 16 bits would put the top interleaved
+    bit on the bigint sign bit — guard raises; write_zordered instead
+    auto-coarsens bits so multi-column clustering keeps working."""
+    from etl_sample_spark.operators.layout import interleave_bits_sql
+
+    cols = [F.lit(1)] * 4
+    with pytest.raises(ValueError, match="63"):
+        interleave_bits(cols, bits=16)
+    with pytest.raises(ValueError, match="63"):
+        interleave_bits_sql(["a", "b", "c", "d"], bits=16)
+    # 63-bit-exact configurations stay legal and non-negative
+    df = spark.range(0, 100).select(
+        *[((F.col("id") + i) % (1 << 15)).alias(f"c{i}") for i in range(4)]
+    )
+    z = df.select(
+        interleave_bits([F.col(f"c{i}") for i in range(4)], bits=15).alias("z")
+    )
+    assert z.agg(F.min("z")).collect()[0][0] >= 0
+
+    # write_zordered auto-coarsens: 4 cluster columns at default bits=16
+    # must write (not raise) and stay lossless.
+    out = str(tmp_path / "z4")
+    write_zordered(df, out, [f"c{i}" for i in range(4)], target_files=2)
+    assert spark.read.parquet(out).count() == 100

@@ -460,7 +460,10 @@ def test_line_level_dedup_properties(spark, docs, line_tokens):
 def test_gif_codec_roundtrip_property(width, height, seed):
     """encode_gif -> _decode_gif recovers dims and the exact pixel mean
     for ANY dims/content (lossless LZW + palette), including streams
-    long enough to cross CLEAR boundaries and code-width bumps."""
+    long enough to cross CLEAR boundaries. (encode_gif's literal-form
+    streams never grow the dictionary past 9-bit codes; the 10-12-bit
+    width-bump and dict-full paths are exercised decoder-only in
+    test_gif_lzw_width_bumps_decoder_only below.)"""
     from etl_sample_spark.operators.multimodal import _decode_gif, encode_gif
 
     def px(x, y):
@@ -496,7 +499,7 @@ def test_ima_adpcm_decode_is_exact_encoder_replay(n, seed):
     enc = encode_ima_adpcm(samples)
     dec = decode_ima_adpcm(enc)
     assert len(dec) == n
-    assert len(enc) <= 5 + (n + 1) // 2
+    assert len(enc) <= 7 + (n + 1) // 2
     # replay equality: re-encoding the decoded signal starting from the
     # same header state yields the same stream prefix behavior is hard
     # to state; the strong property is determinism:
@@ -505,3 +508,107 @@ def test_ima_adpcm_decode_is_exact_encoder_replay(n, seed):
     smooth = [i * 3 for i in range(n)]
     dec2 = decode_ima_adpcm(encode_ima_adpcm(smooth))
     assert max(abs(a - b) for a, b in zip(smooth, dec2)) <= 64
+
+
+def test_gif_lzw_width_bumps_decoder_only():
+    """Decoder-only LZW coverage: a REAL compressing encoder (dictionary
+    growth, early-change width bumps at 2^w, CLEAR-on-full reset) built
+    in-test produces a conformant stream whose codes reach 12 bits;
+    _decode_gif must walk it and recover the exact pixel mean.
+    encode_gif's literal-form streams never leave 9-bit codes, so this
+    is the only test that executes the decoder's 10/11/12-bit paths."""
+    import struct
+
+    from etl_sample_spark.operators.multimodal import _decode_gif
+
+    width, height = 200, 100
+    # Deterministic pseudo-random bytes: poor LZW compressibility means
+    # ~one new dictionary entry per ~2 symbols, so 20k pixels blow far
+    # past the 4096-entry table and force a mid-stream CLEAR reset.
+    data = bytes((i * 2654435761 >> 13) & 0xFF for i in range(width * height))
+
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, nxt, wbits = fresh()
+    codes = [(CLEAR, wbits)]
+    widths_used = {9}
+    n_clears = 1
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], wbits))
+        widths_used.add(wbits)
+        if nxt < 4096:
+            table[wc] = nxt
+            nxt += 1
+            # early-change convention, mirroring the decoder's
+            # len(table)+2 >= 2^w bump check in lockstep
+            if nxt > (1 << wbits) and wbits < 12:
+                wbits += 1
+        else:
+            codes.append((CLEAR, wbits))
+            n_clears += 1
+            table, nxt, wbits = fresh()
+        w = bytes([byte])
+    if w:
+        codes.append((table[w], wbits))
+        widths_used.add(wbits)
+    codes.append((EOI, wbits))
+
+    # the stream must genuinely exercise every width and the full-reset
+    assert widths_used == {9, 10, 11, 12}
+    assert n_clears >= 2
+
+    bits = bytearray()
+    acc = nacc = 0
+    for code, cw in codes:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HH", width, height)
+    gif += bytes([0xF7, 0, 0])
+    for i in range(256):
+        gif += bytes([i, i, i])  # identity grayscale palette
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    gif += bytes([8])
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+
+    dw, dh, mean = _decode_gif(bytes(gif))
+    assert (dw, dh) == (width, height)
+    assert abs(mean - sum(data) / len(data)) < 1e-9
+
+
+def test_ima_adpcm_long_clip_over_65535_samples():
+    """The 4-byte sample-count header must carry clips past the 65535
+    samples a 2-byte count caps at (~1.5 s of 44.1 kHz audio)."""
+    import math
+
+    from etl_sample_spark.operators.multimodal import (
+        decode_ima_adpcm,
+        encode_ima_adpcm,
+    )
+
+    n = 70_000
+    samples = [int(9000 * math.sin(i / 50.0)) for i in range(n)]
+    enc = encode_ima_adpcm(samples)
+    dec = decode_ima_adpcm(enc)
+    assert len(dec) == n
+    assert len(enc) == 7 + (n + 1) // 2
+    # slowly-varying signal: reconstruction tracks the waveform
+    assert max(abs(a - b) for a, b in zip(samples, dec)) <= 512

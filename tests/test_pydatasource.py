@@ -77,6 +77,7 @@ def test_streaming_python_source_resumes_from_checkpoint(spark, tmp_path):
             spark.readStream.format("synthetic_docs")
             .option("n_docs", n_docs)
             .option("batch_size", 7)
+            .option("docs_per_shard", 5)
             .load()
         )
         q = (
@@ -109,3 +110,7 @@ def test_streaming_python_source_resumes_from_checkpoint(spark, tmp_path):
     assert ids == list(range(50)), "duplicated or missing ids across restart"
     by_id = {r["doc_id"]: r["text"] for r in rows}
     assert by_id[33] == synth_text(33)
+    # docs_per_shard pins the doc_id -> shard mapping across the n_docs
+    # change (20 -> 50): every row, whichever run emitted it, carries
+    # the same block mapping.
+    assert all(r["shard"] == r["doc_id"] // 5 for r in rows)
