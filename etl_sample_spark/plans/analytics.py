@@ -392,59 +392,56 @@ def _pagerank_oracle() -> str:
     "multiply/divide, so the result is bit-identical across engines, "
     "partition layouts, and summation orders (floating-point PageRank "
     "is none of those), letting an iterative algorithm carry a full "
-    "hash oracle (unrolled CTE chain). 100 TB shape: the edge list is "
-    "built once from the facts (distinct collapses it to "
-    "|V|^2-bounded); each iteration is one join + one "
-    "map-side-combinable grouped sum, i.e. k shuffles for k "
-    "iterations — at scale, pre-partition edges and ranks on node so "
-    "iterations co-locate without re-shuffling. Only the node COUNT "
-    "(one scalar) touches the driver.",
+    "hash oracle (unrolled CTE chain). 100 TB shape: the heavy step is "
+    "the DISTRIBUTED edge extraction — the facts enter as probe sides "
+    "(never a broadcast build), distinct collapses the output to "
+    "|V|^2-bounded. The graph itself is dimension-sized (|nation| "
+    "nodes), so the power iteration runs driver-side over the bounded "
+    "collect (same discipline as IVF's Lloyd loop over n_centroids "
+    "rows) instead of paying 5 shuffle-stage rounds for a 600-row "
+    "dataset; operators/graph.py::pagerank_distributed is the "
+    "driver-infeasible-graph tier, tested value-equal on this graph.",
 )
 def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.graph import pagerank_fixed_point
+
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
 
-    edges = (
-        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
-        .join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(supplier, supplier["s_suppkey"] == lineitem["l_suppkey"])
-        .where(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    # Facts as probe sides: orders x customer projects to a 2-column
+    # (orderkey, src) build relation; lineitem streams past it and the
+    # supplier dimension in one whole-stage pass. (The previous join
+    # order let AQE pick LINEITEM as a broadcast build side — fine at
+    # sf0.1, a fact-table broadcast at scale.)
+    o_cust = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("src"))
+    edges_df = (
+        lineitem.join(supplier, supplier["s_suppkey"] == lineitem["l_suppkey"])
+        .join(o_cust, F.col("k") == lineitem["l_orderkey"])
+        .where(F.col("src") != F.col("s_nationkey"))
+        .select("src", F.col("s_nationkey").alias("dst"))
         .distinct()
-        # Pinned: the edge list feeds outdeg plus all five iteration
-        # subtrees — without this the 4-table fact join re-executes per
-        # iteration (the same discipline as neardup_clusters' _pin).
-        .localCheckpoint(eager=True)
     )
-    nodes = nation.select(F.col("n_nationkey").alias("node"))
-    n_nodes = nodes.count()  # bounded: |nation| rows
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    base = (15 * _PR_SCALE) // (100 * n_nodes)
-
-    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE // n_nodes).cast("bigint"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select("dst", F.expr("(85 * rank) div (100 * deg)").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce("s", F.lit(0))).cast("bigint").alias("rank"),
-            )
-        )
-    return (
-        ranks.join(nation, ranks["node"] == nation["n_nationkey"])
-        .select(F.col("n_name").alias("nation"), "rank")
-        .orderBy(F.desc("rank"), "nation")
+    # Bounded collects: |V|^2 edges, |V| nodes (|V| = |nation| = 25).
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    nation_rows = nation.select("n_nationkey", "n_name").collect()
+    rank = pagerank_fixed_point(
+        edges, [r["n_nationkey"] for r in nation_rows], iters=_PR_ITERS, scale=_PR_SCALE
     )
+    out = sorted(
+        ((r["n_name"], rank[r["n_nationkey"]]) for r in nation_rows),
+        key=lambda t: (-t[1], t[0]),
+    )
+    # Emit pre-sorted through a VALUES LocalRelation: collect is then
+    # driver-local (no job, no 32-task parallelize of 25 rows).
+    vals = ", ".join(
+        "('{}', {}L)".format(n.replace("'", "''"), v) for n, v in out
+    )
+    return spark.sql(f"SELECT nation, rank FROM (VALUES {vals}) AS t(nation, rank)")
 
 
 @register(

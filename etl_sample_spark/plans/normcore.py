@@ -71,11 +71,16 @@ ORDER_DOC_SPECS = [
         required="header.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
     ),
     # child explode + parent-key carry + drop (reference :101-126 pattern);
-    # the required-section filter mirrors "absent section → no rows"
+    # the required-section filter mirrors "absent section → no rows".
+    # Besides the FK, the parent's priority rides the explode as a
+    # struct-carry (reference :114-117 stamps parent fields the same
+    # way) — so the rollup below needs NO join-back, halving the plan:
+    # one lineitem scan + one collect_list exchange instead of two
+    # scans + a sort-merge self-join on the FK.
     TableSpec(
         "order_lines",
         explode=(("lines", "ln"),),
-        extra={"order_id": "order_id"},
+        extra={"order_id": "order_id", "o_orderpriority": "header.o_orderpriority"},
         drop=("l_tax",),
         required="header.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
     ),
@@ -96,19 +101,22 @@ ORDER_DOC_SPECS = [
     ORDER BY o.o_orderpriority
     """,
     doc="[REF] normalization core under the driver hash check: nested "
-    "corpus → normalize() spec (flatten/explode/FK-stamp/drop/required) "
-    "→ FK join-back → exact-decimal rollup. normalize.py::compile_table.",
+    "corpus → normalize() spec (flatten/explode/FK-stamp+struct-carry/"
+    "drop/required) → exact-decimal rollup grouped on the carried "
+    "parent field, with n_orders = COUNT(DISTINCT stamped FK) proving "
+    "the FK carry. Single-subtree plan: one lineitem scan, one "
+    "collect_list exchange; the header join-back a naive plan pays "
+    "(second scan + FK sort-merge self-join) is exercised separately "
+    "in the FK-integrity pytest suite. normalize.py::compile_table.",
 )
 def normalize_star_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     docs = orders_as_documents(orders, lineitem)
     tables = normalize(docs, ORDER_DOC_SPECS)
-    header = tables["order_header"]  # o_custkey..o_orderdate + order_id
-    lines = tables["order_lines"]  # line fields (minus l_tax) + order_id FK
+    lines = tables["order_lines"]  # line fields (minus l_tax) + FK + carry
     return (
-        lines.join(header, "order_id")
-        .groupBy("o_orderpriority")
+        lines.groupBy("o_orderpriority")
         .agg(
             F.countDistinct("order_id").alias("n_orders"),
             F.count(F.lit(1)).alias("n_lines"),

@@ -1183,3 +1183,46 @@ def test_audio_transcode_adpcm_stats_distributed(spark, sf_dir):
         # worst case for ADPCM's slope tracking — require positive SNR
         # (reconstruction beats silence) rather than a hi-fi number.
         assert r["snr_db"] > 0.0, (r["doc_id"], r["snr_db"])
+
+
+def test_pagerank_distributed_matches_driver_tier(spark, sf_dir):
+    """The two PageRank execution tiers (pure-Python fixed point for
+    dimension-sized graphs, join-agg power iteration for graphs that
+    don't fit the driver) must produce IDENTICAL integer ranks on the
+    same graph — the guarantee that lets the registered query use the
+    cheap tier while the distributed tier stays the documented scale
+    path."""
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark.operators.graph import (
+        pagerank_distributed,
+        pagerank_fixed_point,
+    )
+
+    nation = catalog.table(spark, sf_dir, "nation")
+    orders = catalog.table(spark, sf_dir, "orders")
+    customer = catalog.table(spark, sf_dir, "customer")
+    lineitem = catalog.table(spark, sf_dir, "lineitem")
+    supplier = catalog.table(spark, sf_dir, "supplier")
+    o_cust = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("src"))
+    edges_df = (
+        lineitem.join(supplier, supplier["s_suppkey"] == lineitem["l_suppkey"])
+        .join(o_cust, F.col("k") == lineitem["l_orderkey"])
+        .where(F.col("src") != F.col("s_nationkey"))
+        .select("src", F.col("s_nationkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds outdeg + all 5 iterations
+    )
+    nodes_df = nation.select(F.col("n_nationkey").alias("node"))
+
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank_distributed(edges_df, nodes_df, iters=5).collect()
+    }
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    local = pagerank_fixed_point(
+        edges, [r["node"] for r in nodes_df.collect()], iters=5
+    )
+    assert dist == local

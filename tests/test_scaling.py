@@ -59,6 +59,13 @@ FLAGSHIP = (
     "unigram_logprob_score",
     "pagerank_trade_network",
     "entity_resolution_part_names",
+    # r7 additions: the privacy family's heaviest members — the full
+    # plant-PII -> scrub -> quality-gate -> dedup chain (regex-heavy
+    # map work + a digest shuffle over documents) and the structured
+    # k-anonymity cell audit over customer.
+    "corpus_prep_end_to_end",
+    "text_scrub_pii",
+    "k_anonymity_audit",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
