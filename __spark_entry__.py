@@ -89,6 +89,18 @@ _FRONT_PINS = [
     # rows-only driver row; let them through the window once
     "agg_hll_approx_distinct",
     "agg_percentile_approx_prices",
+    # newly registered in r7
+    "cohort_retention_matrix",
+    "funnel_conversion_steps",
+    "triangle_census_trade_network",
+    "kmv_distinct_sketch_custkeys",
+    "temperature_mix_weights",
+    "bigram_lm_interpolated_score",
+    # code-touched in r7 (perf restructure — re-pin to prove the hash
+    # is unchanged): pagerank edge build + driver-tier iterations,
+    # star-rebuild struct-carry
+    "pagerank_trade_network",
+    "normalize_star_rebuild",
 ]
 
 

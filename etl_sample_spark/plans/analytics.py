@@ -344,15 +344,41 @@ def zorder_curve_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_SCALE = 10**12
 _PR_ITERS = 5
 
-
-def _pagerank_oracle() -> str:
-    edges = """
+# The nation trade network's directed edge list (shared by PageRank and
+# the triangle census): edge src->dst iff some customer of nation src
+# bought from some supplier of nation dst.
+_TRADE_EDGES_SQL = """
       SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       WHERE c.c_nationkey <> s.s_nationkey"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed trade-edge extraction, facts as probe sides: orders x
+    customer projects to a 2-column (orderkey, src) build relation;
+    lineitem streams past it and the supplier dimension in one
+    whole-stage pass; distinct collapses to <= |nation|^2 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    o_cust = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).select(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("src"))
+    return (
+        lineitem.join(supplier, supplier["s_suppkey"] == lineitem["l_suppkey"])
+        .join(o_cust, F.col("k") == lineitem["l_orderkey"])
+        .where(F.col("src") != F.col("s_nationkey"))
+        .select("src", F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+def _pagerank_oracle() -> str:
+    edges = _TRADE_EDGES_SQL
     base = f"(15 * {_PR_SCALE}) // (100 * (SELECT COUNT(*) FROM nation))"
     steps = ",".join(
         f"""
@@ -405,27 +431,8 @@ def _pagerank_oracle() -> str:
 def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.graph import pagerank_fixed_point
 
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    lineitem = _t(spark, sf_dir, "lineitem")
-    supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-
-    # Facts as probe sides: orders x customer projects to a 2-column
-    # (orderkey, src) build relation; lineitem streams past it and the
-    # supplier dimension in one whole-stage pass. (The previous join
-    # order let AQE pick LINEITEM as a broadcast build side — fine at
-    # sf0.1, a fact-table broadcast at scale.)
-    o_cust = orders.join(
-        customer, orders["o_custkey"] == customer["c_custkey"]
-    ).select(F.col("o_orderkey").alias("k"), F.col("c_nationkey").alias("src"))
-    edges_df = (
-        lineitem.join(supplier, supplier["s_suppkey"] == lineitem["l_suppkey"])
-        .join(o_cust, F.col("k") == lineitem["l_orderkey"])
-        .where(F.col("src") != F.col("s_nationkey"))
-        .select("src", F.col("s_nationkey").alias("dst"))
-        .distinct()
-    )
+    edges_df = _trade_edges(spark, sf_dir)
     # Bounded collects: |V|^2 edges, |V| nodes (|V| = |nation| = 25).
     edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
     nation_rows = nation.select("n_nationkey", "n_name").collect()
@@ -442,6 +449,103 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         "('{}', {}L)".format(n.replace("'", "''"), v) for n, v in out
     )
     return spark.sql(f"SELECT nation, rank FROM (VALUES {vals}) AS t(nation, rank)")
+
+
+@register(
+    "triangle_census_trade_network",
+    f"""
+    WITH edges AS ({_TRADE_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges),
+    tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM und a
+      JOIN und b ON b.u = a.v
+      JOIN und c ON c.u = a.u AND c.v = b.v),
+    pernode AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) t
+      GROUP BY node),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+      GROUP BY node)
+    SELECT na.n_name AS nation,
+           CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT)  AS n_triangles,
+           CASE WHEN COALESCE(d.degree, 0) >= 2
+                THEN (2 * COALESCE(p.n_tri, 0)) * 1.0
+                     / (d.degree * (d.degree - 1))
+                ELSE 0.0 END AS clustering_coeff
+    FROM nation na
+    LEFT JOIN deg d ON d.node = na.n_nationkey
+    LEFT JOIN pernode p ON p.node = na.n_nationkey
+    ORDER BY nation
+    """,
+    doc="Triangle census + local clustering coefficient over the "
+    "(undirected) nation trade network — the standard graph-cohesion "
+    "measure, built as the ordered-adjacency triangle join: "
+    "canonicalize edges to u<v, then tri(x<y<z) = und(x,y) ⋈ und(y,z) "
+    "⋈ und(x,z), counting each triangle exactly once. The coefficient "
+    "is an exact-integer ratio emitted unrounded. 100 TB shape: the "
+    "heavy step is the same distributed edge extraction PageRank uses "
+    "(facts as probe sides, |V|^2-bounded output); the triangle joins "
+    "run on the collapsed edge list, all equi-joins — ordered "
+    "adjacency is the textbook guard against the degree-square blowup "
+    "of naive neighborhood intersection.",
+)
+def triangle_census_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        # feeds three join legs + the degree count; pin so the fact
+        # extraction runs once (same discipline as the PageRank edges)
+        .localCheckpoint(eager=True)
+    )
+    a, b, c = und.alias("a"), und.alias("b"), und.alias("c")
+    tri = (
+        a.join(b, F.col("b.u") == F.col("a.v"))
+        .join(c, (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")))
+        .select(F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z"))
+    )
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select("y"))
+        .unionAll(tri.select("z"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    degree = F.coalesce("degree", F.lit(0))
+    n_tri = F.coalesce("n_tri", F.lit(0))
+    return (
+        nation.join(deg, nation["n_nationkey"] == deg["node"], "left")
+        .drop("node")
+        .join(pernode, nation["n_nationkey"] == pernode["node"], "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            degree.cast("bigint").alias("degree"),
+            n_tri.cast("bigint").alias("n_triangles"),
+            F.when(
+                degree >= 2,
+                (2 * n_tri) * 1.0 / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+        .orderBy("nation")
+    )
 
 
 @register(

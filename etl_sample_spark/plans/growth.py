@@ -1,0 +1,168 @@
+"""Product-growth analytics over the ``events`` stream: cohort
+retention and funnel conversion — the two queries every events
+warehouse serves daily.
+
+Reference analog: none (the reference is a document normalizer); [EXT]
+analytics surface on the same events table as the session/attribution
+family.
+
+Cross-engine determinism: every emitted ratio is a division of EXACT
+integer counts — the raw IEEE double is bit-identical in both engines,
+so ratios ship UNROUNDED (rounding integer ratios is the cross-engine
+trap; see the percent_rank precedent). Week truncation is Monday-based
+in both Spark's date_trunc and DuckDB's DATE_TRUNC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sample_spark import catalog
+from etl_sample_spark.plans.registry import register
+from etl_sample_spark.session import tune
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return catalog.table(spark, sf_dir, name)
+
+
+@register(
+    "cohort_retention_matrix",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events),
+    firsts AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id),
+    m AS (
+      SELECT f.cohort,
+             CAST((w.wk - f.cohort) // 7 AS INT) AS offset_weeks,
+             COUNT(DISTINCT w.user_id)           AS n_active
+      FROM w JOIN firsts f USING (user_id)
+      GROUP BY 1, 2),
+    cs AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
+    SELECT m.cohort                    AS cohort_week,
+           m.offset_weeks,
+           CAST(m.n_active AS BIGINT)  AS n_active,
+           CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+           m.n_active * 1.0 / cs.cohort_size AS retention
+    FROM m JOIN cs USING (cohort)
+    ORDER BY cohort_week, offset_weeks
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen ISO week "
+    "(the cohort), then per (cohort, week-offset) the share of the "
+    "cohort still active — the growth dashboard's core table. "
+    "Retention ships as the UNROUNDED ratio of exact counts "
+    "(bit-identical IEEE division). 100 TB shape: one "
+    "map-side-combinable per-user MIN, a fact join on user_id (AQE "
+    "broadcasts the cohort side when small, shuffles when not), and "
+    "one COUNT DISTINCT grouped on the week pair whose domain is "
+    "weeks², not events.",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    )
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    m = (
+        w.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("wk", "cohort") / 7).cast("int").alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    cs = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        m.join(cs, "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "offset_weeks",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            "cohort_size",
+            (F.col("n_active") * 1.0 / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+@register(
+    "funnel_conversion_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    s2 AS (
+      SELECT user_id, event_type, ts, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1),
+    s3 AS (
+      SELECT user_id, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM s2),
+    u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM s3 GROUP BY user_id),
+    c AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM u)
+    SELECT 1 AS step_order, 'view' AS step,
+           CAST(n1 AS BIGINT) AS n_users, n1 * 1.0 / n1 AS pct_of_first
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS BIGINT), n2 * 1.0 / n1 FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT), n3 * 1.0 / n1 FROM c
+    ORDER BY step_order
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, strictly "
+    "increasing timestamps per user): step k counts users whose "
+    "earliest qualifying step-k event follows their step-(k-1) time — "
+    "the sequential-containment semantics real funnel engines "
+    "implement, NOT mere per-type existence. Built as three CHAINED "
+    "window minimums over the same user partitioning, so Spark reuses "
+    "ONE exchange for all three (chained-window precedent: the "
+    "next-event training pairs). 100 TB shape: one shuffle on user_id "
+    "+ one scalar aggregate; the 3-row emit is a constant.",
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pw = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(pw).alias("t1"),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(pw),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(pw),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    c = u.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return c.selectExpr(
+        """stack(3,
+             1, 'view',     CAST(n1 AS BIGINT), n1 * 1.0 / n1,
+             2, 'click',    CAST(n2 AS BIGINT), n2 * 1.0 / n1,
+             3, 'purchase', CAST(n3 AS BIGINT), n3 * 1.0 / n1)
+           AS (step_order, step, n_users, pct_of_first)"""
+    ).orderBy("step_order")

@@ -3507,3 +3507,159 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "kmv_distinct_sketch_custkeys",
+    """
+    WITH h AS (
+      SELECT DISTINCT (o_custkey * 2654435761 + 40503) % 2147483647 AS hv
+      FROM orders),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+    kth AS (SELECT MAX(hv) AS h_k, COUNT(*) AS k FROM k),
+    ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_d FROM orders)
+    SELECT CAST(k AS INT)            AS k,
+           CAST(h_k AS BIGINT)       AS kth_min_hash,
+           CAST((k - 1) * 2147483647 // h_k AS BIGINT) AS est_distinct,
+           CAST(exact_d AS BIGINT)   AS exact_distinct,
+           ABS((k - 1) * 2147483647 // h_k - exact_d) * 1.0 / exact_d AS rel_err
+    FROM kth CROSS JOIN ex
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch, k=64: keep the k "
+    "smallest values of a uniform integer hash of the key; the k-th "
+    "minimum R estimates D = (k-1)*M/R. Unlike HLL (engine-specific "
+    "registers, rows-only check), the KMV estimator is pure integer "
+    "arithmetic over an engine-portable affine hash mod a prime — an "
+    "APPROXIMATE-distinct sketch with an EXACT cross-engine hash "
+    "oracle, the exact count and relative error emitted beside it. "
+    "100 TB shape: distinct-of-hashes is map-side-combinable (the "
+    "shuffle carries unique hashes only) and the k-smallest selection "
+    "is TakeOrdered (per-partition top-k, driver merges k rows); a "
+    "production sketch would fold the top-k into the partial aggregate "
+    "itself — the estimator and its guarantees are identical.",
+)
+def kmv_distinct_sketch_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    M = 2147483647
+    h = orders.select(
+        ((F.col("o_custkey") * 2654435761 + 40503) % M).alias("hv")
+    ).distinct()
+    kth = h.orderBy("hv").limit(64).agg(
+        F.max("hv").alias("h_k"), F.count(F.lit(1)).alias("k")
+    )
+    ex = orders.agg(F.countDistinct("o_custkey").alias("exact_d"))
+    est = F.expr(f"(k - 1) * {M} div h_k")
+    return kth.crossJoin(F.broadcast(ex)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("h_k").cast("bigint").alias("kth_min_hash"),
+        est.cast("bigint").alias("est_distinct"),
+        F.col("exact_d").cast("bigint").alias("exact_distinct"),
+        (F.abs(est - F.col("exact_d")) * 1.0 / F.col("exact_d")).alias("rel_err"),
+    )
+
+
+@register(
+    "temperature_mix_weights",
+    """
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    z AS (SELECT SUM(SQRT(n)) AS z FROM s)
+    SELECT s.source,
+           CAST(s.n AS BIGINT)           AS n_docs,
+           ROUND(SQRT(s.n) / z.z, 6)     AS mix_weight
+    FROM s CROSS JOIN z
+    ORDER BY s.source
+    """,
+    doc="Temperature-based source mixing (T=2): sampling weight per "
+    "source ∝ n^(1/T) = sqrt(n) — the standard flattening that keeps "
+    "small high-quality sources from being drowned by bulk crawl data "
+    "when composing a training mix. SQRT is correctly rounded under "
+    "IEEE 754 (identical in both engines, unlike POW/EXP), and the "
+    "weight is 6dp-rounded because the normalizing SUM of doubles is "
+    "order-dependent (the established noisy-sum convention). 100 TB "
+    "shape: one map-side-combinable groupBy(source) + a 1-row "
+    "broadcast normalizer; the mix table is |sources|-sized.",
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    z = s.agg(F.sum(F.sqrt("n")).alias("z"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(F.sqrt("n") / F.col("z"), 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "bigram_lm_interpolated_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, t, i FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t,
+               UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS i
+        FROM documents)),
+    bi AS (
+      SELECT a.doc_id, a.t AS w1, b.t AS w2
+      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    cu AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(LN(0.75::DOUBLE * c2.c12 / c1.c1
+                        + 0.25::DOUBLE * cu.c / tt.n)) / COUNT(*), 6)
+             AS avg_logprob
+    FROM bi b
+    JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    JOIN cu ON cu.t = b.w2
+    CROSS JOIN tot tt
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="Interpolated bigram language-model scoring: each document's "
+    "mean bigram log-probability under the corpus's own model, "
+    "P(w2|w1) = 0.75·c(w1,w2)/c(w1·) + 0.25·c(w2)/N — the "
+    "KenLM-backoff-shaped fluency signal one tier above the unigram "
+    "score (token-salad text that passes unigram frequency checks "
+    "scores low here). Interpolation constants are exact binary "
+    "fractions; LN ulp noise sits far below ROUND(,6). 100 TB shape: "
+    "bigrams are built MAP-SIDE with zip_with over the token array "
+    "(no position self-join); the count models are "
+    "map-side-combinable groupBys the token stream then joins (AQE "
+    "broadcasts them when small) before one groupBy(doc_id).",
+)
+def bigram_lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    tok = docs.select(F.explode(toks).alias("t"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    cu = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    p = 0.75 * F.col("c12") / F.col("c1") + 0.25 * F.col("c") / F.col("n")
+    return (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cu, cu["t"] == bi["w2"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

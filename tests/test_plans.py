@@ -170,6 +170,9 @@ _SCALAR_SUBQUERY = {
     "unigram_logprob_score",  # same one-row totals broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
+    "bigram_lm_interpolated_score",  # one-row token-total broadcast
+    "kmv_distinct_sketch_custkeys",  # two one-row sketches (kth-min, exact)
+    "temperature_mix_weights",  # one-row sqrt-mass normalizer broadcast
 }
 
 
