@@ -161,8 +161,8 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.selectExpr(
         """stack(3,
-             1, 'view',     CAST(n1 AS BIGINT), n1 * 1.0 / n1,
-             2, 'click',    CAST(n2 AS BIGINT), n2 * 1.0 / n1,
-             3, 'purchase', CAST(n3 AS BIGINT), n3 * 1.0 / n1)
+             1, 'view',     CAST(n1 AS BIGINT), CAST(n1 AS DOUBLE) / n1,
+             2, 'click',    CAST(n2 AS BIGINT), CAST(n2 AS DOUBLE) / n1,
+             3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1)
            AS (step_order, step, n_users, pct_of_first)"""
     ).orderBy("step_order")

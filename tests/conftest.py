@@ -113,9 +113,56 @@ def assert_driver_canonicalizable(spark_df, rows=None):
     return rows
 
 
+def _spark_type_category(dt) -> str:
+    """Bucket a Spark SQL type into the categories the driver's pandas
+    hash distinguishes. Decimal vs double is the class that produced the
+    r7 `funnel_conversion_steps` driver FAIL while the (previously
+    Decimal→float-coercing) local twin stayed green — so the categories
+    must be compared, not coerced away (r7 VERDICT item 3)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "float"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "string"
+    return type(dt).__name__
+
+
+def _duck_type_category(type_str: str) -> str:
+    t = type_str.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "VARCHAR":
+        return "string"
+    return t
+
+
 def assert_matches_oracle(spark_df, duck_con, sql):
     """Compare a Spark DataFrame against DuckDB output the way the driver
-    does: row count, sorted column names, order-insensitive values."""
+    does: row count, sorted column names, per-column type CATEGORY
+    (decimal/float/int/bool/string/date/timestamp), order-insensitive
+    values."""
     spark_cols = spark_df.columns
     spark_rows = assert_driver_canonicalizable(spark_df)
     rel = duck_con.sql(sql)
@@ -124,6 +171,16 @@ def assert_matches_oracle(spark_df, duck_con, sql):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    s_cats = {f.name: _spark_type_category(f.dataType) for f in spark_df.schema.fields}
+    d_cats = {c: _duck_type_category(str(t)) for c, t in zip(duck_cols, rel.types)}
+    cat_mismatch = {
+        c: (s_cats[c], d_cats[c]) for c in s_cats if s_cats[c] != d_cats.get(c)
+    }
+    assert not cat_mismatch, (
+        f"type-category mismatch (spark, duck): {cat_mismatch} — the driver's "
+        "hash is type-sensitive; align the Spark output type with the oracle "
+        "(e.g. CAST(... AS DOUBLE) instead of DECIMAL literals)"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"

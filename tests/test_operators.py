@@ -1057,8 +1057,9 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         # rounding grid on each side of the analytic step/2 bound.
         bound = r["max_abs"] / 254.0 + 1.5e-6
         assert r["max_err"] <= bound, (r["vec_id"], r["max_err"], bound)
-        assert all(-127 <= q <= 127 for q in r["qvec"])
-        assert max(abs(q) for q in r["qvec"]) == 127  # scale is tight
+        qvec = [int(x) for x in r["qvec"].split(",")]  # ','-joined since r7
+        assert all(-127 <= q <= 127 for q in qvec)
+        assert max(abs(q) for q in qvec) == 127  # scale is tight
 
 
 def test_markov_transition_rows_form_distributions(spark, sf_dir):
