@@ -34,82 +34,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run covers the first 50 queries() entries per
-# round. Ordering policy: (1) every query whose code changed since its
-# last driver-grade check goes FIRST (_FRONT_PINS, maintained per round),
-# (2) then queries never checked at sf0.01 since r1, (3) then the r1-green
-# untouched back-list. This guarantees refactor-touched queries always
-# re-enter the checked window (r3 VERDICT item 5).
-_R1_CHECKED = {
-    "q3_shipping_priority", "q1_pricing_summary", "q5_local_supplier_volume",
-    "join_left_outer_customer_orders", "join_full_outer_nation_sides",
-    "join_semi_customers_with_urgent_orders", "join_anti_customers_without_orders",
-    "join_cross_region_nation_grid", "join_theta_customer_outbalances_supplier",
-    "agg_count_distinct_per_segment", "distinct_order_status_priority",
-    "agg_rollup_region_nation", "agg_cube_status_priority",
-    "agg_collect_set_priorities_per_status", "agg_percentile_stddev_prices",
-    "subquery_above_avg_lineitems", "win_top3_orders_per_customer",
-    "win_rank_dense_rank_suppliers", "win_lag_lead_event_values",
-    "win_running_sum_customer_spend", "win_moving_avg_event_value",
-    "topk_global_orders", "str_functions_part", "mask_account_numbers",
-    "date_functions_orders", "ts_reassemble_compact", "math_functions_lineitem",
-    "array_functions_documents", "array_higher_order_functions",
-    "json_functions_events", "from_json_typed_events", "coalesce_fallback_chain",
-    "regex_route_events", "regexp_extract_source_id", "conditional_case_buckets",
-    "set_union_all_entities", "set_intersect_nationkeys", "set_except_nationkeys",
-    "dedup_drop_duplicates_orders", "dedup_exact_groups", "dedup_exact_keep_first",
-    "dedup_sha256_content_hash", "text_stats", "text_quality_and_lang",
-    "token_count_bpe_ish", "doc_fingerprints", "minhash_signatures",
-    "minhash_lsh_candidate_pairs", "simhash_signatures",
-    "ngram_jaccard_sample_pairs",
-}
-# Round-7 pin set. Policy unchanged: every query whose code changed
-# since its last driver-grade check, plus every query that has never had
-# a driver row, goes first. (The r6 pin set was re-hashed in
-# CORRECTNESS_r06 — 46/50 green — and rotates back.)
+# round. Ordering policy (r7 VERDICT items 4+5, mechanized):
+#   1. _FRONT_PINS — every query whose reachable code changed since its
+#      last driver-grade check (enforced by tools/update_pin_manifest.py
+#      + tests/test_pin_policy.py, which refuse dirty-but-unpinned
+#      queries), plus never-checked new registrations.
+#   2. The rest, OLDEST DRIVER ROW FIRST — computed from the
+#      CORRECTNESS_r*.json artifacts at the repo root, so the whole
+#      registry's driver evidence converges to recent rounds instead of
+#      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r6's four `err` rows: value-correct but driver-uncanonicalizable
-    # output shapes (raw arrays / 9999-12-31 sentinel). Reshaped to
-    # array_join'd scalars / formatted-string sentinel in r7 — re-pinned
-    # to turn the official record green.
-    "next_event_training_pairs",
-    "inverted_index_postings",
-    "embedding_int8_quantization",
-    "scd2_customer_segment_migration",
-    # registered late in r6, after the 50-query window had filled —
-    # first-ever driver rows
-    "multimodal_gif_decode",
-    "group_aware_split_events",
-    "per_group_k_sample_docs",
-    "lang_confusion_matrix",
-    "multitouch_attribution_linear",
-    "abc_pareto_classification",
-    "bounce_rate_by_usertype",
-    "wow_revenue_growth",
-    # the two principled rows-only sketches — never yet had even their
-    # rows-only driver row; let them through the window once
-    "agg_hll_approx_distinct",
-    "agg_percentile_approx_prices",
-    # newly registered in r7
-    "cohort_retention_matrix",
+    # r7's one red driver row: pct_of_first was DECIMAL (stack() '1.0'
+    # literal parses as DECIMAL in Spark SQL) vs the oracle's DOUBLE —
+    # value-equal, hash FAIL. Fixed with CAST(... AS DOUBLE); re-pinned.
     "funnel_conversion_steps",
-    "triangle_census_trade_network",
-    "kmv_distinct_sketch_custkeys",
-    "temperature_mix_weights",
-    "bigram_lm_interpolated_score",
-    # code-touched in r7 (perf restructure — re-pin to prove the hash
-    # is unchanged): pagerank edge build + driver-tier iterations,
-    # star-rebuild struct-carry
+    # r7 pin-policy miss: operators/layout.py gained the 63-bit guard
+    # but the query was not re-pinned (behavior-neutral, pytest-covered;
+    # re-pinned per policy — and the policy itself is now mechanical).
+    "zorder_curve_rank_parts",
+    # r8 ADVICE fix: empty-graph guard + backslash escaping in the
+    # VALUES emit (plans/analytics.py) — fingerprint-dirty, re-pinned.
     "pagerank_trade_network",
-    "normalize_star_rebuild",
 ]
+
+
+def _last_checked_rounds() -> dict[str, int]:
+    """name -> latest round with a driver CORRECTNESS row (0 = never)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered() -> list[str]:
     names = list(REGISTRY)
+    order = {n: i for i, n in enumerate(names)}
     pins = [n for n in _FRONT_PINS if n in names]
-    mid = [n for n in names if n not in _R1_CHECKED and n not in pins]
-    back = [n for n in names if n in _R1_CHECKED and n not in pins]
-    return pins + mid + back
+    last = _last_checked_rounds()
+    rest = sorted(
+        (n for n in names if n not in pins),
+        key=lambda n: (last.get(n, 0), order[n]),
+    )
+    return pins + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -87,14 +87,25 @@ def bench_streaming_ingest(spark, sf_dir: str, reps: int) -> tuple[list[float], 
 
         samples: list[float] = []
         n = -1
-        for rep in range(reps):
+        # reps+1: first drain is an untimed warm-up (source listing,
+        # checkpoint-dir creation, stream codegen). Sample = Σ per-batch
+        # triggerExecution from StreamingQueryProgress, NOT wall-clock —
+        # wall-clock was noise-dominated by checkpoint filesystem churn
+        # (r7 IQR ≈ median); progress durations measure the compute the
+        # trend line should track.
+        for rep in range(reps + 1):
             out = os.path.join(root, f"out{rep}")
             ckpt = os.path.join(root, f"ckpt{rep}")
-            t0 = time.perf_counter()
             stream = spark.readStream.schema(schema).json(src)
             q = run_ingest_available_now(stream, ORDER_DOC_SPECS, out, ckpt)
             assert q.awaitTermination(600), "streaming bench did not finish"
-            samples.append(time.perf_counter() - t0)
+            def _dur(p):  # dict (classic) or StreamingQueryProgress (connect)
+                d = p["durationMs"] if isinstance(p, dict) else p.durationMs
+                return d.get("triggerExecution", 0)
+
+            trig_ms = sum(_dur(p) for p in q.recentProgress)
+            if rep > 0:
+                samples.append(trig_ms / 1000.0)
             n = spark.read.parquet(os.path.join(out, "order_lines")).count()
         return samples, n
     finally:
@@ -179,20 +190,35 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "shuffle_bytes": shuffle_bytes,
-                "reps": reps,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "spread": spread,
+            "shuffle_bytes": shuffle_bytes,
+            "reps": reps,
+            "sf": sf,
+        }
     )
+    print(line)
+    # The driver's BENCH_rN.json keeps only a 2,000-char output tail, which
+    # truncates the early-query medians out of the historical record (r7
+    # VERDICT item 6). Persist the FULL line in-repo, named for the round
+    # the driver is about to record (= 1 + latest BENCH_rN present).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    full = os.path.join(here, f"BENCH_full_r{max(rounds, default=0) + 1:02d}.json")
+    try:
+        with open(full, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
 
 
 if __name__ == "__main__":

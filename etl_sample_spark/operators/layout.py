@@ -117,8 +117,15 @@ def write_zordered(
     # Auto-coarsen so the interleave fits a signed bigint: 4+ cluster
     # columns at the default bits=16 would overflow bit 63. Fewer bits
     # per column only coarsens the curve (file-level skipping is driven
-    # by the top bits), it never breaks ordering.
+    # by the top bits), it never breaks ordering. At 64+ columns the
+    # quotient hits 0 — a constant z=0 curve, i.e. silently NO
+    # clustering — so refuse, mirroring the interleave_bits guard.
     bits = min(bits, 63 // len(cluster_cols))
+    if bits == 0:
+        raise ValueError(
+            f"{len(cluster_cols)} cluster columns cannot share 63 z-value "
+            "bits (>=1 bit per column required) — cluster on fewer columns"
+        )
     bounds = df.agg(
         *[F.min(c).cast("bigint").alias(f"__lo_{c}") for c in cluster_cols],
         *[F.max(c).cast("bigint").alias(f"__hi_{c}") for c in cluster_cols],

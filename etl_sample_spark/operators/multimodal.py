@@ -1477,6 +1477,10 @@ _IMA_STEPS = [
 ]
 _IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
 
+# Header version byte: v2 = the <Ihb (4-byte count) layout introduced in
+# r7; bump on any future layout change so persisted payloads fail loudly.
+_ADPCM_VERSION = 2
+
 
 def _ima_clamp(v: int, lo: int, hi: int) -> int:
     return lo if v < lo else hi if v > hi else v
@@ -1484,10 +1488,12 @@ def _ima_clamp(v: int, lo: int, hi: int) -> int:
 
 def encode_ima_adpcm(samples: list[int]) -> bytes:
     """IMA ADPCM encoder (4 bits/sample, 4:1 compression vs 16-bit PCM):
-    the standard predict-quantize-adapt loop. Payload layout: 4-byte
-    sample count (a 2-byte count capped clips at ~1.5 s of 44.1 kHz
-    audio), 2-byte initial predictor, 1-byte initial step index, then
-    packed nibbles (low nibble first)."""
+    the standard predict-quantize-adapt loop. Payload layout: 1-byte
+    format version (rejects stale persisted payloads loudly instead of
+    decoding them to garbage), 4-byte sample count (a 2-byte count
+    capped clips at ~1.5 s of 44.1 kHz audio), 2-byte initial
+    predictor, 1-byte initial step index, then packed nibbles (low
+    nibble first)."""
     import struct
 
     pred = samples[0] if samples else 0
@@ -1521,7 +1527,9 @@ def encode_ima_adpcm(samples: list[int]) -> bytes:
         lo = out_nibbles[i]
         hi = out_nibbles[i + 1] if i + 1 < len(out_nibbles) else 0
         packed.append(lo | (hi << 4))
-    head = struct.pack("<Ihb", len(samples), samples[0] if samples else 0, 0)
+    head = struct.pack(
+        "<BIhb", _ADPCM_VERSION, len(samples), samples[0] if samples else 0, 0
+    )
     return head + bytes(packed)
 
 
@@ -1533,8 +1541,14 @@ def decode_ima_adpcm(data: bytes) -> list[int]:
     tests pin, analogous to the JPEG constant-block configuration)."""
     import struct
 
-    n, pred, index = struct.unpack_from("<Ihb", data, 0)
-    pos = 7
+    ver = data[0] if data else -1
+    if ver != _ADPCM_VERSION:
+        raise ValueError(
+            f"unsupported ADPCM payload version {ver} (expected "
+            f"{_ADPCM_VERSION}) — refusing to decode a stale/foreign format"
+        )
+    n, pred, index = struct.unpack_from("<Ihb", data, 1)
+    pos = 8
     out: list[int] = []
     first = True
     for i in range(n):

@@ -444,9 +444,15 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: (-t[1], t[0]),
     )
     # Emit pre-sorted through a VALUES LocalRelation: collect is then
-    # driver-local (no job, no 32-task parallelize of 25 rows).
+    # driver-local (no job, no 32-task parallelize of 25 rows). An empty
+    # graph would render `VALUES ` (parse error) — emit an empty
+    # LocalRelation instead; Spark string literals treat backslash as an
+    # escape by default, so escape it along with the quote.
+    if not out:
+        return spark.createDataFrame([], "nation string, rank bigint")
     vals = ", ".join(
-        "('{}', {}L)".format(n.replace("'", "''"), v) for n, v in out
+        "('{}', {}L)".format(n.replace("\\", "\\\\").replace("'", "''"), v)
+        for n, v in out
     )
     return spark.sql(f"SELECT nation, rank FROM (VALUES {vals}) AS t(nation, rank)")
 

@@ -46,17 +46,21 @@ class _ShardPartition(InputPartition):
         self.end = end
 
 
-def _block_size(options: dict) -> int:
+def _block_size(options: dict, default_n_docs: int = 1000) -> int:
     """Contiguous-block size of the doc_id -> shard mapping, shared by
     the batch and streaming readers. An explicit ``docs_per_shard``
     option pins the mapping independently of ``n_docs`` (required when a
     checkpointed stream is resumed with a different n_docs — otherwise
     the ceil(n_docs/n_shards) fallback shifts shard boundaries between
-    runs and the same doc_id lands in a different shard)."""
+    runs and the same doc_id lands in a different shard).
+
+    ``default_n_docs`` must be each caller's OWN n_docs default (batch
+    1000, streaming 50): an option-less stream otherwise computes
+    per=ceil(1000/8)=125 and drops all 50 docs into shard 0."""
     explicit = int(options.get("docs_per_shard", 0))
     if explicit > 0:
         return explicit
-    n_docs = int(options.get("n_docs", 1000))
+    n_docs = int(options.get("n_docs", default_n_docs))
     n_shards = int(options.get("n_shards", 8))
     return -(-n_docs // n_shards)  # ceil-div
 
@@ -138,7 +142,7 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.batch_size = int(options.get("batch_size", 10))
         self.max_docs = int(options.get("n_docs", 50))
-        self.per = _block_size(options)
+        self.per = _block_size(options, default_n_docs=50)
 
     def _shard(self, doc_id: int) -> int:
         # SAME contiguous-block mapping as the batch reader, so a

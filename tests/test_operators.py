@@ -1179,7 +1179,8 @@ def test_audio_transcode_adpcm_stats_distributed(spark, sf_dir):
         assert r["pcm_bytes"] == 2 * r["n_samples"]
         # header (7B: 4-byte count carries >65535-sample clips) + one
         # nibble per sample
-        assert r["adpcm_bytes"] <= 7 + (r["n_samples"] + 1) // 2
+        # header: 1B version + 4B count + 2B predictor + 1B step index
+        assert r["adpcm_bytes"] <= 8 + (r["n_samples"] + 1) // 2
         # the synthetic corpus waveform is noise-like (hash-derived), the
         # worst case for ADPCM's slope tracking — require positive SNR
         # (reconstruction beats silence) rather than a hi-fi number.

@@ -1,0 +1,76 @@
+"""Mechanical re-pin policy gate (r7 VERDICT item 4).
+
+Every registry query whose reachable code changed since its last
+driver-grade check must be in ``__spark_entry__._FRONT_PINS`` so it
+re-enters the driver's 50-query CORRECTNESS window. The manifest
+(``tools/pin_manifest.json``) records each query's code fingerprint at
+the state the updater last accepted; the updater itself refuses to
+accept a changed fingerprint for an unpinned query. This test asserts
+the manifest is CURRENT — i.e. the updater ran after the last edit and
+therefore enforced pinning — plus basic pin hygiene.
+
+r7's escape this closes: ``operators/layout.py`` gained a guard but
+``zorder_curve_rank_parts`` (whose query function was untouched — only
+the helper changed) was not re-pinned. The fingerprint walks the
+function-reference closure, so the helper edit dirties the query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(ROOT, "tools", "pin_manifest.json")
+
+sys.path.insert(0, ROOT)
+
+
+def test_front_pins_exist_in_registry():
+    from __spark_entry__ import _FRONT_PINS
+
+    from etl_sample_spark.plans import REGISTRY
+
+    missing = [n for n in _FRONT_PINS if n not in REGISTRY]
+    assert not missing, f"_FRONT_PINS entries not in REGISTRY: {missing}"
+    assert len(set(_FRONT_PINS)) == len(_FRONT_PINS), "duplicate pins"
+
+
+def test_pin_manifest_is_current():
+    from __spark_entry__ import _FRONT_PINS
+
+    from tools.pinfp import all_fingerprints
+
+    if not os.path.exists(MANIFEST):
+        pytest.fail(
+            "tools/pin_manifest.json missing — run "
+            "`python tools/update_pin_manifest.py` (it refuses unpinned "
+            "dirty queries, which is the enforcement)"
+        )
+    recorded = json.load(open(MANIFEST))
+    current = all_fingerprints()
+
+    stale_extra = sorted(set(recorded) - set(current))
+    assert not stale_extra, f"manifest has entries for unknown queries: {stale_extra}"
+
+    dirty_unpinned = sorted(
+        n for n, fp in current.items()
+        if recorded.get(n) != fp and n not in _FRONT_PINS
+    )
+    assert not dirty_unpinned, (
+        "queries with changed (or new) code NOT re-pinned for the driver "
+        f"window: {dirty_unpinned} — add to __spark_entry__._FRONT_PINS "
+        "and run `python tools/update_pin_manifest.py`"
+    )
+    # pins themselves must also be manifest-current (updater ran last)
+    dirty_pinned = sorted(
+        n for n, fp in current.items()
+        if recorded.get(n) != fp and n in _FRONT_PINS
+    )
+    assert not dirty_pinned, (
+        f"pinned queries changed after the last manifest refresh: "
+        f"{dirty_pinned} — run `python tools/update_pin_manifest.py`"
+    )
