@@ -55,6 +55,8 @@ _FRONT_PINS = [
     # r8 ADVICE fix: empty-graph guard + backslash escaping in the
     # VALUES emit (plans/analytics.py) — fingerprint-dirty, re-pinned.
     "pagerank_trade_network",
+    # new in r8 — first driver rows
+    "rolling_zscore_anomalies",
 ]
 
 
