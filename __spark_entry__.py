@@ -57,6 +57,7 @@ _FRONT_PINS = [
     "pagerank_trade_network",
     # new in r8 — first driver rows
     "rolling_zscore_anomalies",
+    "bpe_merge_learning",
 ]
 
 

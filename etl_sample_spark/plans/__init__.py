@@ -16,5 +16,6 @@ from etl_sample_spark.plans import analytics  # noqa: E402,F401
 from etl_sample_spark.plans import normcore  # noqa: E402,F401
 from etl_sample_spark.plans import timeseries  # noqa: E402,F401
 from etl_sample_spark.plans import growth  # noqa: E402,F401
+from etl_sample_spark.plans import bpe  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1228,3 +1228,48 @@ def test_pagerank_distributed_matches_driver_tier(spark, sf_dir):
         edges, [r["node"] for r in nodes_df.collect()], iters=5
     )
     assert dist == local
+
+
+def test_bpe_merges_are_classic(spark, sf_dir):
+    """The learned merge table is structurally valid BPE: contiguous
+    steps, merged = left||right, counts positive, and every merge's
+    pair_count equals an independent naive recount at its step (the
+    oracle pins cross-engine equality; this pins the ALGORITHM against
+    a from-scratch reimplementation)."""
+    from collections import Counter
+
+    from etl_sample_spark.plans.bpe import _TOP_V, bpe_merge_learning
+    from etl_sample_spark.plans.registry import REGISTRY
+
+    rows = bpe_merge_learning(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["merged"] == r["left_sym"] + r["right_sym"] for r in rows)
+    assert all(r["pair_count"] > 0 for r in rows)
+
+    # independent recount: word freqs straight off the parquet
+    import duckdb
+
+    con = duckdb.connect()
+    wc = con.sql(
+        f"""SELECT word, COUNT(*) c FROM (SELECT UNNEST(string_split(text,' ')) word
+            FROM '{sf_dir}/documents.parquet') WHERE word <> ''
+            GROUP BY word ORDER BY c DESC, word LIMIT {_TOP_V}"""
+    ).fetchall()
+    seqs = [(list(w), c) for w, c in wc]
+    for r in rows:
+        counts = Counter()
+        for toks, c in seqs:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += c
+        best, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        assert best == (r["left_sym"], r["right_sym"]) and n == r["pair_count"], r
+        new = []
+        for toks, c in seqs:
+            out = [toks[0]]
+            for x in toks[1:]:
+                if out[-1] == r["left_sym"] and x == r["right_sym"]:
+                    out[-1] = r["merged"]
+                else:
+                    out.append(x)
+            new.append((out, c))
+        seqs = new
