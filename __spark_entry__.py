@@ -58,6 +58,8 @@ _FRONT_PINS = [
     # new in r8 — first driver rows
     "rolling_zscore_anomalies",
     "bpe_merge_learning",
+    "similarity_pq_adc_top10",
+    "similarity_pq_rerank_top10",
 ]
 
 

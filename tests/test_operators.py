@@ -1273,3 +1273,66 @@ def test_bpe_merges_are_classic(spark, sf_dir):
                     out.append(x)
             new.append((out, c))
         seqs = new
+
+
+def test_pq_adc_reconstruction_and_recall(spark, sf_dir):
+    """PQ structural guarantees: codes are in [0, ksub); the query
+    vector's own ADC distance (its quantization error) is the smallest
+    or near-smallest; and ADC top-10 overlaps the EXACT L2 top-10 —
+    the recall property that makes the 64x-compressed index useful."""
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark import catalog
+    from etl_sample_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign_codes,
+        train_pq_codebooks,
+    )
+    from etl_sample_spark.session import tune
+
+    tune(spark)
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+
+    books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    coded = pq_assign_codes(emb, books)
+    rng = coded.agg(
+        *[F.min(f"__code{j}").alias(f"lo{j}") for j in range(8)],
+        *[F.max(f"__code{j}").alias(f"hi{j}") for j in range(8)],
+    ).head()
+    assert all(rng[f"lo{j}"] >= 0 and rng[f"hi{j}"] < 16 for j in range(8))
+
+    adc = pq_adc_topk(emb, qvec, k=10, m=8, ksub=16, n_iters=1).collect()
+    assert len(adc) == 10 and all(r["adc_dist"] >= 0 for r in adc)
+    assert [r["adc_dist"] for r in adc] == sorted(r["adc_dist"] for r in adc)
+    # the query itself must rank in its own ADC top-10 (its ADC distance
+    # is pure quantization error)
+    assert 0 in {r["vec_id"] for r in adc}
+
+    # recall vs EXACT L2 top-10: raw ADC@10 is genuinely weak on these
+    # near-uniform synthetic vectors (distance concentration) — the
+    # structural floor documents it; the 10x-shortlist re-rank below is
+    # the production answer and must recover (nearly) everything.
+    v = F.col("embedding").cast("array<double>")
+    q = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+    l2 = F.aggregate(
+        F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.select("vec_id", l2.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+    }
+    overlap = len(exact & {r["vec_id"] for r in adc})
+    assert overlap >= 2, (overlap, exact, [r["vec_id"] for r in adc])
+
+    from etl_sample_spark.operators.similarity import pq_rerank_topk
+
+    rr = pq_rerank_topk(emb, qvec, k=10, shortlist=100, m=8, ksub=16, n_iters=1).collect()
+    assert len(rr) == 10
+    rr_overlap = len(exact & {r["vec_id"] for r in rr})
+    assert rr_overlap >= 8, (rr_overlap, exact, [r["vec_id"] for r in rr])
+    # re-ranked distances are the EXACT ones, ascending
+    assert [r["l2_dist"] for r in rr] == sorted(r["l2_dist"] for r in rr)
