@@ -60,6 +60,8 @@ _FRONT_PINS = [
     "bpe_merge_learning",
     "similarity_pq_adc_top10",
     "similarity_pq_rerank_top10",
+    "cdc_upsert_apply_customers",
+    "histogram_quantile_prices",
 ]
 
 

@@ -100,3 +100,59 @@ def update_rollup_table(
     else:
         delta.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+
+def cdc_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    seq: str,
+    op_col: str = "op",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change-log (upsert/delete ops with a total-ordering
+    sequence column) to a base snapshot — the batch form of a Debezium/
+    binlog materialization.
+
+    Latest-wins semantics: per key, only the highest-``seq`` op counts.
+    'U' upserts (update if the key exists in the base, insert if not);
+    'D' deletes. Keys untouched by the log carry through. Emits the full
+    post-apply state plus ``n_ops`` (how many log entries hit the key)
+    and ``src`` ('base' carried / 'upsert' applied).
+
+    100 TB shape: ONE shuffle on the key — the per-key latest-op window
+    and the base join reuse the same hash partitioning; the changelog
+    compacts to |distinct keys| rows BEFORE joining the (much larger)
+    base, so the join probe side is the compacted log, never raw ops.
+    """
+    from pyspark.sql import Window
+
+    payload_cols = payload_cols or [
+        c for c in changelog.columns if c not in (key, seq, op_col)
+    ]
+    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    last = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n_ops", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .where(F.col("__rn") == 1)
+        .select(key, op_col, "__n_ops", *payload_cols)
+    )
+    joined = base.alias("b").join(last.alias("c"), on=key, how="full_outer")
+    kept = joined.where(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    )
+    out_payload = [
+        F.when(F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{c}"))
+        .otherwise(F.col(f"b.{c}") if c in base.columns else F.lit(None))
+        .alias(c)
+        for c in payload_cols
+    ]
+    return kept.select(
+        F.col(key),
+        *out_payload,
+        F.when(F.col(f"c.{op_col}").isNotNull(), F.lit("upsert"))
+        .otherwise(F.lit("base"))
+        .alias("src"),
+        F.coalesce(F.col("c.__n_ops"), F.lit(0)).cast("bigint").alias("n_ops"),
+    )

@@ -3812,3 +3812,58 @@ def similarity_pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(
         emb, [float(x) for x in qvec], k=10, shortlist=100, m=8, ksub=16, n_iters=1
     )
+
+
+
+@register(
+    "cdc_upsert_apply_customers",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_acctbal AS balance FROM customer
+      WHERE c_custkey % 3 <> 0),
+    log AS (
+      SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS balance
+      FROM orders),
+    last AS (
+      SELECT c_custkey, op, balance, n_ops FROM (
+        SELECT c_custkey, op, balance,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY c_custkey) AS n_ops
+        FROM log) WHERE rn = 1)
+    SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+           CASE WHEN l.op IS NOT NULL THEN l.balance ELSE b.balance END AS balance,
+           CASE WHEN l.op IS NOT NULL THEN 'upsert' ELSE 'base' END AS src,
+           CAST(COALESCE(l.n_ops, 0) AS BIGINT) AS n_ops
+    FROM base b FULL OUTER JOIN last l USING (c_custkey)
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY c_custkey
+    """,
+    doc="CDC change-log materialization (the batch form of a Debezium/"
+    "binlog apply): orders become a deterministic op stream per "
+    "customer (o_orderkey as the total-order sequence; every 13th op a "
+    "delete), applied latest-wins onto a customer snapshot that "
+    "deliberately excludes custkey%3==0 — so the log exercises all "
+    "three paths: update (key in base), insert (key absent), delete. "
+    "Untouched keys carry through. Balances are 2dp money doubles — "
+    "exact, no rounding needed. 100 TB shape: one shuffle on the key "
+    "(latest-op window + base join reuse the partitioning); the log "
+    "compacts to distinct keys BEFORE joining the base. "
+    "operators/incremental.py::cdc_apply.",
+)
+def cdc_upsert_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.incremental import cdc_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    base = cust.where(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", F.col("c_acctbal").alias("balance")
+    )
+    log = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("balance"),
+    )
+    return cdc_apply(base, log, key="c_custkey", seq="seq").orderBy("c_custkey")

@@ -701,3 +701,93 @@ def data_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row x 1-row crossJoins: the scalar-subquery shape (constant-cost
     # single-row broadcast), same class as q11/q22.
     return a.crossJoin(b).crossJoin(d)
+
+
+
+@register(
+    "histogram_quantile_prices",
+    """
+    WITH bounds AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+             COUNT(*) AS n
+      FROM lineitem),
+    bucketed AS (
+      SELECT LEAST(CAST(FLOOR((l.l_extendedprice - b.lo)
+                               / ((b.hi - b.lo) / 1000.0)) AS BIGINT),
+                   999) AS bucket
+      FROM lineitem l, bounds b),
+    counts AS (
+      SELECT bucket, COUNT(*) AS cnt FROM bucketed GROUP BY bucket),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cnt
+      FROM counts),
+    qs AS (
+      SELECT UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+    hits AS (
+      SELECT q.q, c.bucket, c.cum_cnt,
+             ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY c.bucket) AS rn
+      FROM qs q JOIN cum c
+        ON c.cum_cnt >= CEIL(q.q * (SELECT n FROM bounds)))
+    SELECT h.q,
+           CAST(h.bucket AS BIGINT)        AS bucket,
+           b.lo + (h.bucket + 1) * ((b.hi - b.lo) / 1000.0) AS quantile_upper,
+           CAST(h.cum_cnt AS BIGINT)       AS cum_cnt,
+           (b.hi - b.lo) / 1000.0          AS max_error
+    FROM hits h, bounds b
+    WHERE h.rn = 1
+    ORDER BY h.q
+    """,
+    doc="Mergeable histogram quantile sketch with a FULL hash oracle — "
+    "the deterministic counterpart to agg_percentile_approx_prices "
+    "(whose engine-native KLL sketch is rows-only by nature): bucket "
+    "l_extendedprice onto a fixed 1000-cell grid between the exact "
+    "min/max, cumulative-sum the counts, and answer each quantile with "
+    "the first bucket whose cumulative count reaches ceil(q*n), "
+    "reporting the bucket's upper edge and the worst-case error (ONE "
+    "bucket width — the sketch's contract). Every comparison is exact "
+    "integer; the bucket index and edges are identical IEEE doubles in "
+    "both engines because they derive from the same exact 2dp money "
+    "values. 100 TB shape: the bucket GROUP BY is map-side combinable "
+    "and 1000-bounded — each partition ships <=1000 partial counts, "
+    "the merge is an integer add, and that mergeability is exactly why "
+    "production systems run this sketch instead of a global sort; the "
+    "min/max pre-pass is itself a combinable aggregate.",
+)
+def histogram_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    lo, hi, n = float(b["lo"]), float(b["hi"]), int(b["n"])
+    width = (hi - lo) / 1000.0
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)).cast("bigint"),
+        F.lit(999).cast("bigint"),
+    )
+    counts = li.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum_cnt", F.sum("cnt").over(w))
+    qs = spark.createDataFrame([(q,) for q in (0.25, 0.5, 0.75, 0.9, 0.99)], "q double")
+    hits = qs.join(cum, F.col("cum_cnt") >= F.ceil(F.col("q") * F.lit(n)))
+    rn = F.row_number().over(Window.partitionBy("q").orderBy("bucket"))
+    return (
+        hits.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "q",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("quantile_upper"),
+            F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
+            F.lit(width).alias("max_error"),
+        )
+        .orderBy("q")
+    )

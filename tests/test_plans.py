@@ -173,6 +173,10 @@ _SCALAR_SUBQUERY = {
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
     "kmv_distinct_sketch_custkeys",  # two one-row sketches (kth-min, exact)
     "temperature_mix_weights",  # one-row sqrt-mass normalizer broadcast
+    # 5 quantile literals x <=1000 histogram buckets, both sides
+    # constant-bounded regardless of corpus size: the non-equi probe IS
+    # the sketch answer step, and it never touches fact-table rows
+    "histogram_quantile_prices",
 }
 
 
