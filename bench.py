@@ -57,6 +57,14 @@ HEADLINE = (
     # [REF] normalization core: nested corpus -> normalize() spec ->
     # FK join-back -> exact-decimal rollup (plans/normcore.py).
     "normalize_star_rebuild",
+    # r8 additions: tokenizer training (distributed word count + dict
+    # merge loop) and the mergeable histogram-quantile sketch — new
+    # families need trend lines. PQ is deliberately NOT here: its cost
+    # at bench scale is ~3s of fixed Catalyst-compile overhead on a
+    # constant-size expression tree (amortized at real scale), which
+    # would swamp the trend signal.
+    "bpe_merge_learning",
+    "histogram_quantile_prices",
 )
 
 

@@ -474,19 +474,22 @@ def pq_assign_codes(
     ds = len(codebooks[0][0])
     for j in range(m):
         sub = F.slice(v, j * ds + 1, ds)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in cen]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cen in codebooks[j]
-            ]
+        # ONE higher-order transform over the codebook as a nested array
+        # literal, instead of ksub separate fold expressions: identical
+        # arithmetic (same zip_with/aggregate fold per centroid), but the
+        # lambda is analyzed/codegen'd once — m*ksub independent fold
+        # trees made Catalyst analysis the dominant cost (~8s fixed
+        # overhead regardless of row count).
+        cb = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cen]) for cen in codebooks[j]]
+        )
+        dists = F.transform(
+            cb,
+            lambda cen: F.aggregate(
+                F.zip_with(sub, cen, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         out = out.withColumn(
             f"__code{j}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
