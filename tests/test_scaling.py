@@ -66,6 +66,13 @@ FLAGSHIP = (
     "corpus_prep_end_to_end",
     "text_scrub_pii",
     "k_anonymity_audit",
+    # r8 additions: tokenizer training (word-count shuffle must stay
+    # the only corpus-sized stage), the latest-wins CDC apply (one key
+    # shuffle), and the histogram quantile sketch (map-side-combinable
+    # 1000-bounded partials — should be the FLATTEST curve here).
+    "bpe_merge_learning",
+    "cdc_upsert_apply_customers",
+    "histogram_quantile_prices",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
