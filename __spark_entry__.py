@@ -62,6 +62,9 @@ _FRONT_PINS = [
     "similarity_pq_rerank_top10",
     "cdc_upsert_apply_customers",
     "histogram_quantile_prices",
+    "user_path_analysis_daily",
+    "twap_event_value_daily",
+    "cross_doc_span_audit",
 ]
 
 

@@ -166,3 +166,129 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
              3, 'purchase', CAST(n3 AS BIGINT), CAST(n3 AS DOUBLE) / n1)
            AS (step_order, step, n_users, pct_of_first)"""
     ).orderBy("step_order")
+
+
+
+@register(
+    "user_path_analysis_daily",
+    """
+    WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:8], '>')
+               AS path
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE))
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT)                AS n_user_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_user_days DESC, path
+    LIMIT 20
+    """,
+    doc="Top user journeys: per (user, day), the ordered sequence of up "
+    "to the first 8 event types joined into a path string, then the 20 "
+    "most common paths with user reach — the product-analytics 'path "
+    "analysis' every events warehouse serves beside funnels. "
+    "Determinism: the sequence orders by (ts, event_id) — a total "
+    "order — via array_sort over (ts, event_id, type) structs "
+    "(lexicographic struct ordering) mirrored by DuckDB's ordered "
+    "list(); truncation to 8 happens AFTER the sort in both engines. "
+    "100 TB shape: one shuffle on (user_id, day) — the same key the "
+    "session family already uses — with per-group state bounded by the "
+    "day's events; the path-frequency rollup then aggregates "
+    "path-cardinality rows, not events, and the top-20 is a "
+    "TakeOrdered, never a global sort.",
+)
+def user_path_analysis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.slice(F.transform(seq, lambda x: x["event_type"]), 1, 8), ">"
+    )
+    paths = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(path.alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "twap_event_value_daily",
+    """
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS v100,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY epoch_us(ts), event_id) AS next_us
+      FROM events),
+    held AS (
+      SELECT event_type, day, v100, next_us - t_us AS dur_us
+      FROM seq WHERE next_us IS NOT NULL)
+    SELECT event_type, day,
+           CAST(SUM(dur_us) AS BIGINT)                    AS held_us,
+           CAST(COUNT(*) AS BIGINT)                       AS n_intervals,
+           (SUM(v100 * dur_us) * 1.0 / SUM(dur_us)) / 100 AS twap
+    FROM held
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    doc="Time-weighted average value (TWAP) per event_type per day: each "
+    "event's value is 'held' until the next event of that type that "
+    "day, and the average weights by holding time — the fair average "
+    "for irregularly-sampled series, where the plain mean over-counts "
+    "bursts. EXACT integer arithmetic end-to-end: value is 2dp money "
+    "grid (v100 bigint), durations are epoch-millisecond differences "
+    "(bigint; a day bounds each group's total duration, so the "
+    "weighted sum stays under ~5e15 — no overflow), so the final "
+    "ratio-of-exact-integers is bit-identical IEEE in both engines and "
+    "ships unrounded. 100 TB shape: ONE shuffle on (event_type, day) "
+    "reused by both the LEAD window and the aggregation (same key), "
+    "map-side-combinable partial sums.",
+)
+def twap_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    # ts is TIMESTAMP_NTZ at microsecond precision; the session timezone
+    # is pinned to UTC (session.tune), so the LTZ cast is the identity
+    # and unix_micros equals DuckDB's epoch_us. Ordering by (t_us,
+    # event_id) IS ordering by (ts, event_id) — micros are lossless.
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    seq = ev.select(
+        "event_type",
+        day,
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+        t_us.alias("t_us"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    seq = seq.withColumn("next_us", F.lead("t_us").over(w))
+    held = seq.where(F.col("next_us").isNotNull()).withColumn(
+        "dur_us", F.col("next_us") - F.col("t_us")
+    )
+    return (
+        held.groupBy("event_type", "day")
+        .agg(
+            F.sum("dur_us").cast("bigint").alias("held_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            (
+                (F.sum(F.col("v100") * F.col("dur_us")) * F.lit(1.0) / F.sum("dur_us"))
+                / F.lit(100)
+            ).alias("twap"),
+        )
+        .orderBy("event_type", "day")
+    )

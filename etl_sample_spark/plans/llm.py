@@ -3867,3 +3867,71 @@ def cdc_upsert_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("balance"),
     )
     return cdc_apply(base, log, key="c_custkey", seq="seq").orderBy("c_custkey")
+
+
+
+@register(
+    "cross_doc_span_audit",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+      FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+      WHERE len(t) >= 8),
+    shared AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(sh.span) AS BIGINT) AS n_shared,
+           COUNT(sh.span) * 1.0 / COUNT(*) AS shared_ratio
+    FROM spans s LEFT JOIN shared sh ON sh.span = s.span
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="Cross-document repeated-substring audit (the Lee-et-al exact "
+    "substring-dedup diagnostic): every 8-token span of every document, "
+    "flagged when the identical span also appears in ANOTHER document; "
+    "per doc, the span count, shared-span count, and exact ratio — the "
+    "memorization-risk screen run before training. Counts are exact "
+    "integers; the ratio ships unrounded. 100 TB shape: one explode -> "
+    "span GROUP BY with map-side combine (the same corpus-sized-but-"
+    "combinable shuffle class as line_dedup_boilerplate; production "
+    "shuffles xxhash64(span) instead of the string to cut shuffle "
+    "bytes ~10x — kept as strings here for the cross-engine oracle), "
+    "then the shared-span dictionary joins back against spans on the "
+    "span key. Short docs (<8 tokens) drop out identically on both "
+    "sides.",
+)
+def cross_doc_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    idx = F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("t", i, 8), " "))
+        ).alias("span"),
+    )
+    shared = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("span", F.lit(1).alias("is_shared"))
+    )
+    marked = spans.join(shared, "span", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("is_shared").alias("n_shared"),
+            (F.count("is_shared") * F.lit(1.0) / F.count(F.lit(1))).alias(
+                "shared_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
