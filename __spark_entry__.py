@@ -65,6 +65,7 @@ _FRONT_PINS = [
     "user_path_analysis_daily",
     "twap_event_value_daily",
     "cross_doc_span_audit",
+    "multimodal_video_delta_decode",
 ]
 
 

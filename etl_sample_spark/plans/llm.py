@@ -3935,3 +3935,53 @@ def cross_doc_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+
+@register(
+    "multimodal_video_delta_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 3 AS INT) AS w,
+             CAST(3 + doc_id % 3 AS INT) AS h,
+             CAST(2 + doc_id % 5 AS INT) AS nf
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, d.nf,
+             ((d.doc_id * 31 + x.x * 7 + y.y * 13 + f.f * 17 + c.c * 97) % 256) AS v
+      FROM dims d,
+           UNNEST(RANGE(d.nf)) AS f(f),
+           UNNEST(RANGE(d.w)) AS x(x),
+           UNNEST(RANGE(d.h)) AS y(y),
+           UNNEST(RANGE(3))    AS c(c))
+    SELECT doc_id, w AS width, h AS height, CAST(nf AS INT) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id, w, h, nf
+    ORDER BY doc_id
+    """,
+    doc="L5 INTER-FRAME compressed video (closes the one L5 gap the "
+    "container-level AVI/MJPEG paths left): genuine AVI payloads are "
+    "transcoded to the IPDV I/P delta codec — per-4x4-block motion "
+    "vectors from an exhaustive ±2 SAD search over the previous "
+    "RECONSTRUCTED frame (deterministic smallest-(dy,dx) tie-break), "
+    "mod-256 residuals, RLE entropy coding, gop-4 keyframes — then "
+    "decoded by exact state replay and REQUIRED bit-equal. pixel_sum "
+    "is summed over the DECODED frames, so the driver hash gates "
+    "AVI-parse -> motion-compensated encode -> replay decode "
+    "end-to-end. operators/multimodal.py::encode_ipdv/decode_ipdv/"
+    "video_delta_transcode_stats.",
+)
+def multimodal_video_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.multimodal import (
+        attach_avi_media,
+        video_delta_transcode_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        video_delta_transcode_stats(attach_avi_media(docs))
+        .select("doc_id", "width", "height", "n_frames", "pixel_sum")
+        .orderBy("doc_id")
+    )

@@ -1336,3 +1336,36 @@ def test_pq_adc_reconstruction_and_recall(spark, sf_dir):
     assert rr_overlap >= 8, (rr_overlap, exact, [r["vec_id"] for r in rr])
     # re-ranked distances are the EXACT ones, ascending
     assert [r["l2_dist"] for r in rr] == sorted(r["l2_dist"] for r in rr)
+
+
+def test_ipdv_temporal_compression_and_roundtrip(spark, sf_dir):
+    """IPDV distributed audit: every payload round-trips bit-exactly
+    (the operator raises otherwise), P-frames actually compress the
+    smooth synthetic motion (total ipdv_bytes < raw for multi-frame
+    clips), and the codec rejects foreign/stale payloads loudly."""
+    import pytest as _pytest
+
+    from etl_sample_spark.operators.multimodal import (
+        attach_avi_media,
+        decode_ipdv,
+        encode_ipdv,
+        video_delta_transcode_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    rows = video_delta_transcode_stats(attach_avi_media(docs)).collect()
+    assert len(rows) == 40
+    multi = [r for r in rows if r["n_frames"] >= 3]
+    assert multi, "expected multi-frame clips"
+    # temporal compression on the smooth pattern: deltas are constant
+    # per frame, so RLE collapses P-frames far below raw
+    assert sum(r["ipdv_bytes"] for r in multi) < sum(r["raw_bytes"] for r in multi)
+
+    # version/magic guards
+    w, h, frames = 3, 2, [bytes(range(18)), bytes(reversed(range(18)))]
+    enc = encode_ipdv(w, h, frames)
+    assert decode_ipdv(enc) == (w, h, frames)
+    with _pytest.raises(ValueError, match="not an IPDV"):
+        decode_ipdv(b"JUNK" + enc[4:])
+    with _pytest.raises(ValueError, match="version"):
+        decode_ipdv(enc[:4] + bytes([99]) + enc[5:])
