@@ -66,6 +66,8 @@ _FRONT_PINS = [
     "twap_event_value_daily",
     "cross_doc_span_audit",
     "multimodal_video_delta_decode",
+    "holt_linear_forecast_by_type",
+    "bounded_running_balance_customers",
 ]
 
 
