@@ -725,7 +725,8 @@ def data_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum_cnt
       FROM counts),
     qs AS (
-      SELECT UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+      SELECT UNNEST([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+                     0.9::DOUBLE, 0.99::DOUBLE]) AS q),
     hits AS (
       SELECT q.q, c.bucket, c.cum_cnt,
              ROW_NUMBER() OVER (PARTITION BY q.q ORDER BY c.bucket) AS rn

@@ -81,6 +81,7 @@ _CODEC_QUERIES = {
     "multimodal_mjpeg_framesample",
     "multimodal_gif_decode",
     "multimodal_image_features",
+    "multimodal_video_delta_decode",
 }
 # The registered-UDTF surface demo (SURVEY §2.11): deliberately Python,
 # deliberately bounded to 50 docs — the sanctioned table-function tier,
