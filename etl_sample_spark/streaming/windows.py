@@ -364,3 +364,105 @@ def ewma_user_value_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+
+
+def _score_rolling_frame(
+    state_vals: list[int],
+    batch: list[tuple[int, float]],
+    frame: int = 20,
+) -> tuple[list[tuple[int, float, float]], list[int]]:
+    """Pure per-key core of :func:`rolling_zscore_tws`: score each
+    (event_id, value) against the carried money-grid frame with the
+    IDENTICAL integer fixed-point math as the batch
+    ``rolling_zscore_anomalies`` window, returning (anomalies as
+    (event_id, value, zscore), new trimmed state). Split out so the
+    math is pytest-exercised even where the TWS runtime (protobuf)
+    is unavailable."""
+    import math
+
+    vals = list(state_vals)
+    out: list[tuple[int, float, float]] = []
+    for event_id, value in batch:
+        v = int(round(value * 100))
+        win = vals[-frame:]
+        n = len(win)
+        if n == frame:
+            s1 = sum(win)
+            s2 = sum(x * x for x in win)
+            var_n = n * s2 - s1 * s1
+            num = n * v - s1
+            if var_n > 0 and num * num > 4 * n * var_n:
+                out.append((event_id, value, num / math.sqrt(n * var_n)))
+        vals.append(v)
+    return out, vals[-frame:]
+
+
+def rolling_zscore_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    frame: int = 20,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch ``rolling_zscore_anomalies`` query on
+    ``transformWithStateInPandas``: per event_type, a ListState carries
+    the last ``frame`` money-grid values ACROSS micro-batches, and each
+    arriving event is scored against the frame exactly like the batch
+    window (exact integer fixed-point, cross-multiplied |z|>2 — no
+    float summation-order seam between the two planes, which is what
+    makes the batch-equivalence test exact rather than approximate).
+
+    Emits only the anomalies (event_id, event_type, value, zscore).
+    State is bounded at ``frame`` bigints per key by construction; TTL
+    evicts idle keys. Same runtime requirements as
+    :func:`running_user_totals_tws` (RocksDB state store, protobuf).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "event_id BIGINT, event_type STRING, value DOUBLE, zscore DOUBLE"
+
+    class RollingZ(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._frame = handle.getListState(
+                "frame", "v BIGINT", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as pd
+
+            pdfs = [pdf for pdf in rows]
+            batch = pd.concat(pdfs).sort_values(["ts", "event_id"], kind="mergesort")
+            vals = [int(r.v) for r in self._frame.get()]
+            anomalies, vals = _score_rolling_frame(
+                vals,
+                [(int(r.event_id), float(r.value)) for r in batch.itertuples(index=False)],
+                frame,
+            )
+            self._frame.put([(x,) for x in vals])
+            yield pd.DataFrame(
+                {
+                    "event_id": [a[0] for a in anomalies],
+                    "event_type": [key_tuple[0]] * len(anomalies),
+                    "value": [a[1] for a in anomalies],
+                    "zscore": [a[2] for a in anomalies],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=RollingZ(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

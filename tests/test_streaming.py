@@ -672,3 +672,121 @@ def test_stateful_ewma_matches_batch_fold_across_batches(spark, tmp_path):
         vals = [e["value"] for e in all_events if e["user_id"] == uid]
         assert got.loc[uid, "n_events"] == len(vals)
         assert abs(got.loc[uid, "ewma"] - fold(vals)) < 1e-12
+
+
+def test_tws_rolling_zscore_matches_batch_query(spark, tmp_path):
+    """The transformWithState rolling z-score must flag EXACTLY the rows
+    the batch rolling_zscore_anomalies window flags on the same data,
+    with bit-equal z — state carries the 20-value frame across
+    micro-batch boundaries, and both planes run the identical integer
+    fixed-point math (no float seam to tolerate)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    from etl_sample_spark.streaming.windows import rolling_zscore_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "zs_src")
+    ckpt = str(tmp_path / "zs_ckpt")
+    out = str(tmp_path / "zs_out")
+
+    # one stable regime + one spike per type, split across two batches so
+    # the frame MUST survive the checkpoint boundary to flag anything
+    def ev(i, typ, val, minute):
+        return {
+            "event_id": i, "ts": f"2024-01-01 10:{minute:02d}:00",
+            "user_id": 1, "event_type": typ, "value": val,
+        }
+
+    rows1 = [ev(i, "click", 10.0 + (i % 3) * 0.01, i) for i in range(15)]
+    rows2 = [ev(15 + i, "click", 10.0 + ((15 + i) % 3) * 0.01, 15 + i) for i in range(6)]
+    rows2.append(ev(40, "click", 55.0, 22))  # the spike, frame now full
+    _write_events_json(src, rows1, "b1.json")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        q = (
+            rolling_zscore_tws(stream)
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_once()
+    _write_events_json(src, rows2, "b2.json")
+    run_once()
+
+    got = {
+        r["event_id"]: r["zscore"] for r in spark.read.parquet(out).collect()
+    }
+
+    # batch twin over the SAME rows through the registered query's math
+    import pandas as pd
+
+    all_rows = sorted(rows1 + rows2, key=lambda r: (r["ts"], r["event_id"]))
+    vals = [int(round(r["value"] * 100)) for r in all_rows]
+    expected = {}
+    for i, r in enumerate(all_rows):
+        win = vals[max(0, i - 20):i]
+        n = len(win)
+        if n == 20:
+            s1, s2 = sum(win), sum(x * x for x in win)
+            var_n, num = n * s2 - s1 * s1, n * vals[i] - s1
+            if var_n > 0 and num * num > 4 * n * var_n:
+                import math
+
+                expected[r["event_id"]] = num / math.sqrt(n * var_n)
+    assert expected, "test data must produce at least one anomaly"
+    assert got == expected, (got, expected)
+
+
+def test_rolling_zscore_core_matches_batch_window(spark, tmp_path):
+    """The pure TWS scoring core, fed the events stream in (ts, event_id)
+    order with arbitrary batch splits, must flag exactly the rows the
+    REGISTERED batch query flags — bit-equal z (both are the same
+    integer fixed-point math). Runs everywhere; the env-gated e2e above
+    additionally covers the TWS runtime when protobuf exists."""
+    import os
+
+    from etl_sample_spark.streaming.windows import _score_rolling_frame
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from etl_sample_spark.plans.registry import REGISTRY
+
+    batch_rows = {
+        r["event_id"]: r["zscore"]
+        for r in REGISTRY["rolling_zscore_anomalies"].spark(spark, sf_dir).collect()
+    }
+
+    from etl_sample_spark import catalog
+
+    ev = sorted(
+        catalog.table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    got = {}
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    for typ, rows in by_type.items():
+        state: list[int] = []
+        # arbitrary micro-batch splits: the frame must carry across
+        for i in range(0, len(rows), 7):
+            anomalies, state = _score_rolling_frame(state, rows[i : i + 7], 20)
+            for eid, _val, z in anomalies:
+                got[eid] = z
+    assert got == batch_rows, (
+        len(got), len(batch_rows),
+        sorted(set(got) ^ set(batch_rows))[:5],
+    )
