@@ -68,6 +68,7 @@ _FRONT_PINS = [
     "multimodal_video_delta_decode",
     "holt_linear_forecast_by_type",
     "bounded_running_balance_customers",
+    "active_users_dau_wau_mau",
 ]
 
 

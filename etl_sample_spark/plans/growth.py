@@ -292,3 +292,61 @@ def twap_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+
+@register(
+    "active_users_dau_wau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    contrib AS (
+      SELECT ud.user_id, ud.day + CAST(o.o AS INT) AS day, o.o AS offset
+      FROM ud, LATERAL UNNEST(generate_series(0, 27)) AS o(o)),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT c.day,
+           CAST(COUNT(DISTINCT CASE WHEN c.offset = 0 THEN c.user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN c.offset < 7 THEN c.user_id END)
+                AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS mau
+    FROM contrib c SEMI JOIN days d ON d.day = c.day
+    GROUP BY c.day
+    ORDER BY c.day
+    """,
+    doc="Rolling active users — DAU / 7-day WAU / 28-day MAU per day, "
+    "the dashboard staple. The scalable shape: instead of a per-day "
+    "range join (non-equi, NLJ at scale) or a 28-wide distinct window "
+    "(unsupported), each DISTINCT (user, day) pair explodes map-side "
+    "into the 28 future days it contributes to, and ONE groupBy(day) "
+    "computes all three via conditional COUNT(DISTINCT) on the "
+    "offset — bounded 28x row inflation of the already-deduped "
+    "(user, day) table, never of raw events. Days with no activity "
+    "are dropped on both sides (semi-join against observed days), so "
+    "trailing windows past the data's end don't fabricate rows. "
+    "100 TB shape: dedup shuffle on (user, day), then the one "
+    "day-keyed aggregate; both map-side-combinable.",
+)
+def active_users_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("offset"),
+        "day",
+    ).select("user_id", "offset", F.date_add("day", F.col("offset")).alias("day"))
+    days = ud.select("day").distinct()
+    return (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("offset") == 0, F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.countDistinct(
+                F.when(F.col("offset") < 7, F.col("user_id"))
+            ).cast("bigint").alias("wau"),
+            F.countDistinct("user_id").cast("bigint").alias("mau"),
+        )
+        .orderBy("day")
+    )
