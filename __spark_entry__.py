@@ -69,6 +69,8 @@ _FRONT_PINS = [
     "holt_linear_forecast_by_type",
     "bounded_running_balance_customers",
     "active_users_dau_wau_mau",
+    "yoy_monthly_revenue",
+    "new_vs_returning_weekly",
 ]
 
 

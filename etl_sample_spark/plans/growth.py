@@ -350,3 +350,98 @@ def active_users_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+
+@register(
+    "yoy_monthly_revenue",
+    """
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT cur.month,
+           cur.revenue,
+           prev.revenue AS revenue_prior_year,
+           (CAST(cur.revenue AS DOUBLE) - CAST(prev.revenue AS DOUBLE))
+             / CAST(prev.revenue AS DOUBLE) AS yoy_growth
+    FROM monthly cur
+    JOIN monthly prev ON prev.month = cur.month - INTERVAL 12 MONTH
+    ORDER BY cur.month
+    """,
+    doc="Year-over-year monthly revenue: exact-decimal monthly sums "
+    "self-joined on month-minus-12 (an equi-join on the month key — "
+    "never LAG(12), which silently misreads gaps in the month spine as "
+    "year offsets). Growth is the unrounded double ratio of exact "
+    "decimals (identical casts both engines). 100 TB shape: the "
+    "monthly rollup is a map-side-combinable aggregate collapsing the "
+    "fact table to months² rows; the self-join is months-sized.",
+)
+def yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.functions.money import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(dec2("o_totalprice")).alias("revenue"))
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    joined = cur.join(
+        prev, F.col("prev.month") == F.add_months(F.col("cur.month"), -12)
+    )
+    pr = F.col("prev.revenue")
+    return joined.select(
+        F.col("cur.month").alias("month"),
+        F.col("cur.revenue").alias("revenue"),
+        pr.alias("revenue_prior_year"),
+        (
+            (F.col("cur.revenue").cast("double") - pr.cast("double"))
+            / pr.cast("double")
+        ).alias("yoy_growth"),
+    ).orderBy("month")
+
+
+@register(
+    "new_vs_returning_weekly",
+    """
+    WITH w AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+      FROM events),
+    firsts AS (SELECT user_id, MIN(wk) AS first_wk FROM w GROUP BY user_id)
+    SELECT w.wk,
+           CAST(COUNT(*) AS BIGINT)                           AS n_active,
+           CAST(SUM(CASE WHEN w.wk = f.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT)                                    AS n_new,
+           CAST(SUM(CASE WHEN w.wk > f.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT)                                    AS n_returning
+    FROM w JOIN firsts f USING (user_id)
+    GROUP BY w.wk
+    ORDER BY w.wk
+    """,
+    doc="New vs returning users per ISO week — the growth-accounting "
+    "split every activation dashboard leads with. Exact integer "
+    "counts; Monday-based week truncation is identical in both "
+    "engines (cohort_retention_matrix precedent). 100 TB shape: one "
+    "(user, week) dedup shuffle, a per-user MIN that is map-side "
+    "combinable, and a weeks-sized rollup; AQE broadcasts the firsts "
+    "side when small.",
+)
+def new_vs_returning_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    j = w.join(firsts, "user_id")
+    return (
+        j.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("wk") == F.col("first_wk")).cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum((F.col("wk") > F.col("first_wk")).cast("int"))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+        .orderBy("wk")
+    )
