@@ -71,6 +71,7 @@ _FRONT_PINS = [
     "active_users_dau_wau_mau",
     "yoy_monthly_revenue",
     "new_vs_returning_weekly",
+    "market_basket_part_pairs",
 ]
 
 

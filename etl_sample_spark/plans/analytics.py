@@ -1380,3 +1380,75 @@ def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wow_growth"),
     ).orderBy("week_idx")
+
+
+
+@register(
+    "market_basket_part_pairs",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+    freq AS (SELECT p, COUNT(*) AS cnt FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS pair_cnt
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 3)
+    SELECT pr.p1, pr.p2,
+           CAST(pr.pair_cnt AS BIGINT) AS pair_cnt,
+           pr.pair_cnt * 1.0 / n.n AS support,
+           pr.pair_cnt * 1.0 / f1.cnt AS confidence_1_to_2,
+           (pr.pair_cnt * 1.0 * n.n) / (f1.cnt * 1.0 * f2.cnt) AS lift
+    FROM pairs pr
+    JOIN freq f1 ON f1.p = pr.p1
+    JOIN freq f2 ON f2.p = pr.p2
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, pr.p1, pr.p2
+    LIMIT 100
+    """,
+    doc="Market-basket association rules over co-purchased parts: "
+    "support / confidence / lift for every part pair appearing in >=3 "
+    "common orders, top-100 by lift. All inputs are exact integer "
+    "counts, the ratios ship unrounded (bit-identical IEEE), and the "
+    "lift tie-break is total (lift DESC, pair ASC). 100 TB shape: the "
+    "basket self-join is ORDER-keyed — candidate work is "
+    "sum(basket_size^2), never n^2 (the LSH-banding containment "
+    "argument; baskets are small by nature, and a hot-basket cap "
+    "mirrors dedup's max_bucket for the pathological case); part "
+    "frequencies broadcast back onto the pair table; the top-100 is a "
+    "TakeOrdered, never a global sort.",
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n_orders = op.select(F.countDistinct("o").alias("n"))
+    freq = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= 3)
+    )
+    f1 = freq.select(F.col("p").alias("p1"), F.col("cnt").alias("cnt1"))
+    f2 = freq.select(F.col("p").alias("p2"), F.col("cnt").alias("cnt2"))
+    out = (
+        pairs.join(f1, "p1")
+        .join(f2, "p2")
+        .crossJoin(n_orders)
+        .select(
+            "p1",
+            "p2",
+            F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+            (F.col("pair_cnt") * F.lit(1.0) / F.col("n")).alias("support"),
+            (F.col("pair_cnt") * F.lit(1.0) / F.col("cnt1")).alias(
+                "confidence_1_to_2"
+            ),
+            (
+                (F.col("pair_cnt") * F.lit(1.0) * F.col("n"))
+                / (F.col("cnt1") * F.lit(1.0) * F.col("cnt2"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "p1", "p2").limit(100)

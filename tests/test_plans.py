@@ -178,6 +178,7 @@ _SCALAR_SUBQUERY = {
     # constant-bounded regardless of corpus size: the non-equi probe IS
     # the sketch answer step, and it never touches fact-table rows
     "histogram_quantile_prices",
+    "market_basket_part_pairs",  # one-row n_orders broadcast for support
 }
 
 
