@@ -72,6 +72,7 @@ _FRONT_PINS = [
     "yoy_monthly_revenue",
     "new_vs_returning_weekly",
     "market_basket_part_pairs",
+    "time_to_convert_distribution",
 ]
 
 

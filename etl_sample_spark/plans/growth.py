@@ -445,3 +445,81 @@ def new_vs_returning_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+
+@register(
+    "time_to_convert_distribution",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_any_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT p.user_id,
+             (SELECT MIN(epoch_us(e.ts)) FROM events e
+              WHERE e.user_id = p.user_id AND e.event_type = 'purchase'
+                AND epoch_us(e.ts) > p.t_view) - p.t_view AS lag_us
+      FROM per_user p WHERE p.t_view IS NOT NULL),
+    buckets AS (
+      SELECT CAST(lag_us // 3600000000 AS BIGINT) AS hours
+      FROM conv WHERE lag_us IS NOT NULL)
+    SELECT hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           SUM(COUNT(*)) OVER (ORDER BY hours
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1.0 / SUM(COUNT(*)) OVER () AS cum_share
+    FROM buckets
+    GROUP BY hours
+    ORDER BY hours
+    """,
+    doc="Time-to-convert distribution: per user, the lag from first "
+    "view to the first purchase strictly after it, floor-bucketed "
+    "into whole hours on the exact integer microsecond grid, with the "
+    "cumulative converted share per bucket (unrounded exact-integer "
+    "ratio). The sequential-containment semantics match the funnel "
+    "family (a purchase before any view is not a conversion). 100 TB "
+    "shape: ONE user_id shuffle computes both conditional MINs (the "
+    "Spark side uses chained conditional aggregation, not the "
+    "oracle's correlated subquery), then an hours-sized rollup and "
+    "window over at most hundreds of buckets.",
+)
+def time_to_convert_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t_us)).alias("t_view"),
+    )
+    # first purchase strictly after t_view: one more conditional MIN over
+    # the same user partitioning (join back on user_id — AQE keeps it a
+    # local shuffle-reuse; the oracle spells the same thing as a
+    # correlated subquery)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", t_us.alias("t_p")
+    )
+    conv = (
+        per_user.where(F.col("t_view").isNotNull())
+        .join(purchases, "user_id", "left")
+        .where(F.col("t_p") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_p").alias("t_conv"))
+        .select(
+            # integer `div`, matching the oracle's BIGINT `//` exactly —
+            # no double-division floor on the microsecond grid
+            F.expr("(t_conv - t_view) div 3600000000").cast("bigint").alias("hours")
+        )
+    )
+    counts = conv.groupBy("hours").agg(F.count(F.lit(1)).alias("n_users"))
+    w_cum = Window.orderBy("hours").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return counts.select(
+        "hours",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (
+            F.sum("n_users").over(w_cum) * F.lit(1.0) / F.sum("n_users").over(w_all)
+        ).alias("cum_share"),
+    ).orderBy("hours")
