@@ -73,6 +73,8 @@ _FRONT_PINS = [
     "new_vs_returning_weekly",
     "market_basket_part_pairs",
     "time_to_convert_distribution",
+    "classifier_auc_mann_whitney",
+    "classifier_decile_lift",
 ]
 
 

@@ -3985,3 +3985,153 @@ def multimodal_video_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "width", "height", "n_frames", "pixel_sum")
         .orderBy("doc_id")
     )
+
+
+
+_QC_SCORE_SQL = f"""
+      SELECT doc_id, lang,
+             ROUND(0.5::DOUBLE * (1.0::DOUBLE + z / (1.0::DOUBLE + ABS(z))), 6)
+               AS score
+      FROM (
+        SELECT doc_id, lang,
+               {_QC_W["log_len"]}::DOUBLE * LN(CAST(n_chars AS DOUBLE))
+               + {_QC_W["stop_ratio"]}::DOUBLE
+                 * (LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
+                    * 1.0 / LEN(STRING_SPLIT(text, ' ')))
+               + {_QC_W["uniq_ratio"]}::DOUBLE
+                 * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                    * 1.0 / LEN(STRING_SPLIT(text, ' ')))
+               + {_QC_W["bias"]}::DOUBLE AS z
+        FROM documents)"""
+
+
+def _qc_score_col():
+    """The quality classifier's 6dp-rounded softsign score as a Column —
+    byte-identical to quality_classifier_score's output (the 6dp
+    rounding is what makes downstream RANKING cross-engine safe despite
+    the LN feature's libm ulps)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    z = (
+        F.lit(_QC_W["log_len"]) * F.log(F.col("n_chars").cast("double"))
+        + F.lit(_QC_W["stop_ratio"])
+        * (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * 1.0 / n)
+        + F.lit(_QC_W["uniq_ratio"]) * (F.size(F.array_distinct(toks)) * 1.0 / n)
+        + F.lit(_QC_W["bias"])
+    )
+    return F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6)
+
+
+@register(
+    "classifier_auc_mann_whitney",
+    f"""
+    WITH scored AS ({_QC_SCORE_SQL}),
+    ranked AS (
+      SELECT (lang = 'en') AS pos,
+             RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+      FROM scored)
+    SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+           (SUM(CASE WHEN pos THEN avg_rank ELSE 0 END)
+             - SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+               * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) / 2.0)
+           / (SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+              * SUM(CASE WHEN pos THEN 0 ELSE 1 END)) AS auc
+    FROM ranked
+    """,
+    doc="Model-evaluation AUC via the Mann-Whitney rank-sum identity, "
+    "with the proper tie correction (average ranks — RANK() plus half "
+    "the tie-group size, exact on the .5 grid because ranks and tie "
+    "counts are integers): AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2)/(n⁺ n⁻). "
+    "Scores are the classifier's 6dp-ROUNDED outputs, so the ranking "
+    "(and every tie group) is identical cross-engine despite the LN "
+    "feature's libm ulps; the final AUC is a ratio of exact .5-grid "
+    "sums and ships unrounded. Pseudo-label: lang='en'. 100 TB shape: "
+    "map-only scoring fused into the scan, one global-order rank "
+    "(at true scale: pre-aggregate to per-score (count, pos_count) "
+    "rows first — scores live on a 1e-6 grid, so that table is "
+    "bounded — then rank the grid, not the corpus), and a single "
+    "scalar aggregate.",
+)
+def classifier_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        (F.col("lang") == "en").alias("pos"), _qc_score_col().alias("score")
+    )
+    avg_rank = (
+        F.rank().over(Window.orderBy("score"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / F.lit(2.0)
+    )
+    ranked = scored.select("pos", avg_rank.alias("avg_rank"))
+    n_pos = F.sum(F.when(F.col("pos"), 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("pos"), 0).otherwise(1))
+    rank_sum = F.sum(F.when(F.col("pos"), F.col("avg_rank")).otherwise(F.lit(0.0)))
+    return ranked.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        ((rank_sum - n_pos * (n_pos + 1) / F.lit(2.0)) / (n_pos * n_neg)).alias(
+            "auc"
+        ),
+    )
+
+
+@register(
+    "classifier_decile_lift",
+    f"""
+    WITH scored AS ({_QC_SCORE_SQL}),
+    deciled AS (
+      SELECT (lang = 'en') AS pos,
+             NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM scored),
+    per AS (
+      SELECT decile, COUNT(*) AS n_docs,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+      FROM deciled GROUP BY decile)
+    SELECT decile,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_pos AS BIGINT)  AS n_pos,
+           n_pos * 1.0 / n_docs   AS pos_rate,
+           (SUM(n_pos) OVER w * 1.0 * SUM(n_docs) OVER ())
+             / (SUM(n_docs) OVER w * 1.0 * SUM(n_pos) OVER ()) AS cum_lift
+    FROM per
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+    doc="Decile lift (gains) chart for the quality classifier against "
+    "the lang='en' pseudo-label: docs ranked by the 6dp-rounded score "
+    "(doc_id tiebreak makes NTILE exactly deterministic), per-decile "
+    "response rate, and cumulative lift = cumulative positive share / "
+    "cumulative document share — every number an unrounded ratio of "
+    "exact integers. 100 TB shape: map-only scoring, one global "
+    "NTILE (at scale: rank the bounded 1e-6 score grid), then a "
+    "10-row rollup and windows over 10 rows.",
+)
+def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    deciled = docs.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc(_qc_score_col()), F.asc("doc_id")))
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return per.select(
+        "decile",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n_pos") * F.lit(1.0) / F.col("n_docs")).alias("pos_rate"),
+        (
+            (F.sum("n_pos").over(w) * F.lit(1.0) * F.sum("n_docs").over(wall))
+            / (F.sum("n_docs").over(w) * F.lit(1.0) * F.sum("n_pos").over(wall))
+        ).alias("cum_lift"),
+    ).orderBy("decile")
