@@ -75,6 +75,10 @@ _FRONT_PINS = [
     "time_to_convert_distribution",
     "classifier_auc_mann_whitney",
     "classifier_decile_lift",
+    # r8 review fix: classifier score/z expression deduplicated into
+    # shared helpers (_qc_z_col/_qc_score_col) — value-identical,
+    # fingerprint-dirty, re-pinned per policy.
+    "quality_classifier_score",
 ]
 
 

@@ -117,9 +117,13 @@ def cdc_apply(
 
     Latest-wins semantics: per key, only the highest-``seq`` op counts.
     'U' upserts (update if the key exists in the base, insert if not);
-    'D' deletes. Keys untouched by the log carry through. Emits the full
-    post-apply state plus ``n_ops`` (how many log entries hit the key)
-    and ``src`` ('base' carried / 'upsert' applied).
+    'D' deletes. Keys untouched by the log carry through. Emits the FULL
+    post-apply state — payload columns take the op's value on upserted
+    keys and the base's otherwise, while base columns OUTSIDE the
+    payload carry through unchanged on every surviving row (the partial-
+    update Debezium shape; they are NULL only for inserted keys, which
+    have no base row) — plus ``n_ops`` (how many log entries hit the
+    key) and ``src`` ('base' carried / 'upsert' applied).
 
     100 TB shape: ONE shuffle on the key — the per-key latest-op window
     and the base join reuse the same hash partitioning; the changelog
@@ -128,9 +132,8 @@ def cdc_apply(
     """
     from pyspark.sql import Window
 
-    payload_cols = payload_cols or [
-        c for c in changelog.columns if c not in (key, seq, op_col)
-    ]
+    if payload_cols is None:  # [] is a legal explicit "no payload" choice
+        payload_cols = [c for c in changelog.columns if c not in (key, seq, op_col)]
     w = Window.partitionBy(key).orderBy(F.desc(seq))
     last = (
         changelog.withColumn("__rn", F.row_number().over(w))
@@ -148,9 +151,18 @@ def cdc_apply(
         .alias(c)
         for c in payload_cols
     ]
+    # base columns outside the payload carry through on every surviving
+    # row (upsert-of-existing-key = partial update; NULL only for
+    # inserted keys, which have no base row)
+    carried = [
+        F.col(f"b.{c}").alias(c)
+        for c in base.columns
+        if c != key and c not in payload_cols
+    ]
     return kept.select(
         F.col(key),
         *out_payload,
+        *carried,
         F.when(F.col(f"c.{op_col}").isNotNull(), F.lit("upsert"))
         .otherwise(F.lit("base"))
         .alias("src"),

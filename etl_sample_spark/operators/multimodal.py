@@ -1662,6 +1662,8 @@ def _rle_encode(b: bytes) -> bytes:
 def _rle_decode(data: bytes, pos: int, n_out: int) -> tuple[bytes, int]:
     out = bytearray()
     while len(out) < n_out:
+        if pos + 2 > len(data):
+            raise ValueError("IPDV: truncated RLE stream")
         run, v = data[pos], data[pos + 1]
         out.extend(bytes([v]) * run)
         pos += 2
@@ -1749,7 +1751,11 @@ def decode_ipdv(data: bytes) -> tuple[int, int, list[bytes]]:
         if tag == b"I":
             cur, pos = _rle_decode(data, pos, nbytes)
         elif tag == b"P":
+            if prev is None:
+                raise ValueError("IPDV: P-frame before any I-frame")
             n_blocks = -(-height // _IPDV_BLOCK) * -(-width // _IPDV_BLOCK)
+            if pos + n_blocks > len(data):
+                raise ValueError("IPDV: truncated motion-vector block")
             mvs = data[pos : pos + n_blocks]
             pos += n_blocks
             residual, pos = _rle_decode(data, pos, nbytes)

@@ -497,6 +497,35 @@ def pq_assign_codes(
     return out
 
 
+def _pq_adc_scored(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    m: int,
+    ksub: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared train -> encode -> ADC-score pipeline: returns the corpus
+    as (id_col, __adc) ranked-by-nothing — pq_adc_topk and
+    pq_rerank_topk differ only in what they keep of this ordering, so
+    the distance table and lookup-sum expression live ONCE here."""
+    books = train_pq_codebooks(embeddings, m, ksub, n_iters, id_col, vec_col)
+    ds = len(books[0][0])
+    encoded = pq_assign_codes(embeddings, books, vec_col)
+    dist = F.lit(0.0)
+    for j in range(m):
+        q_sub = query_vec[j * ds : (j + 1) * ds]
+        table = [
+            sum((qx - cx) * (qx - cx) for qx, cx in zip(q_sub, cen))
+            for cen in books[j]
+        ]
+        dist = dist + F.element_at(
+            F.array(*[F.lit(float(t)) for t in table]), F.col(f"__code{j}") + 1
+        )
+    return encoded.select(F.col(id_col), dist.alias("__adc"))
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -513,22 +542,9 @@ def pq_adc_topk(
     Σ_j d[j][code_j]. The scan reads codes, never vectors: the approx
     pass is pure integer lookups + ``m`` adds per row, the shape that
     makes 100 TB ANN memory-feasible."""
-    books = train_pq_codebooks(embeddings, m, ksub, n_iters, id_col, vec_col)
-    ds = len(books[0][0])
-    encoded = pq_assign_codes(embeddings, books, vec_col)
-    dist = F.lit(0.0)
-    for j in range(m):
-        q_sub = query_vec[j * ds : (j + 1) * ds]
-        table = [
-            sum((qx - cx) * (qx - cx) for qx, cx in zip(q_sub, cen))
-            for cen in books[j]
-        ]
-        dist = dist + F.element_at(
-            F.array(*[F.lit(float(t)) for t in table]), F.col(f"__code{j}") + 1
-        )
+    scored = _pq_adc_scored(embeddings, query_vec, m, ksub, n_iters, id_col, vec_col)
     return (
-        encoded.select(F.col(id_col), dist.alias("__adc"))
-        .orderBy(F.asc("__adc"), F.asc(id_col))
+        scored.orderBy(F.asc("__adc"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("__adc", 6).alias("adc_dist"))
     )
@@ -554,22 +570,9 @@ def pq_rerank_topk(
     shortlist/k multiple's knob: raw ADC@10 on near-uniform synthetic
     vectors recalls ~4/10, the 10x shortlist + re-rank recovers ~all
     (pinned in test_pq_adc_reconstruction_and_recall)."""
-    books = train_pq_codebooks(embeddings, m, ksub, n_iters, id_col, vec_col)
-    ds = len(books[0][0])
-    encoded = pq_assign_codes(embeddings, books, vec_col)
-    adc = F.lit(0.0)
-    for j in range(m):
-        q_sub = query_vec[j * ds : (j + 1) * ds]
-        table = [
-            sum((qx - cx) * (qx - cx) for qx, cx in zip(q_sub, cen))
-            for cen in books[j]
-        ]
-        adc = adc + F.element_at(
-            F.array(*[F.lit(float(t)) for t in table]), F.col(f"__code{j}") + 1
-        )
+    scored = _pq_adc_scored(embeddings, query_vec, m, ksub, n_iters, id_col, vec_col)
     sl = (
-        encoded.select(F.col(id_col), adc.alias("__adc"))
-        .orderBy(F.asc("__adc"), F.asc(id_col))
+        scored.orderBy(F.asc("__adc"), F.asc(id_col))
         .limit(shortlist)
         .select(id_col)
     )

@@ -2653,25 +2653,55 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the way exp()'s libm ulp differences could.
 _QC_W = {"log_len": 0.9, "stop_ratio": -2.0, "uniq_ratio": 1.5, "bias": -4.5}
 
+# Single source of truth for the classifier's linear score: the raw z
+# (Spark Column + DuckDB SELECT) and the 6dp-rounded softsign score are
+# defined ONCE here and reused by quality_classifier_score and the
+# model-evaluation queries (AUC, decile lift) — the evaluation queries'
+# premise is byte-identity with the classifier's output, so the
+# expression must not exist in hand-synced copies.
+
+
+_QC_Z_SQL = f"""
+      SELECT doc_id, lang,
+             {_QC_W["log_len"]}::DOUBLE * LN(CAST(n_chars AS DOUBLE))
+             + {_QC_W["stop_ratio"]}::DOUBLE
+               * (LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
+                  * 1.0 / LEN(STRING_SPLIT(text, ' ')))
+             + {_QC_W["uniq_ratio"]}::DOUBLE
+               * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                  * 1.0 / LEN(STRING_SPLIT(text, ' ')))
+             + {_QC_W["bias"]}::DOUBLE AS z
+      FROM documents"""
+
+_QC_SCORE_SQL = f"""
+      SELECT doc_id, lang,
+             ROUND(0.5::DOUBLE * (1.0::DOUBLE + z / (1.0::DOUBLE + ABS(z))), 6)
+               AS score
+      FROM ({_QC_Z_SQL})"""
+
+
+def _qc_z_col():
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    return (
+        F.lit(_QC_W["log_len"]) * F.log(F.col("n_chars").cast("double"))
+        + F.lit(_QC_W["stop_ratio"])
+        * (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * 1.0 / n)
+        + F.lit(_QC_W["uniq_ratio"]) * (F.size(F.array_distinct(toks)) * 1.0 / n)
+        + F.lit(_QC_W["bias"])
+    )
+
+
+def _qc_score_col():
+    z = _qc_z_col()
+    return F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6)
+
+
 
 @register(
     "quality_classifier_score",
     f"""
-    WITH feats AS (
-      SELECT doc_id,
-             LN(CAST(n_chars AS DOUBLE))                               AS log_len,
-             LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
-               * 1.0 / LEN(STRING_SPLIT(text, ' '))                    AS stop_ratio,
-             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
-               * 1.0 / LEN(STRING_SPLIT(text, ' '))                    AS uniq_ratio
-      FROM documents),
-    scored AS (
-      SELECT doc_id,
-             {_QC_W["log_len"]}::DOUBLE * log_len
-             + {_QC_W["stop_ratio"]}::DOUBLE * stop_ratio
-             + {_QC_W["uniq_ratio"]}::DOUBLE * uniq_ratio
-             + {_QC_W["bias"]}::DOUBLE AS z
-      FROM feats)
+    WITH scored AS ({_QC_Z_SQL})
     SELECT doc_id,
            ROUND(0.5::DOUBLE * (1.0::DOUBLE + z / (1.0::DOUBLE + ABS(z))), 6) AS score,
            CAST(z > 0 AS BOOLEAN) AS keep
@@ -2689,21 +2719,10 @@ _QC_W = {"log_len": 0.9, "stop_ratio": -2.0, "uniq_ratio": 1.5, "bias": -4.5}
 )
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    log_len = F.log(F.col("n_chars").cast("double"))
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * 1.0 / n
-    uniq_ratio = F.size(F.array_distinct(toks)) * 1.0 / n
-    z = (
-        F.lit(_QC_W["log_len"]) * log_len
-        + F.lit(_QC_W["stop_ratio"]) * stop_ratio
-        + F.lit(_QC_W["uniq_ratio"]) * uniq_ratio
-        + F.lit(_QC_W["bias"])
-    )
     return docs.select(
         "doc_id",
-        F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6).alias("score"),
-        (z > 0).alias("keep"),
+        _qc_score_col().alias("score"),
+        (_qc_z_col() > 0).alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -3986,40 +4005,6 @@ def multimodal_video_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("doc_id")
     )
 
-
-
-_QC_SCORE_SQL = f"""
-      SELECT doc_id, lang,
-             ROUND(0.5::DOUBLE * (1.0::DOUBLE + z / (1.0::DOUBLE + ABS(z))), 6)
-               AS score
-      FROM (
-        SELECT doc_id, lang,
-               {_QC_W["log_len"]}::DOUBLE * LN(CAST(n_chars AS DOUBLE))
-               + {_QC_W["stop_ratio"]}::DOUBLE
-                 * (LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_STOP_SQL}))
-                    * 1.0 / LEN(STRING_SPLIT(text, ' ')))
-               + {_QC_W["uniq_ratio"]}::DOUBLE
-                 * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
-                    * 1.0 / LEN(STRING_SPLIT(text, ' ')))
-               + {_QC_W["bias"]}::DOUBLE AS z
-        FROM documents)"""
-
-
-def _qc_score_col():
-    """The quality classifier's 6dp-rounded softsign score as a Column —
-    byte-identical to quality_classifier_score's output (the 6dp
-    rounding is what makes downstream RANKING cross-engine safe despite
-    the LN feature's libm ulps)."""
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    z = (
-        F.lit(_QC_W["log_len"]) * F.log(F.col("n_chars").cast("double"))
-        + F.lit(_QC_W["stop_ratio"])
-        * (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * 1.0 / n)
-        + F.lit(_QC_W["uniq_ratio"]) * (F.size(F.array_distinct(toks)) * 1.0 / n)
-        + F.lit(_QC_W["bias"])
-    )
-    return F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6)
 
 
 @register(

@@ -766,7 +766,16 @@ def histogram_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).head()
+    if b["lo"] is None:
+        raise ValueError("histogram_quantile: empty input — no quantiles")
     lo, hi, n = float(b["lo"]), float(b["hi"]), int(b["n"])
+    if hi == lo:
+        # width 0 would NaN the bucketing into silent nonsense; the
+        # degenerate answer is trivial, so refuse loudly instead
+        raise ValueError(
+            f"histogram_quantile: constant column (all values {lo!r}) — "
+            "every quantile is that constant; no histogram needed"
+        )
     width = (hi - lo) / 1000.0
     bucket = F.least(
         F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)).cast("bigint"),

@@ -385,7 +385,12 @@ def _score_rolling_frame(
     vals = list(state_vals)
     out: list[tuple[int, float, float]] = []
     for event_id, value in batch:
-        v = int(round(value * 100))
+        # half-AWAY-FROM-ZERO, matching Spark F.round / SQL ROUND —
+        # Python's round() is banker's and diverges off the 2dp grid
+        # (e.g. 10.005): the batch query and this core must quantize
+        # identically for the exact-equivalence contract
+        av = abs(value) * 100
+        v = int(math.floor(av + 0.5)) * (1 if value >= 0 else -1)
         win = vals[-frame:]
         n = len(win)
         if n == frame:
@@ -411,8 +416,16 @@ def rolling_zscore_tws(
     the last ``frame`` money-grid values ACROSS micro-batches, and each
     arriving event is scored against the frame exactly like the batch
     window (exact integer fixed-point, cross-multiplied |z|>2 — no
-    float summation-order seam between the two planes, which is what
-    makes the batch-equivalence test exact rather than approximate).
+    float summation-order seam between the two planes).
+
+    Ordering contract: batch equivalence is exact for EVENT-TIME-ORDERED
+    arrival (rows are sorted within each micro-batch, and batches are
+    assumed non-interleaved in event time). A late in-watermark event
+    is scored against the frame as of its ARRIVAL — the standard
+    score-on-arrival streaming trade; already-emitted scores are never
+    revised. Strict event-time semantics under disorder require
+    buffering to watermark expiry (timer-based eviction), which this
+    operator intentionally does not do.
 
     Emits only the anomalies (event_id, event_type, value, zscore).
     State is bounded at ``frame`` bigints per key by construction; TTL

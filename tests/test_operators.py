@@ -1369,3 +1369,36 @@ def test_ipdv_temporal_compression_and_roundtrip(spark, sf_dir):
         decode_ipdv(b"JUNK" + enc[4:])
     with _pytest.raises(ValueError, match="version"):
         decode_ipdv(enc[:4] + bytes([99]) + enc[5:])
+    # malformed streams fail loudly as ValueError, never raw Type/IndexError
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ipdv(enc[:-3])
+    import struct as _struct
+
+    p_first = enc[:12] + b"P" + enc[13:]  # flip first frame tag to P
+    with _pytest.raises(ValueError, match="P-frame before"):
+        decode_ipdv(p_first)
+
+
+def test_cdc_apply_carries_non_payload_base_columns(spark):
+    """Review-fix pin: base columns OUTSIDE the changelog payload must
+    survive the apply — carried rows keep them, updated keys keep them
+    (partial update), inserted keys get NULL, deleted keys vanish."""
+    from etl_sample_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "gold"), (2, 20.0, "silver"), (3, 30.0, "bronze")],
+        "k bigint, balance double, tier string",
+    )
+    log = spark.createDataFrame(
+        [
+            (2, 1, "U", 25.0),   # update existing key
+            (3, 1, "D", None),   # delete existing key
+            (9, 1, "U", 99.0),   # insert new key
+        ],
+        "k bigint, seq int, op string, balance double",
+    )
+    rows = {r["k"]: r for r in cdc_apply(base, log, key="k", seq="seq").collect()}
+    assert set(rows) == {1, 2, 9}
+    assert rows[1]["balance"] == 10.0 and rows[1]["tier"] == "gold"      # carried
+    assert rows[2]["balance"] == 25.0 and rows[2]["tier"] == "silver"    # partial update
+    assert rows[9]["balance"] == 99.0 and rows[9]["tier"] is None        # insert

@@ -142,7 +142,12 @@ def query_fingerprint(spec) -> str:
             if inspect.ismodule(val) or callable(val):
                 stack.append(val)
             elif isinstance(val, _SIMPLE):
-                r = repr(val)
+                if isinstance(val, (set, frozenset)):
+                    # set iteration order varies with hash randomization —
+                    # canonicalize, or fingerprints flap run-to-run
+                    r = "{" + ", ".join(sorted(repr(x) for x in val)) + "}"
+                else:
+                    r = repr(val)
                 if "0x" not in r:  # guard: default reprs embed addresses
                     parts.add(f"const:{mod}.{name}::{r}")
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()
