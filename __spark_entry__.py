@@ -79,6 +79,7 @@ _FRONT_PINS = [
     # shared helpers (_qc_z_col/_qc_score_col) — value-identical,
     # fingerprint-dirty, re-pinned per policy.
     "quality_classifier_score",
+    "dsir_importance_weights",
 ]
 
 

@@ -4120,3 +4120,86 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_docs").over(w) * F.lit(1.0) * F.sum("n_pos").over(wall))
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    vocab AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+    tgt AS (
+      SELECT t, COUNT(*) AS cnt FROM tok WHERE lang = 'en' GROUP BY t),
+    tgt_n AS (SELECT COUNT(*) AS n FROM tok WHERE lang = 'en'),
+    raw AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+    raw_n AS (SELECT COUNT(*) AS n FROM tok),
+    scored AS (
+      SELECT k.doc_id,
+             COUNT(*) AS n_tokens,
+             -- + 0.0 normalizes IEEE negative zero: near-boundary docs
+             -- round to -0.0 on one engine and +0.0 on the other (the
+             -- sign of a ~1e-12 sum is summation-order noise), and the
+             -- driver's string normalizer distinguishes them
+             ROUND(SUM(LN(((COALESCE(g.cnt, 0) + 1) * 1.0 / (tn.n + vb.v))
+                          / ((r.cnt + 1) * 1.0 / (rn.n + vb.v))))
+                   / COUNT(*), 6) + 0.0 AS avg_llr
+      FROM tok k
+      JOIN raw r ON r.t = k.t
+      LEFT JOIN tgt g ON g.t = k.t
+      CROSS JOIN tgt_n tn CROSS JOIN raw_n rn CROSS JOIN vocab vb
+      GROUP BY k.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           avg_llr,
+           CAST(avg_llr > 0 AS BOOLEAN) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="DSIR-style importance weighting (Data Selection via Importance "
+    "Resampling): each document scored by its mean per-token "
+    "log-likelihood ratio between a TARGET distribution (the lang='en' "
+    "slice's Laplace-smoothed unigram model) and the raw-corpus model; "
+    "keep = target-likelier-than-raw, decided on the ROUNDED score so "
+    "the gate is deterministic. This is the modern pretraining-data "
+    "selection shape (hash-gated resampling by importance weight at "
+    "scale; here the weight itself plus the threshold gate). All "
+    "probabilities are Laplace ratios of exact integer counts; LN ulp "
+    "noise sits far below ROUND(,6) per the unigram-LM convention. "
+    "100 TB shape: two vocabulary-sized combinable counts (target + "
+    "raw models), one token-stream join against the broadcast-or-"
+    "shuffled vocabulary, one groupBy(doc_id) — identical topology to "
+    "unigram_logprob_score, which has been green since r5.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = tok.agg(F.countDistinct("t").alias("v"))
+    tgt = tok.where(F.col("lang") == "en").groupBy("t").agg(
+        F.count(F.lit(1)).alias("tcnt")
+    )
+    tgt_n = tok.where(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("tn"))
+    raw = tok.groupBy("t").agg(F.count(F.lit(1)).alias("rcnt"))
+    raw_n = tok.agg(F.count(F.lit(1)).alias("rn"))
+    p_t = (F.coalesce(F.col("tcnt"), F.lit(0)) + 1) * 1.0 / (F.col("tn") + F.col("v"))
+    p_r = (F.col("rcnt") + 1) * 1.0 / (F.col("rn") + F.col("v"))
+    scored = (
+        tok.join(raw, "t")
+        .join(tgt, "t", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.round(F.sum(F.log(p_t / p_r)) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+                "avg_llr"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "avg_llr", (F.col("avg_llr") > 0).alias("keep")
+    ).orderBy("doc_id")

@@ -179,6 +179,8 @@ _SCALAR_SUBQUERY = {
     # the sketch answer step, and it never touches fact-table rows
     "histogram_quantile_prices",
     "market_basket_part_pairs",  # one-row n_orders broadcast for support
+    # three one-row broadcasts (target-model mass, raw mass, vocab size)
+    "dsir_importance_weights",
 }
 
 
