@@ -80,6 +80,7 @@ _FRONT_PINS = [
     # fingerprint-dirty, re-pinned per policy.
     "quality_classifier_score",
     "dsir_importance_weights",
+    "bpe_apply_fertility",
 ]
 
 

@@ -76,10 +76,15 @@ def _bpe_learn(word_counts: list[tuple[str, int]], n_merges: int):
     return merges
 
 
-def _oracle() -> str:
+def _oracle(carry_word: bool = False) -> str:
     """Unrolled-CTE DuckDB twin: w0 = char-split vocab, then per round
     pair-count -> arg-max -> list_reduce greedy fold. An exhausted pair
-    table empties every later round's CTEs, matching the Python break."""
+    table empties every later round's CTEs, matching the Python break.
+    ``carry_word=True`` threads the original word through every round
+    (for application-side oracles that need the final word -> seq map);
+    the default emits byte-identical SQL to the pre-parameter version."""
+    wcol = "w.word, " if carry_word else ""
+    w0col = "word, " if carry_word else ""
     parts = [
         f"""
     WITH wc AS (
@@ -90,7 +95,7 @@ def _oracle() -> str:
       ORDER BY cnt DESC, word
       LIMIT {_TOP_V}),
     w0 AS (
-      SELECT array_to_string(string_split(word, ''), ' ') AS seq, cnt
+      SELECT {w0col}array_to_string(string_split(word, ''), ' ') AS seq, cnt
       FROM wc)"""
     ]
     for k in range(1, _N_MERGES + 1):
@@ -105,7 +110,7 @@ def _oracle() -> str:
       SELECT l, r, CAST(s AS BIGINT) AS s FROM {p}
       ORDER BY s DESC, l, r LIMIT 1),
     {wnext} AS (
-      SELECT list_reduce(
+      SELECT {wcol}list_reduce(
                string_split(w.seq, ' '),
                (acc, x) -> CASE
                  WHEN string_split(acc, ' ')[-1] = b.l AND x = b.r
@@ -119,6 +124,62 @@ def _oracle() -> str:
         for k in range(1, _N_MERGES + 1)
     )
     return ",".join(parts) + f"\n    SELECT * FROM ({unions}) ORDER BY step"
+
+
+def _apply_oracle() -> str:
+    """Application-side twin: the same unrolled merge chain carrying the
+    word column, then per-document fertility from the final word->seq
+    segmentation map joined back onto the exploded corpus."""
+    wcol = "w.word, "
+    w0col = "word, "
+    parts = [
+        f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY cnt DESC, word
+      LIMIT {_TOP_V}),
+    w0 AS (
+      SELECT {w0col}array_to_string(string_split(word, ''), ' ') AS seq, cnt
+      FROM wc)"""
+    ]
+    for k in range(1, _N_MERGES + 1):
+        p, b, wprev, wnext = f"p{k}", f"b{k}", f"w{k-1}", f"w{k}"
+        parts.append(f"""
+    {p} AS (
+      SELECT toks[i] AS l, toks[i + 1] AS r, SUM(cnt) AS s
+      FROM (SELECT string_split(seq, ' ') AS toks, cnt FROM {wprev}),
+           LATERAL UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      GROUP BY 1, 2),
+    {b} AS (
+      SELECT l, r, CAST(s AS BIGINT) AS s FROM {p}
+      ORDER BY s DESC, l, r LIMIT 1),
+    {wnext} AS (
+      SELECT {wcol}list_reduce(
+               string_split(w.seq, ' '),
+               (acc, x) -> CASE
+                 WHEN string_split(acc, ' ')[-1] = b.l AND x = b.r
+                 THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                 ELSE acc || ' ' || x END) AS seq,
+             w.cnt
+      FROM {wprev} w, {b} b)""")
+    tail = f""",
+    seg AS (
+      SELECT word, len(string_split(seq, ' ')) AS n_tok
+      FROM w{_N_MERGES}),
+    corpus AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT)        AS n_words,
+           CAST(SUM(s.n_tok) AS BIGINT)    AS n_bpe_tokens,
+           SUM(s.n_tok) * 1.0 / COUNT(*)   AS fertility
+    FROM corpus c JOIN seg s USING (word)
+    WHERE c.word <> ''
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id"""
+    return ",".join(parts) + tail
 
 
 @register(
@@ -153,3 +214,65 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "step int, left_sym string, right_sym string, merged string, pair_count bigint",
     ).orderBy("step")
+
+
+
+@register(
+    "bpe_apply_fertility",
+    _apply_oracle(),
+    doc="APPLY the learned BPE merges back to the corpus: per document, "
+    "word count, BPE token count under the 10 learned merges, and "
+    "fertility (tokens per word) — the measurement that closes the "
+    "tokenizer-training loop (bpe_merge_learning) into an application "
+    "and the number a training-mix budget actually consumes. The "
+    "segmentation map is computed ONCE per distinct word (driver-side "
+    "over the bounded dictionary, same discipline as training) and "
+    "joined back onto the exploded corpus — AQE broadcasts the "
+    "vocabulary-sized map. Fertility is an unrounded exact-integer "
+    "ratio. Oracle: the training CTE chain re-run carrying the word "
+    "column, then the same join-back in SQL.",
+)
+def bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(_TOP_V)
+    )
+    word_counts = [(r["word"], r["cnt"]) for r in wc.collect()]
+    merges = _bpe_learn(word_counts, _N_MERGES)
+    # apply the merge list to each dictionary word (greedy leftmost
+    # fold per round — identical to training's application step)
+    seg: dict[str, int] = {}
+    for word, _ in word_counts:
+        toks = list(word)
+        for _, left, right, merged, _n in merges:
+            out = [toks[0]]
+            for x in toks[1:]:
+                if out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            toks = out
+        seg[word] = len(toks)
+    seg_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            list(seg.items()), "word string, n_tok int"
+        )
+    )
+    corpus = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        corpus.join(seg_df, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+            (F.sum("n_tok") * F.lit(1.0) / F.count(F.lit(1))).alias("fertility"),
+        )
+        .orderBy("doc_id")
+    )
