@@ -612,3 +612,61 @@ def test_ima_adpcm_long_clip_over_65535_samples():
     assert len(enc) == 8 + (n + 1) // 2  # 8 = versioned header
     # slowly-varying signal: reconstruction tracks the waveform
     assert max(abs(a - b) for a, b in zip(samples, dec)) <= 512
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    nf=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ipdv_roundtrip_exact_on_random_frames(w, h, nf, seed):
+    """IPDV decode must be an exact replay of encode for ARBITRARY frame
+    stacks — smooth, noisy, or adversarial — because residuals are
+    mod-256 exact (the lossless contract the registered query's
+    pixel_sum hash rests on)."""
+    import random
+
+    from etl_sample_spark.operators.multimodal import decode_ipdv, encode_ipdv
+
+    rng = random.Random(seed)
+    frames = []
+    prev = [rng.randrange(256) for _ in range(w * h * 3)]
+    for _ in range(nf):
+        mode = rng.randrange(3)
+        if mode == 0:  # smooth temporal drift (P-frames earn their keep)
+            cur = [(v + 17) % 256 for v in prev]
+        elif mode == 1:  # random noise (residuals must still be exact)
+            cur = [rng.randrange(256) for _ in range(w * h * 3)]
+        else:  # spatial shift (exercises motion search)
+            cur = prev[3:] + prev[:3]
+        frames.append(bytes(cur))
+        prev = cur
+    enc = encode_ipdv(w, h, frames, gop=3)
+    assert decode_ipdv(enc) == (w, h, frames)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=500.0).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=120,
+    ),
+    split=st.integers(1, 50),
+)
+def test_rolling_zscore_core_is_split_invariant(vals, split):
+    """Feeding the same ordered stream through ANY micro-batch split must
+    flag identical rows with identical z — the state-carry contract
+    that makes the streaming twin equal to the batch window."""
+    from etl_sample_spark.streaming.windows import _score_rolling_frame
+
+    batch = list(enumerate(vals))
+    whole, state_whole = _score_rolling_frame([], batch, 20)
+    got, state = [], []
+    for i in range(0, len(batch), split):
+        out, state = _score_rolling_frame(state, batch[i : i + split], 20)
+        got.extend(out)
+    assert got == whole
+    assert state == state_whole
