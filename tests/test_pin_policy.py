@@ -74,3 +74,18 @@ def test_pin_manifest_is_current():
         f"pinned queries changed after the last manifest refresh: "
         f"{dirty_pinned} — run `python tools/update_pin_manifest.py`"
     )
+
+
+def test_rotation_orders_never_checked_then_stalest():
+    """The driver-window rotation contract: after the pins, every
+    never-driver-checked query precedes every already-checked one, and
+    checked queries are ordered by ascending last-checked round — so
+    registry-wide driver evidence converges instead of stranding old
+    rows (r7 VERDICT item 5)."""
+    import __spark_entry__ as e
+
+    ordered = e._ordered()
+    last = e._last_checked_rounds()
+    tail = [n for n in ordered if n not in e._FRONT_PINS]
+    rounds = [last.get(n, 0) for n in tail]
+    assert rounds == sorted(rounds), "rotation is not oldest-first"
