@@ -1,0 +1,150 @@
+"""Driver simulator: vanilla SparkSession + DuckDB oracle comparison.
+
+Mirrors the grading driver: imports __spark_entry__, runs entry() plus
+every queries() entry at SF_DIR, compares against oracle_sql() via
+DuckDB — row count + sorted column names + per-column TYPE CATEGORY
+(the driver's hash is type-sensitive: DECIMAL vs DOUBLE fails on equal
+values) + order-insensitive normalized value multiset.
+
+Usage:
+    python tools/driver_sim.py                    # all queries, sf0.01
+    python tools/driver_sim.py q1 q2 ...          # only these queries
+    DRIVE_SF_DIR=/root/testdata/sf0.1 python tools/driver_sim.py
+
+(The verify skill historically recreated this at /tmp, which is wiped
+between rounds — this in-repo copy is the durable one.)
+"""
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import traceback
+
+import duckdb
+
+SF_DIR = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
+ONLY = set(sys.argv[1:])  # optional: query names to restrict to
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as e  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{round(v, 9):.9f}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return f"{round(float(v), 9):.9f}"
+    return str(v)
+
+
+_CAT_SPARK = None  # lazy import guard
+
+
+def spark_cat(dt):
+    from pyspark.sql import types as T
+    if isinstance(dt, T.DecimalType): return "decimal"
+    if isinstance(dt, (T.DoubleType, T.FloatType)): return "float"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)): return "int"
+    if isinstance(dt, T.BooleanType): return "bool"
+    if isinstance(dt, T.TimestampType): return "timestamp"
+    if isinstance(dt, T.DateType): return "date"
+    if isinstance(dt, T.StringType): return "string"
+    return type(dt).__name__
+
+
+def duck_cat(t):
+    t = str(t).upper()
+    if t.startswith("DECIMAL"): return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"): return "float"
+    if t in ("TINYINT","SMALLINT","INTEGER","BIGINT","HUGEINT","UTINYINT","USMALLINT","UINTEGER","UBIGINT"): return "int"
+    if t == "BOOLEAN": return "bool"
+    if t.startswith("TIMESTAMP"): return "timestamp"
+    if t == "DATE": return "date"
+    if t == "VARCHAR": return "string"
+    return t
+
+
+def canon(cols, rows):
+    import pandas as pd
+
+    # pandas canonicalization, like the driver: DataFrame -> sort columns
+    # by name -> sort_values over all columns -> normalized tuples.
+    df = pd.DataFrame(rows, columns=cols)[sorted(cols)]
+    df = df.sort_values(by=sorted(cols), kind="mergesort").reset_index(drop=True)
+    out = []
+    for t in df.itertuples(index=False):
+        out.append(tuple(norm(None if (isinstance(v, float) and math.isnan(v)) or v is pd.NaT else v) for v in t))
+    return sorted(out)
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("drive-driver-contract")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    ent = e.entry(spark)
+    n = len(ent.collect())
+    print(f"entry(): {n} rows, schema={ent.columns}")
+    assert n >= 0
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    ok = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            if name not in oracles:
+                print(f"[rows-only] {name}: {len(rows)} rows OK")
+                ok += 1
+                continue
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
+            assert sorted(cols) == sorted(dcols), f"schema {sorted(cols)} != {sorted(dcols)}"
+            scat = {f.name: spark_cat(f.dataType) for f in df.schema.fields}
+            dcat = {c: duck_cat(t) for c, t in zip(dcols, rel.types)}
+            mism = {c: (scat[c], dcat[c]) for c in scat if scat[c] != dcat.get(c)}
+            assert not mism, f"type-category mismatch {mism} (driver hash is type-sensitive)"
+            assert len(rows) == len(drows), f"rows {len(rows)} != {len(drows)}"
+            s = canon(cols, rows)
+            d = canon(dcols, drows)
+            bad = [(a, b) for a, b in zip(s, d) if a != b]
+            assert not bad, f"value mismatch (first 3): {bad[:3]}"
+            print(f"[ok] {name}: {len(rows)} rows")
+            ok += 1
+        except Exception as ex:
+            traceback.print_exc()
+            failures.append((name, str(ex)[:200]))
+    print(f"==> {ok}/{ok + len(failures)} OK; failures: {failures}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
