@@ -44,43 +44,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r7's one red driver row: pct_of_first was DECIMAL (stack() '1.0'
-    # literal parses as DECIMAL in Spark SQL) vs the oracle's DOUBLE —
-    # value-equal, hash FAIL. Fixed with CAST(... AS DOUBLE); re-pinned.
-    "funnel_conversion_steps",
-    # r7 pin-policy miss: operators/layout.py gained the 63-bit guard
-    # but the query was not re-pinned (behavior-neutral, pytest-covered;
-    # re-pinned per policy — and the policy itself is now mechanical).
-    "zorder_curve_rank_parts",
-    # r8 ADVICE fix: empty-graph guard + backslash escaping in the
-    # VALUES emit (plans/analytics.py) — fingerprint-dirty, re-pinned.
-    "pagerank_trade_network",
-    # new in r8 — first driver rows
-    "rolling_zscore_anomalies",
-    "bpe_merge_learning",
+    # r8's one red driver row: revenue columns were raw decimal — Spark
+    # sums DECIMAL(18,2) to decimal(28,2), DuckDB to DECIMAL(38,2), and
+    # the driver hash is dtype-EXACT, so value-identical rows failed.
+    # Fixed by casting to DOUBLE on both sides (oracle via VARCHAR
+    # round-trip, q1 precedent); raw decimal outputs are now banned by
+    # the sim and conftest twin. Re-pinned.
+    "yoy_monthly_revenue",
+    # r8 ADVICE fixes, value-neutral but fingerprint-dirty, re-pinned
+    # per policy: train_pq_codebooks now raises on corpus < ksub
+    # (PQ ×2); encode_ipdv validates header-field ranges (video);
+    # twap docstring corrected ms→µs (guard/doc-only edits).
     "similarity_pq_adc_top10",
     "similarity_pq_rerank_top10",
-    "cdc_upsert_apply_customers",
-    "histogram_quantile_prices",
-    "user_path_analysis_daily",
-    "twap_event_value_daily",
-    "cross_doc_span_audit",
     "multimodal_video_delta_decode",
-    "holt_linear_forecast_by_type",
-    "bounded_running_balance_customers",
-    "active_users_dau_wau_mau",
-    "yoy_monthly_revenue",
-    "new_vs_returning_weekly",
-    "market_basket_part_pairs",
-    "time_to_convert_distribution",
-    "classifier_auc_mann_whitney",
-    "classifier_decile_lift",
-    # r8 review fix: classifier score/z expression deduplicated into
-    # shared helpers (_qc_z_col/_qc_score_col) — value-identical,
-    # fingerprint-dirty, re-pinned per policy.
-    "quality_classifier_score",
-    "dsir_importance_weights",
-    "bpe_apply_fertility",
+    "twap_event_value_daily",
 ]
 
 

@@ -86,6 +86,15 @@ def bench_streaming_ingest(spark, sf_dir: str, reps: int) -> tuple[list[float], 
 
     root = tempfile.mkdtemp(prefix="sparkgraft_bench_stream_")
     src = os.path.join(root, "src")
+    # recentProgress is a ring buffer capped at numRecentProgressUpdates
+    # (default 100): a drain with >100 micro-batches would silently drop
+    # the oldest entries and undercount Σ triggerExecution (r8 ADVICE).
+    # Raise the cap far above any plausible batch count and ASSERT the
+    # drain stayed below it so a future shape change fails loudly.
+    progress_cap = 10_000
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(progress_cap)
+    )
     try:
         orders = catalog.table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
         lineitem = catalog.table(spark, sf_dir, "lineitem")
@@ -111,7 +120,13 @@ def bench_streaming_ingest(spark, sf_dir: str, reps: int) -> tuple[list[float], 
                 d = p["durationMs"] if isinstance(p, dict) else p.durationMs
                 return d.get("triggerExecution", 0)
 
-            trig_ms = sum(_dur(p) for p in q.recentProgress)
+            progress = q.recentProgress
+            assert len(progress) < progress_cap, (
+                f"streaming drain hit the recentProgress ring cap "
+                f"({len(progress)} >= {progress_cap}): timings would "
+                "silently undercount — raise the cap"
+            )
+            trig_ms = sum(_dur(p) for p in progress)
             if rep > 0:
                 samples.append(trig_ms / 1000.0)
             n = spark.read.parquet(os.path.join(out, "order_lines")).count()

@@ -1689,6 +1689,17 @@ def encode_ipdv(width: int, height: int, frames: list[bytes], gop: int = 4) -> b
     property that makes the codec drift-free)."""
     import struct
 
+    # Header-field range guards: the <HHHB header caps dims/frame-count
+    # at 65535 and gop at 255, and gop=0 would divide-by-zero at the
+    # I-frame cadence check — fail loudly with the codec's documented
+    # ValueError convention instead of struct.error/ZeroDivisionError
+    # (r8 ADVICE).
+    if gop < 1 or gop > 255:
+        raise ValueError(f"encode_ipdv: gop must be in [1, 255], got {gop}")
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError(f"encode_ipdv: dims out of range: {width}x{height}")
+    if len(frames) > 65535:
+        raise ValueError(f"encode_ipdv: too many frames ({len(frames)} > 65535)")
     if any(len(f) != width * height * 3 for f in frames):
         raise ValueError("encode_ipdv: frame size mismatch")
     head = _IPDV_MAGIC + bytes([_IPDV_VERSION]) + struct.pack(

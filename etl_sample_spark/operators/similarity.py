@@ -421,6 +421,15 @@ def train_pq_codebooks(
         .limit(ksub)
         .collect()
     )
+    if len(init_rows) < ksub:
+        # limit(ksub) on a smaller corpus silently returns fewer rows;
+        # shipping a shrunken codebook would break the documented
+        # ksub-centroid contract (code ids range over [0, ksub)) — fail
+        # loudly instead (r8 ADVICE).
+        raise ValueError(
+            f"train_pq_codebooks: corpus has {len(init_rows)} rows, "
+            f"need at least ksub={ksub} for distinct initial centroids"
+        )
     books = [
         [[float(x) for x in r[vec_col][j * ds : (j + 1) * ds]] for r in init_rows]
         for j in range(m)

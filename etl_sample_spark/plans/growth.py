@@ -250,9 +250,10 @@ def user_path_analysis_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day, and the average weights by holding time — the fair average "
     "for irregularly-sampled series, where the plain mean over-counts "
     "bursts. EXACT integer arithmetic end-to-end: value is 2dp money "
-    "grid (v100 bigint), durations are epoch-millisecond differences "
-    "(bigint; a day bounds each group's total duration, so the "
-    "weighted sum stays under ~5e15 — no overflow), so the final "
+    "grid (v100 bigint), durations are epoch-MICROsecond differences "
+    "(bigint; a day bounds each group's total duration at 8.64e10 µs, "
+    "so the weighted v100·dur_us sum stays under ~10^18 — inside "
+    "bigint), so the final "
     "ratio-of-exact-integers is bit-identical IEEE in both engines and "
     "ships unrounded. 100 TB shape: ONE shuffle on (event_type, day) "
     "reused by both the LEAD window and the aggregation (same key), "
@@ -357,14 +358,17 @@ def active_users_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "yoy_monthly_revenue",
     """
     WITH monthly AS (
+      -- VARCHAR round-trip: DuckDB's decimal->double cast is not
+      -- correctly rounded (int128 * 10^-scale in float); strtod is,
+      -- matching Java BigDecimal.doubleValue (q1 precedent).
       SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders GROUP BY 1)
     SELECT cur.month,
            cur.revenue,
            prev.revenue AS revenue_prior_year,
-           (CAST(cur.revenue AS DOUBLE) - CAST(prev.revenue AS DOUBLE))
-             / CAST(prev.revenue AS DOUBLE) AS yoy_growth
+           (cur.revenue - prev.revenue) / prev.revenue AS yoy_growth
     FROM monthly cur
     JOIN monthly prev ON prev.month = cur.month - INTERVAL 12 MONTH
     ORDER BY cur.month
@@ -372,8 +376,14 @@ def active_users_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Year-over-year monthly revenue: exact-decimal monthly sums "
     "self-joined on month-minus-12 (an equi-join on the month key — "
     "never LAG(12), which silently misreads gaps in the month spine as "
-    "year offsets). Growth is the unrounded double ratio of exact "
-    "decimals (identical casts both engines). 100 TB shape: the "
+    "year offsets). Sums aggregate exactly in DECIMAL then surface as "
+    "correctly-rounded doubles on both engines (Spark's decimal cast "
+    "is BigDecimal.doubleValue; the oracle round-trips VARCHAR, since "
+    "DuckDB's direct decimal->double cast can be 1 ulp off) — raw "
+    "decimal outputs are banned driver-facing because Spark sums to "
+    "DECIMAL(28,2) while DuckDB sums to DECIMAL(38,2) and the driver "
+    "hash is dtype-exact (the r8 CORRECTNESS fail this fixes). Growth "
+    "is then a ratio of bit-identical doubles. 100 TB shape: the "
     "monthly rollup is a map-side-combinable aggregate collapsing the "
     "fact table to months² rows; the self-join is months-sized.",
 )
@@ -383,20 +393,17 @@ def yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
-    ).agg(F.sum(dec2("o_totalprice")).alias("revenue"))
+    ).agg(F.sum(dec2("o_totalprice")).cast("double").alias("revenue"))
     cur, prev = monthly.alias("cur"), monthly.alias("prev")
     joined = cur.join(
         prev, F.col("prev.month") == F.add_months(F.col("cur.month"), -12)
     )
-    pr = F.col("prev.revenue")
+    cr, pr = F.col("cur.revenue"), F.col("prev.revenue")
     return joined.select(
         F.col("cur.month").alias("month"),
-        F.col("cur.revenue").alias("revenue"),
+        cr.alias("revenue"),
         pr.alias("revenue_prior_year"),
-        (
-            (F.col("cur.revenue").cast("double") - pr.cast("double"))
-            / pr.cast("double")
-        ).alias("yoy_growth"),
+        ((cr - pr) / pr).alias("yoy_growth"),
     ).orderBy("month")
 
 

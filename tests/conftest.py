@@ -118,11 +118,16 @@ def _spark_type_category(dt) -> str:
     hash distinguishes. Decimal vs double is the class that produced the
     r7 `funnel_conversion_steps` driver FAIL while the (previously
     Decimal→float-coercing) local twin stayed green — so the categories
-    must be compared, not coerced away (r7 VERDICT item 3)."""
+    must be compared, not coerced away (r7 VERDICT item 3). Decimal is
+    PRECISION-EXACT, not a category: r8's yoy_monthly_revenue failed the
+    driver hash with value-identical rows because Spark sums
+    DECIMAL(18,2) to decimal(28,2) while DuckDB sums to DECIMAL(38,2) —
+    so raw decimal outputs are banned driver-facing (cast to DOUBLE,
+    oracle via VARCHAR round-trip, q1 precedent)."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.DecimalType):
-        return "decimal"
+        return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return "float"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
@@ -141,7 +146,7 @@ def _spark_type_category(dt) -> str:
 def _duck_type_category(type_str: str) -> str:
     t = type_str.upper()
     if t.startswith("DECIMAL"):
-        return "decimal"
+        return "decimal" + t[len("DECIMAL"):].replace(" ", "")
     if t in ("DOUBLE", "FLOAT", "REAL"):
         return "float"
     if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",

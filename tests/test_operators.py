@@ -1296,6 +1296,13 @@ def test_pq_adc_reconstruction_and_recall(spark, sf_dir):
 
     books = train_pq_codebooks(emb, m=8, ksub=16, n_iters=1)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
+    # corpus smaller than ksub must fail loudly, not silently ship a
+    # shrunken codebook that breaks the [0, ksub) code-id contract
+    # (r8 ADVICE)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ksub"):
+        train_pq_codebooks(emb.limit(7), m=8, ksub=16, n_iters=1)
     coded = pq_assign_codes(emb, books)
     rng = coded.agg(
         *[F.min(f"__code{j}").alias(f"lo{j}") for j in range(8)],
@@ -1377,6 +1384,17 @@ def test_ipdv_temporal_compression_and_roundtrip(spark, sf_dir):
     p_first = enc[:12] + b"P" + enc[13:]  # flip first frame tag to P
     with _pytest.raises(ValueError, match="P-frame before"):
         decode_ipdv(p_first)
+    # encode-side header-range guards (r8 ADVICE): gop=0 must not
+    # ZeroDivisionError, out-of-<HHHB-range fields must not surface raw
+    # struct.error — the codec's documented failure mode is ValueError.
+    with _pytest.raises(ValueError, match="gop"):
+        encode_ipdv(w, h, frames, gop=0)
+    with _pytest.raises(ValueError, match="gop"):
+        encode_ipdv(w, h, frames, gop=256)
+    with _pytest.raises(ValueError, match="dims"):
+        encode_ipdv(0, h, [])
+    with _pytest.raises(ValueError, match="dims"):
+        encode_ipdv(70000, h, [])
 
 
 def test_cdc_apply_carries_non_payload_base_columns(spark):

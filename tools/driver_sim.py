@@ -58,8 +58,14 @@ _CAT_SPARK = None  # lazy import guard
 
 
 def spark_cat(dt):
+    # Decimal is compared PRECISION-EXACT, not as a category: the driver
+    # hash is dtype-exact — r8's yoy_monthly_revenue failed with equal
+    # values because Spark sums DECIMAL(18,2) to decimal(28,2) while
+    # DuckDB sums to DECIMAL(38,2). Repo convention: never emit raw
+    # decimal driver-facing; cast to DOUBLE (oracle side via VARCHAR
+    # round-trip, q1 precedent).
     from pyspark.sql import types as T
-    if isinstance(dt, T.DecimalType): return "decimal"
+    if isinstance(dt, T.DecimalType): return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, (T.DoubleType, T.FloatType)): return "float"
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)): return "int"
     if isinstance(dt, T.BooleanType): return "bool"
@@ -71,7 +77,8 @@ def spark_cat(dt):
 
 def duck_cat(t):
     t = str(t).upper()
-    if t.startswith("DECIMAL"): return "decimal"
+    if t.startswith("DECIMAL"):
+        return "decimal" + t[len("DECIMAL"):].replace(" ", "")
     if t in ("DOUBLE", "FLOAT", "REAL"): return "float"
     if t in ("TINYINT","SMALLINT","INTEGER","BIGINT","HUGEINT","UTINYINT","USMALLINT","UINTEGER","UBIGINT"): return "int"
     if t == "BOOLEAN": return "bool"
@@ -132,6 +139,12 @@ def main():
             dcat = {c: duck_cat(t) for c, t in zip(dcols, rel.types)}
             mism = {c: (scat[c], dcat[c]) for c in scat if scat[c] != dcat.get(c)}
             assert not mism, f"type-category mismatch {mism} (driver hash is type-sensitive)"
+            decs = [c for c, v in scat.items() if v.startswith("decimal")]
+            assert not decs, (
+                f"raw decimal output column(s) {decs}: banned driver-facing "
+                "(engines sum to different precisions; cast to DOUBLE, "
+                "oracle via VARCHAR round-trip — q1 precedent)"
+            )
             assert len(rows) == len(drows), f"rows {len(rows)} != {len(drows)}"
             s = canon(cols, rows)
             d = canon(dcols, drows)

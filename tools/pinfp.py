@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import inspect
+import re
 import types
 
 _PKG = "etl_sample_spark"
@@ -148,7 +149,12 @@ def query_fingerprint(spec) -> str:
                     r = "{" + ", ".join(sorted(repr(x) for x in val)) + "}"
                 else:
                     r = repr(val)
-                if "0x" not in r:  # guard: default reprs embed addresses
+                # guard: default-object reprs embed addresses ("<... at
+                # 0xABC>") that flap run-to-run; but a legitimate hex
+                # STRING constant ('0xff') must still dirty the
+                # fingerprint, so match the default-repr shape, not any
+                # '0x' substring (r8 ADVICE).
+                if not re.search(r"<.* at 0x[0-9a-f]+>", r):
                     parts.add(f"const:{mod}.{name}::{r}")
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()
 
