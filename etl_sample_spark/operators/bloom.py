@@ -1,0 +1,95 @@
+"""Distributed Bloom-filter runtime join filter: build a bitmap over the
+small side's join keys, probe the big side MAP-SIDE before it ever
+shuffles — Spark's own InjectRuntimeFilter/bloom_filter_agg pattern
+(Spark SQL's `spark.sql.optimizer.runtime.bloomFilter.enabled`),
+re-expressed as explicit DataFrame ops so the plan is inspectable and
+the filter reusable across stages.
+
+Reference analog: none (the reference joins eagerly in-process);
+[EXT] the standard big-cluster join accelerator.
+
+Shape at 100 TB: the bitmap is ``num_bits/64`` rows (a 2^20-bit filter
+is 16,384 longs ≈ 128 KB) — always broadcastable. Probing is
+``num_hashes`` broadcast hash joins, i.e. purely map-side: zero
+shuffle is added, and the big side's shuffle INTO the real join shrinks
+by the filter's selectivity. False positives are removed by the exact
+join that follows (the filter is an accelerator, never a semantics
+change); false negatives are impossible by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k bit positions of ``key``: xxhash64 seeded per hash function,
+    folded into [0, num_bits). xxhash64 is Spark-JVM-side and vectorized;
+    the oracle never needs to reproduce it because bloom output is always
+    post-verified by an exact join."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)).cast("bigint")
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, num_bits: int, num_hashes: int = 3
+) -> DataFrame:
+    """Aggregate the key set into a bitmap DataFrame of
+    ``(bucket: bigint, bits: bigint)`` — bucket = position div 64, bits =
+    OR of 1<<(position mod 64). One map-side-combinable groupBy whose
+    output cardinality is at most ``num_bits/64`` regardless of input
+    size."""
+    pos = F.explode(F.array(*_positions(F.col(key_col), num_bits, num_hashes)))
+    return (
+        keys.select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("bigint").alias("bucket"),
+            F.shiftleft(F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")).alias(
+                "bit"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    num_bits: int,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Keep only rows whose key MAY be in the filter (all k bits set).
+
+    Implemented as ``num_hashes`` BROADCAST left joins against the
+    bitmap (bucket equality) — no explode/regroup round-trip, no added
+    shuffle; each join is map-side against the ~KB bitmap. A missing
+    bucket means the bit is 0 (left join null → miss)."""
+    out = df
+    for i, pos in enumerate(_positions(F.col(key_col), num_bits, num_hashes)):
+        b = bitmap.select(
+            F.col("bucket").alias(f"__bb{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        out = out.withColumn(f"__pos{i}", pos)
+        out = out.join(
+            F.broadcast(b),
+            (F.col(f"__pos{i}") / 64).cast("bigint") == F.col(f"__bb{i}"),
+            "left",
+        )
+        hit = (
+            F.shiftright(
+                F.col(f"__bits{i}"), (F.col(f"__pos{i}") % 64).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        out = out.withColumn(f"__hit{i}", F.coalesce(hit, F.lit(False))).drop(
+            f"__pos{i}", f"__bb{i}", f"__bits{i}"
+        )
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        cond = cond & F.col(f"__hit{i}")
+    return out.where(cond).drop(*[f"__hit{i}" for i in range(num_hashes)])
