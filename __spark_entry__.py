@@ -44,22 +44,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r8's one red driver row: revenue columns were raw decimal — Spark
-    # sums DECIMAL(18,2) to decimal(28,2), DuckDB to DECIMAL(38,2), and
-    # the driver hash is dtype-EXACT, so value-identical rows failed.
-    # Fixed by casting to DOUBLE on both sides (oracle via VARCHAR
-    # round-trip, q1 precedent); raw decimal outputs are now banned by
-    # the sim and conftest twin. Re-pinned.
-    "yoy_monthly_revenue",
-    # r8 ADVICE fixes, value-neutral but fingerprint-dirty, re-pinned
-    # per policy: train_pq_codebooks now raises on corpus < ksub
-    # (PQ ×2); encode_ipdv validates header-field ranges (video);
-    # twap docstring corrected ms→µs (guard/doc-only edits).
-    "similarity_pq_adc_top10",
-    "similarity_pq_rerank_top10",
-    "multimodal_video_delta_decode",
-    "twap_event_value_daily",
+    # r10: operators/bloom.py fixed (F.shiftleft/shiftright only take a
+    # Python-int shift; routed through F.call_function) and wired into
+    # its first registry consumer — never driver-checked, so pinned.
+    # Oracle is the plain EXISTS semi join (the bloom stage is
+    # result-invariant by construction; equivalence + FP-rate + zero-
+    # added-Exchange pinned in tests/test_bloom.py).
+    "bloom_semi_join_orders_customers",
 ]
+# r9 pins (yoy_monthly_revenue, PQ pair, video delta, twap) all landed
+# green driver rows in CORRECTNESS_r09.json — cleared for rotation.
 
 
 def _last_checked_rounds() -> dict[str, int]:

@@ -47,9 +47,11 @@ def bloom_build(
         keys.select(pos.alias("pos"))
         .select(
             (F.col("pos") / 64).cast("bigint").alias("bucket"),
-            F.shiftleft(F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")).alias(
-                "bit"
-            ),
+            # F.shiftleft only accepts a Python-int shift amount in PySpark;
+            # call_function routes to the SQL builtin, which takes a Column.
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
         )
         .groupBy("bucket")
         .agg(F.bit_or("bit").alias("bits"))
@@ -81,8 +83,8 @@ def bloom_probe(
             "left",
         )
         hit = (
-            F.shiftright(
-                F.col(f"__bits{i}"), (F.col(f"__pos{i}") % 64).cast("int")
+            F.call_function(
+                "shiftright", F.col(f"__bits{i}"), (F.col(f"__pos{i}") % 64).cast("int")
             ).bitwiseAND(F.lit(1))
             == 1
         )

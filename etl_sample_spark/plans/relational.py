@@ -801,3 +801,53 @@ def histogram_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# --------------------------------------------------------------------------
+# Runtime bloom-filter join acceleration (operators/bloom.py consumer)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bloom_semi_join_orders_customers",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {SUM2_SQL.format(c="o_totalprice")} AS sum_price
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="explicit Bloom-filter pre-join pruning (operators/bloom.py): the "
+    "filtered customer keys are folded into a 2^20-bit bitmap "
+    "(16K longs, always broadcastable), orders is probed MAP-SIDE via "
+    "broadcast joins before the exact semi join removes the false "
+    "positives — result-invariant vs the plain EXISTS oracle. At 100 TB "
+    "the bloom probe shrinks the fact side's shuffle into the real join "
+    "by the filter's selectivity at the cost of zero added Exchanges.",
+)
+def bloom_semi_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.bloom import bloom_build, bloom_probe
+
+    num_bits, num_hashes = 1 << 20, 3
+    building = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    bitmap = bloom_build(building, "c_custkey", num_bits, num_hashes)
+    pruned = bloom_probe(orders, "o_custkey", bitmap, num_bits, num_hashes)
+    # The exact semi join removes bloom false positives; the bloom stage
+    # only shrinks what reaches this shuffle.
+    return (
+        pruned.join(
+            building.select("c_custkey"),
+            pruned.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money(dec2("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

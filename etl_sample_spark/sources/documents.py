@@ -17,6 +17,7 @@ enforcement (PERMISSIVE) replaces per-document inference.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +50,44 @@ def route_column() -> Column:
     return col.otherwise(F.lit(ROUTE_PATTERNS[-1][0])).alias("route")
 
 
+# Scheme-qualified URI (s3a://, abfss://, hdfs://, gs://, file://...).
+# Python's glob/os.path treat these as literal relative paths — probing
+# them locally would silently report a NON-EMPTY remote directory as
+# empty. S2 of the reference lists Azure blobs explicitly
+# (Sample-Json-to-SQL-Full-Pipeline-EO-10-03-2019.py:769-793); Spark
+# reads object stores directly, so the emptiness probe must go through
+# the same Hadoop FileSystem the scan itself will use.
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def is_remote_uri(path: str) -> bool:
+    """True for any scheme-qualified URI that must NOT be probed with
+    local-filesystem calls (glob/os.path)."""
+    return bool(_URI_SCHEME_RE.match(path))
+
+
+def _matched_paths(spark: SparkSession, path: str) -> list[str]:
+    """Paths matched by ``path`` (literal or glob), empty list if none.
+
+    Scheme-qualified URIs resolve through Hadoop's FileSystem — the
+    identical resolution the parquet/JSON scan performs, so whatever
+    connector serves the scan (s3a, abfss, gs, hdfs, file) serves the
+    probe; bare paths use the local filesystem directly."""
+    if is_remote_uri(path):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # globStatus handles literal paths too (None/[] when nothing
+        # matches; a plain existing path returns its own status).
+        matched = fs.globStatus(hpath)
+        return [] if matched is None else [str(m.getPath()) for m in matched]
+    import glob as _glob
+
+    if any(ch in path for ch in "*?["):
+        return _glob.glob(path)
+    return [path] if os.path.exists(path) else []
+
+
 def read_form(
     spark: SparkSession,
     path: str,
@@ -71,12 +110,7 @@ def read_form(
         # A glob matching zero files raises PATH_NOT_FOUND; an arrival
         # directory that's currently empty is a normal state for the
         # ingest loop, not an error — return an empty typed DataFrame.
-        import glob as _glob
-
-        matched = _glob.glob(path) if any(ch in path for ch in "*?[") else (
-            [path] if os.path.exists(path) else []
-        )
-        if not matched:
+        if not _matched_paths(spark, path):
             empty = spark.createDataFrame([], schema)
             if with_sf_id:
                 empty = empty.withColumn("sf_id", F.lit(None).cast("string"))

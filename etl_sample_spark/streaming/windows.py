@@ -450,7 +450,8 @@ def rolling_zscore_tws(
 
             pdfs = [pdf for pdf in rows]
             batch = pd.concat(pdfs).sort_values(["ts", "event_id"], kind="mergesort")
-            vals = [int(r.v) for r in self._frame.get()]
+            # ListState.get() yields plain tuples (not Rows) in PySpark 4.1
+            vals = [int(r[0]) for r in self._frame.get()]
             anomalies, vals = _score_rolling_frame(
                 vals,
                 [(int(r.event_id), float(r.value)) for r in batch.itertuples(index=False)],

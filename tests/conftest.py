@@ -14,6 +14,45 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --- vendored-protobuf shim (env workaround, test-only) -------------------
+# transformWithStateInPandas workers speak protobuf to the JVM; this
+# container has no pip google.protobuf, but the google-cloud-sdk ships a
+# modern vendored copy (6.32.0). Expose ONLY google/protobuf through a
+# namespace-package shim (symlinking the whole appengine dir would shadow
+# unrelated top-level modules), and export it via PYTHONPATH BEFORE the
+# SparkContext starts so forked Python workers inherit it. The official
+# TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK escape hatch covers the
+# one-minor skew (pyspark gencode 6.33.0 vs vendored runtime 6.32.0-dev).
+_PB_VENDOR = "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+
+
+def _enable_vendored_protobuf() -> None:
+    try:
+        import google.protobuf  # noqa: F401  (real install wins)
+
+        return
+    except ImportError:
+        pass
+    if not os.path.isdir(_PB_VENDOR):
+        return
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_pbshim")
+    pkg = os.path.join(root, "google")
+    link = os.path.join(pkg, "protobuf")
+    os.makedirs(pkg, exist_ok=True)
+    if os.path.islink(link) and os.readlink(link) != _PB_VENDOR:
+        os.unlink(link)
+    if not os.path.exists(link):
+        os.symlink(_PB_VENDOR, link)
+    sys.path.insert(0, root)
+    os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+
+
+_enable_vendored_protobuf()
+# --------------------------------------------------------------------------
+
 from etl_sample_spark import get_spark
 from etl_sample_spark.catalog import TABLES
 
@@ -179,6 +218,16 @@ def assert_matches_oracle(spark_df, duck_con, sql):
     )
     s_cats = {f.name: _spark_type_category(f.dataType) for f in spark_df.schema.fields}
     d_cats = {c: _duck_type_category(str(t)) for c, t in zip(duck_cols, rel.types)}
+    # Mirror tools/driver_sim.py's ban: raw DECIMAL outputs are driver-hash
+    # hazards even when both engines' precisions happen to agree locally
+    # (Spark widens sums to decimal(28,2) while DuckDB picks decimal(38,2),
+    # and Decimal objects stringify differently from float64). Emit DOUBLE
+    # (oracle side via CAST(CAST(... AS VARCHAR) AS DOUBLE)).
+    decs = [c for c, v in s_cats.items() if v.startswith("decimal")]
+    assert not decs, (
+        f"raw decimal output column(s) {decs}: banned driver-facing — "
+        "cast to DOUBLE on the Spark side and via VARCHAR on the oracle side"
+    )
     cat_mismatch = {
         c: (s_cats[c], d_cats[c]) for c in s_cats if s_cats[c] != d_cats.get(c)
     }

@@ -1,0 +1,97 @@
+"""operators/bloom.py: explicit Bloom-filter join pruning.
+
+Pins the three properties that make the operator safe and worth having
+at 100 TB:
+- no false negatives (a present key ALWAYS survives the probe),
+- false-positive containment: bloom-probe + exact join == exact join,
+- measured FP rate matches the (1 - e^{-kn/m})^k sizing math,
+- the probe stage adds ZERO shuffle Exchanges beyond the build's own
+  16K-row bitmap aggregation — probing is purely broadcast/map-side.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_sample_spark.operators.bloom import bloom_build, bloom_probe
+
+NUM_BITS = 1 << 20
+NUM_HASHES = 3
+
+
+def _plan(df) -> str:
+    # simple mode: each physical node appears exactly once (formatted mode
+    # prints the tree plus a per-node detail section, doubling counts)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_no_false_negatives(spark):
+    """Every key in the build set survives the probe — bitwise-exact
+    construction guarantee, checked over 50k keys."""
+    keys = spark.range(50_000).select(F.col("id").alias("k"))
+    bitmap = bloom_build(keys, "k", NUM_BITS, NUM_HASHES)
+    survivors = bloom_probe(keys, "k", bitmap, NUM_BITS, NUM_HASHES)
+    assert survivors.count() == 50_000
+
+
+def test_false_positive_rate_matches_sizing(spark):
+    """Probe 50k keys DISJOINT from the 50k built: with m=2^20, k=3,
+    n=50k the textbook FP rate is (1-e^{-kn/m})^k ≈ 0.24%; assert under
+    1% so the bound is robust to hash quirks but a mis-sized or broken
+    filter (e.g. all-ones bitmap → 100%) still fails loudly."""
+    build = spark.range(50_000).select(F.col("id").alias("k"))
+    probe = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    bitmap = bloom_build(build, "k", NUM_BITS, NUM_HASHES)
+    fp = bloom_probe(probe, "k", bitmap, NUM_BITS, NUM_HASHES).count()
+    assert fp / 50_000 < 0.01, f"false-positive rate {fp / 50_000:.4%}"
+    # And not vacuously zero-capable: a genuinely empty result would mean
+    # the probe condition is broken in the other direction (e.g. always
+    # false), which test_no_false_negatives already excludes.
+
+
+def test_bloom_plus_exact_join_equals_exact_join(spark, sf_dir):
+    """The operator is an accelerator, never a semantics change: orders
+    bloom-probed against BUILDING customers then exactly semi-joined
+    must equal the plain exact semi join, row for row."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = customer.select("c_custkey")
+
+    exact = orders.join(keys, orders.o_custkey == keys.c_custkey, "left_semi")
+    bitmap = bloom_build(customer, "c_custkey", NUM_BITS, NUM_HASHES)
+    pruned = bloom_probe(orders, "o_custkey", bitmap, NUM_BITS, NUM_HASHES)
+    accel = pruned.join(keys, pruned.o_custkey == keys.c_custkey, "left_semi")
+
+    a = {r.o_orderkey for r in exact.select("o_orderkey").collect()}
+    b = {r.o_orderkey for r in accel.select("o_orderkey").collect()}
+    assert a == b
+
+
+def test_probe_adds_zero_shuffle_exchanges(spark, sf_dir):
+    """The probe side must stay map-side: the only shuffle Exchange in
+    the probed plan is the bitmap build's own groupBy (16K rows); the
+    fact side is reached exclusively through BroadcastHashJoins."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bitmap = bloom_build(customer, "c_custkey", NUM_BITS, NUM_HASHES)
+    pruned = bloom_probe(orders, "o_custkey", bitmap, NUM_BITS, NUM_HASHES)
+
+    build_plan = _plan(bitmap)
+    probe_plan = _plan(pruned)
+    n_build = build_plan.count("Exchange hashpartitioning")
+    n_probe = probe_plan.count("Exchange hashpartitioning")
+    assert n_probe == NUM_HASHES * n_build, (
+        f"probe added shuffle Exchanges beyond the {NUM_HASHES} reuses of "
+        f"the bitmap build ({n_build} each): {n_probe}"
+    )
+    assert probe_plan.count("BroadcastHashJoin") == NUM_HASHES
+    assert "SortMergeJoin" not in probe_plan
+    assert "CartesianProduct" not in probe_plan

@@ -74,3 +74,57 @@ def test_corrupt_documents_quarantined_not_dropped(spark, tmp_path_factory):
     assert len(bad) == 1
     assert "BROKEN_bank_scrape.json" in bad[0]["source_file"]
     assert bad[0]["raw"].startswith('{"name": "truncated"')
+
+
+# ---- S2: scheme-qualified object-store URIs (SURVEY §2.1) ----------------
+# The reference lists Azure blobs explicitly (pipeline.py:769-793); Spark
+# reads object stores directly, but the ingest loop's emptiness probe must
+# then resolve through Hadoop's FileSystem — local glob/os.path silently
+# report a NON-EMPTY remote directory as empty.
+
+
+def test_remote_uri_classification():
+    from etl_sample_spark.sources.documents import is_remote_uri
+
+    for uri in (
+        "s3a://bucket/prefix/*.json",
+        "abfss://container@acct.dfs.core.windows.net/dir",
+        "gs://bucket/dir",
+        "hdfs://nn:8020/data",
+        "file:///tmp/x",
+        "wasbs://c@a.blob.core.windows.net/d",
+    ):
+        assert is_remote_uri(uri), uri
+    for path in ("/tmp/x", "relative/dir", "*.json", "C:/not-a-uri", "dir/*.json"):
+        assert not is_remote_uri(path), path
+
+
+def test_matched_paths_resolves_uri_through_hadoop_fs(spark, mixed_dir):
+    """file:// is the one Hadoop-FS scheme testable without cloud creds;
+    it exercises the identical Path.getFileSystem resolution s3a/abfss
+    take, while the bare-path twin goes through local glob."""
+    from etl_sample_spark.sources.documents import _matched_paths
+
+    uri_glob = f"file://{mixed_dir}/*_bank_scrape.json"
+    bare_glob = f"{mixed_dir}/*_bank_scrape.json"
+    via_fs = _matched_paths(spark, uri_glob)
+    via_local = _matched_paths(spark, bare_glob)
+    assert len(via_fs) == len(via_local) > 0
+    assert _matched_paths(spark, f"file://{mixed_dir}/*_no_such.json") == []
+
+
+def test_read_form_accepts_file_scheme_uri(spark, mixed_dir, tmp_path):
+    uri = f"file://{mixed_dir}/*_bank_scrape.json"
+    df = read_form(spark, uri, schemas.BANK_SCRAPE_SCHEMA, allow_empty=True)
+    bare = read_form(spark, f"{mixed_dir}/*_bank_scrape.json", schemas.BANK_SCRAPE_SCHEMA)
+    assert df.count() == bare.count() > 0
+    # empty ARRIVAL dir via URI: typed-empty, not PATH_NOT_FOUND — the
+    # exact case the local probe got wrong for remote schemes
+    empty = read_form(
+        spark,
+        f"file://{tmp_path}/*.json",
+        schemas.BANK_SCRAPE_SCHEMA,
+        allow_empty=True,
+    )
+    assert empty.count() == 0
+    assert "sf_id" in empty.columns
