@@ -231,6 +231,11 @@ def main() -> None:
     # VERDICT item 6). Persist the FULL line in-repo, named for the round
     # the driver is about to record (= 1 + latest BENCH_rN present).
     here = os.path.dirname(os.path.abspath(__file__))
+    if sf != 0.1:
+        # Off-SF runs (e.g. the 10x sfsynth sweep) must not clobber the
+        # round's canonical sf0.1 record — the operator saves those
+        # manually (BENCH_sf1_rNN.json).
+        return
     rounds = [
         int(m.group(1))
         for f in os.listdir(here)

@@ -95,3 +95,22 @@ def test_probe_adds_zero_shuffle_exchanges(spark, sf_dir):
     assert probe_plan.count("BroadcastHashJoin") == NUM_HASHES
     assert "SortMergeJoin" not in probe_plan
     assert "CartesianProduct" not in probe_plan
+
+
+def test_no_false_negatives_adversarial_and_string_keys(spark):
+    """Sign/extreme/typed edges: pmod must fold NEGATIVE xxhash64 values
+    into [0, num_bits) (a % would go negative and corrupt the bucket),
+    and the operator is type-agnostic — string keys hash fine."""
+    longs = [(-(2**62),), (-1,), (0,), (1,), (2**62,), (63,), (64,), (65,)]
+    df = spark.createDataFrame(longs, "k BIGINT")
+    bm = bloom_build(df, "k", NUM_BITS, NUM_HASHES)
+    assert bloom_probe(df, "k", bm, NUM_BITS, NUM_HASHES).count() == len(longs)
+    # bitmap invariants: buckets in range, bits non-zero
+    rows = bm.collect()
+    assert all(0 <= r.bucket < NUM_BITS // 64 for r in rows)
+    assert all(r.bits != 0 for r in rows)
+
+    strs = [("",), ("a",), ("ASIA",), ("…unicode…",), ("x" * 1000,)]
+    sdf = spark.createDataFrame(strs, "k STRING")
+    sbm = bloom_build(sdf, "k", NUM_BITS, NUM_HASHES)
+    assert bloom_probe(sdf, "k", sbm, NUM_BITS, NUM_HASHES).count() == len(strs)
