@@ -51,6 +51,10 @@ _FRONT_PINS = [
     # result-invariant by construction; equivalence + FP-rate + zero-
     # added-Exchange pinned in tests/test_bloom.py).
     "bloom_semi_join_orders_customers",
+    # r10: Spark 4 VariantType shred (parse_json → variant_get) — new
+    # registration, oracle computes the same aggregates from the base
+    # columns so an encode→shred corruption hash-diverges.
+    "variant_shred_events",
 ]
 # r9 pins (yoy_monthly_revenue, PQ pair, video delta, twap) all landed
 # green driver rows in CORRECTNESS_r09.json — cleared for rotation.

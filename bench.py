@@ -65,6 +65,10 @@ HEADLINE = (
     # would swamp the trend signal.
     "bpe_merge_learning",
     "histogram_quantile_prices",
+    # r10 addition: the explicit bloom join filter — build + probe +
+    # exact join; its trend line tracks the bitmap build overhead vs
+    # the probe's shuffle cut (SCALE.md round-10 measurement).
+    "bloom_semi_join_orders_customers",
 )
 
 

@@ -404,3 +404,61 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+@register(
+    "variant_shred_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MAX(value) AS max_value,
+           CAST(COUNT(CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) >= 50
+                           THEN 1 END) AS BIGINT) AS n_k_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Spark 4 VariantType shredding: each event is re-encoded as ONE "
+    "nested semi-structured document (type / metrics.{k,value}), parsed "
+    "once with parse_json into the binary variant encoding, then typed "
+    "fields are re-extracted with variant_get before the aggregate. The "
+    "oracle computes the same aggregates directly from the base columns, "
+    "so any value corruption in the encode->shred round-trip (int, "
+    "double, string, nested path) hash-diverges. At 100 TB variant is "
+    "the replacement for repeated get_json_object string re-parsing: "
+    "one parse per document, then O(1) binary field access per "
+    "extraction — the parse cost is paid once however many fields the "
+    "query touches. Reference analog: none (the reference holds parsed "
+    "dicts in memory per document); [EXT] the open variant encoding "
+    "shipped in Spark 4 / Delta / Iceberg.",
+)
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("value").alias("value"),
+            ).alias("metrics"),
+        )
+    )
+    # parse ONCE into the binary variant encoding; every later
+    # variant_get is a typed binary lookup, not a JSON re-parse.
+    v = ev.select(F.parse_json(doc).alias("v"))
+    shred = v.select(
+        F.variant_get("v", "$.type", "string").alias("event_type"),
+        F.variant_get("v", "$.metrics.k", "int").alias("k"),
+        F.variant_get("v", "$.metrics.value", "double").alias("value"),
+    )
+    return (
+        shred.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("value").alias("max_value"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("bigint").alias("n_k_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -480,3 +480,104 @@ def rolling_zscore_tws(
             timeMode="None",
         )
     )
+
+
+def finalized_sessions_tws(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session finalizer on ``transformWithStateInPandas`` with
+    EVENT-TIME TIMERS — the transformWithState twin of
+    :func:`finalized_sessions_stateful`, exercising the capability the
+    old API folds into ``GroupStateTimeout``: explicit, per-key timer
+    registration (``handle.registerTimer``), re-arming on extension
+    (``deleteTimer`` of the stale expiry), and a SEPARATE
+    ``handleExpiredTimer`` callback fired when the WATERMARK passes the
+    armed timestamp.
+
+    Semantics are identical to the applyInPandasWithState version: one
+    finalized row per session, emitted only once the key has been quiet
+    for ``gap_minutes`` in event time — the session is provably closed.
+    State (one 4-field ValueState + one armed timer per ACTIVE key) is
+    freed on expiry; at 100 TB key cardinality the state store holds
+    only open sessions and RocksDB spills them to disk.
+
+    Same runtime requirements as :func:`running_user_totals_tws`
+    (RocksDB state store provider, working ``google.protobuf``).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60 * 1000
+    key_col = key  # the expiry callback's own `key` param shadows the name
+    out_schema = (
+        f"{key} BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+        "n_events BIGINT, session_value DOUBLE"
+    )
+
+    class SessionFinalizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms BIGINT, end_ms BIGINT, n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as pd
+
+            start_ms, end_ms, n, total = (
+                self._sess.get() if self._sess.exists() else (None, None, 0, 0.0)
+            )
+            stale_timer = None if end_ms is None else end_ms + gap_ms
+            for pdf in rows:
+                ts = pd.to_datetime(pdf[ts_col])
+                lo = int(ts.min().value // 1_000_000)
+                hi = int(ts.max().value // 1_000_000)
+                start_ms = lo if start_ms is None else min(start_ms, lo)
+                end_ms = hi if end_ms is None else max(end_ms, hi)
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._sess.update((start_ms, end_ms, n, total))
+            new_timer = end_ms + gap_ms
+            if stale_timer is not None and stale_timer != new_timer:
+                self._handle.deleteTimer(stale_timer)
+            self._handle.registerTimer(new_timer)
+            return
+            yield  # makes this a generator that emits nothing on input
+
+        # signature fixed by the runtime (invoked with these keywords)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if not self._sess.exists():
+                return
+            start_ms, end_ms, n, total = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                    "session_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=SessionFinalizer(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

@@ -252,3 +252,28 @@ def test_shuffle_metric_extraction_is_live(spark, sf_dir):
 
     got = shuffle_bytes_written(REGISTRY["normalize_star_rebuild"].spark(spark, sf_dir))
     assert got > 0
+
+
+def test_variant_shred_uses_real_variant_type(spark, sf_dir):
+    """variant_shred_events must actually route through Spark 4's binary
+    VariantType (parse_json -> variant_get), not decay to string
+    re-parsing, and the typed extraction must come out exactly typed."""
+    from pyspark.sql.types import VariantType
+
+    from etl_sample_spark import catalog
+    from pyspark.sql import functions as F
+
+    ev = catalog.table(spark, sf_dir, "events")
+    doc = F.to_json(F.struct(F.col("event_type").alias("type")))
+    v = ev.select(F.parse_json(doc).alias("v"))
+    assert isinstance(v.schema["v"].dataType, VariantType)
+
+    out = REGISTRY["variant_shred_events"].spark(spark, sf_dir)
+    got = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert got == {
+        "event_type": "string",
+        "n": "bigint",
+        "sum_k": "bigint",
+        "max_value": "double",
+        "n_k_high": "bigint",
+    }

@@ -790,3 +790,80 @@ def test_rolling_zscore_core_matches_batch_window(spark, tmp_path):
         len(got), len(batch_rows),
         sorted(set(got) ^ set(batch_rows))[:5],
     )
+
+
+def test_tws_event_time_timers_finalize_sessions(spark, tmp_path):
+    """transformWithState EVENT-TIME TIMER semantics must match the
+    applyInPandasWithState EventTimeTimeout twin: a session row is
+    emitted only via handleExpiredTimer once the watermark passes
+    session_end + gap, with the payload merged ACROSS micro-batches and
+    the re-armed (stale) timer of an extended session never firing."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    from etl_sample_spark.streaming.windows import finalized_sessions_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "ev_tws_sess")
+    ckpt = str(tmp_path / "tws_sess_ckpt")
+    out = str(tmp_path / "tws_sess_out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        sessions = finalized_sessions_tws(stream, gap_minutes=30)
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    # batch 1: user 7's session opens (10:00) — timer armed at 10:30
+    _write_events_json(
+        src,
+        [{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0}],
+        "s1.json",
+    )
+    run_once()
+    # batch 2: the session EXTENDS (10:05) — the 10:30 timer must be
+    # deleted and re-armed at 10:35 (a stale-timer fire would emit a
+    # 1-event session and a later duplicate)
+    _write_events_json(
+        src,
+        [{"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 7, "event_type": "view", "value": 2.0}],
+        "s2.json",
+    )
+    run_once()
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    # batch 3: other-user event at 14:00 advances the watermark to 13:50
+    # (watermark updates AFTER the batch); batch 4 runs under it and the
+    # timer fires
+    _write_events_json(
+        src,
+        [{"event_id": 3, "ts": "2024-01-01 14:00:00", "user_id": 9, "event_type": "click", "value": 5.0}],
+        "s3.json",
+    )
+    run_once()
+    _write_events_json(
+        src,
+        [{"event_id": 4, "ts": "2024-01-01 14:01:00", "user_id": 9, "event_type": "click", "value": 1.0}],
+        "s4.json",
+    )
+    run_once()
+
+    emitted = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 7]
+    assert len(emitted) == 1, emitted
+    s = emitted[0]
+    assert str(s["session_start"]).startswith("2024-01-01 10:00:00")
+    assert str(s["session_end"]).startswith("2024-01-01 10:05:00")
+    assert s["n_events"] == 2
+    assert s["session_value"] == pytest.approx(3.0)
