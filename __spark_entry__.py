@@ -55,6 +55,11 @@ _FRONT_PINS = [
     # registration, oracle computes the same aggregates from the base
     # columns so an encode→shred corruption hash-diverges.
     "variant_shred_events",
+    # r10: Spark 4 native recursion + SQL-standard lateral correlate —
+    # new registrations (engine surfaces the registry lacked: WITH
+    # RECURSIVE and LATERAL ... LIMIT, both identical-SQL on DuckDB).
+    "recursive_cte_trade_reachability",
+    "lateral_top2_orders_per_customer",
 ]
 # r9 pins (yoy_monthly_revenue, PQ pair, video delta, twap) all landed
 # green driver rows in CORRECTNESS_r09.json — cleared for rotation.

@@ -1452,3 +1452,115 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("lift"), "p1", "p2").limit(100)
+
+
+@register(
+    "recursive_cte_trade_reachability",
+    """
+    WITH RECURSIVE trade AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS n_trades
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY sn.n_name, cn.n_name
+    ), edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY n_trades DESC, dst) AS rk
+        FROM trade) t
+      WHERE rk <= 3
+    ), reach(n_name, hops) AS (
+      SELECT CAST('NATION_0' AS VARCHAR(25)) AS n_name, CAST(0 AS INT) AS hops
+      UNION ALL
+      SELECT e.dst, CAST(r.hops + 1 AS INT)
+      FROM reach r JOIN edges e ON e.src = r.n_name
+      WHERE r.hops < 4
+    )
+    SELECT n_name, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Spark 4 RECURSIVE CTE (WITH RECURSIVE ... UNION ALL, SQL "
+    "interface): BFS reachability with path counts over the top-3-"
+    "partner trade graph — min hops AND the number of ≤4-hop paths per "
+    "reached nation, so the whole recursion tree (not just the "
+    "frontier) must match the oracle. The recursive reference is a "
+    "single self-join per level; Spark bounds it via "
+    "spark.sql.cteRecursionLevelLimit and the hops<4 predicate makes "
+    "termination explicit. Edge derivation is the standard fact-join + "
+    "per-src top-k (deterministic count-desc/dst tiebreak), so the "
+    "graph is scale-invariant in shape. Reference analog: none (no "
+    "iteration in the reference); complements the fixed-point unrolled "
+    "pagerank_trade_network / transitive-closure neardup clusters with "
+    "the ENGINE-NATIVE recursion surface new in Spark 4.",
+)
+def recursive_cte_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"rcte_{t}")
+    return spark.sql(
+        """
+        WITH RECURSIVE trade AS (
+          SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS n_trades
+          FROM rcte_lineitem JOIN rcte_orders ON l_orderkey = o_orderkey
+               JOIN rcte_customer ON o_custkey = c_custkey
+               JOIN rcte_supplier ON l_suppkey = s_suppkey
+               JOIN rcte_nation sn ON s_nationkey = sn.n_nationkey
+               JOIN rcte_nation cn ON c_nationkey = cn.n_nationkey
+          WHERE sn.n_name <> cn.n_name
+          GROUP BY sn.n_name, cn.n_name
+        ), edges AS (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY n_trades DESC, dst) AS rk
+            FROM trade) t
+          WHERE rk <= 3
+        ), reach(n_name, hops) AS (
+          SELECT CAST('NATION_0' AS VARCHAR(25)) AS n_name, CAST(0 AS INT) AS hops
+          UNION ALL
+          SELECT e.dst, CAST(r.hops + 1 AS INT)
+          FROM reach r JOIN edges e ON e.src = r.n_name
+          WHERE r.hops < 4
+        )
+        SELECT n_name, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM reach GROUP BY n_name ORDER BY n_name
+        """
+    )
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l ON TRUE
+    WHERE c.c_mktsegment = 'MACHINERY'
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="correlated LATERAL subquery with per-row ORDER BY ... LIMIT "
+    "(SQL interface): top-2 orders per MACHINERY customer expressed as "
+    "a lateral correlate instead of a ranked window — the SQL-standard "
+    "formulation a reference user would port verbatim. Catalyst "
+    "decorrelates it into a ranked join (DecorrelateInnerQuery), so "
+    "the physical plan is the same single-shuffle shape as the "
+    "window-function twin (win_top3_orders_per_customer) — no "
+    "per-customer re-execution at 100 TB. Deterministic via the "
+    "(o_totalprice DESC, o_orderkey) tiebreak.",
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )

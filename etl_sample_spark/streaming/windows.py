@@ -581,3 +581,79 @@ def finalized_sessions_tws(
             timeMode="EventTime",
         )
     )
+
+
+def per_type_user_totals_tws(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-user, per-event-type running totals on MapState — the third
+    transformWithState named-state kind (Value and List are covered by
+    :func:`running_user_totals_tws` / :func:`rolling_zscore_tws`).
+
+    Why MapState and not one ValueState holding a dict: the map's
+    per-entry point reads/writes (``getValue``/``updateValue``) touch
+    ONLY the entries present in the micro-batch — with RocksDB state a
+    user with 1,000 seen event types pays for the 2 types in this batch,
+    not a 1,000-entry blob (de)serialization per batch. That per-entry
+    access is the 100 TB contract for wide per-key sub-keyed state.
+
+    Emits one row per (user, event_type present in the batch) with the
+    updated running (n_events, total_value). Same runtime requirements
+    as :func:`running_user_totals_tws`.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_col = key
+    out_schema = (
+        f"{key} BIGINT, event_type STRING, n_events BIGINT, total_value DOUBLE"
+    )
+
+    class PerTypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as pd
+
+            touched: dict[str, tuple[int, float]] = {}
+            for pdf in rows:
+                for etype, grp in pdf.groupby("event_type"):
+                    n, total = touched.get(etype) or (
+                        self._by_type.getValue((etype,))
+                        if self._by_type.exists() and self._by_type.containsKey((etype,))
+                        else (0, 0.0)
+                    )
+                    touched[etype] = (n + len(grp), total + float(grp["value"].sum()))
+            for etype, (n, total) in touched.items():
+                self._by_type.updateValue((etype,), (n, total))
+            if touched:
+                yield pd.DataFrame(
+                    {
+                        key_col: [key_tuple[0]] * len(touched),
+                        "event_type": list(touched),
+                        "n_events": [v[0] for v in touched.values()],
+                        "total_value": [v[1] for v in touched.values()],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=PerTypeTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

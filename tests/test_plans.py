@@ -277,3 +277,103 @@ def test_variant_shred_uses_real_variant_type(spark, sf_dir):
         "max_value": "double",
         "n_k_high": "bigint",
     }
+
+
+def test_lateral_topk_decorrelates_to_single_join(spark, sf_dir):
+    """The LATERAL ... LIMIT correlate must decorrelate into a ranked
+    window + ONE hash join — per-outer-row re-execution (nested-loop /
+    cartesian) would be a 100 TB non-starter."""
+    import contextlib
+    import io
+
+    df = REGISTRY["lateral_top2_orders_per_customer"].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p, "LIMIT-per-key not planned as a ranked window"
+    assert p.count("Join") == 1, p
+
+
+def test_lateral_topk_equals_window_formulation(spark, sf_dir):
+    """The lateral correlate and an explicit row_number window must
+    select identical (customer, order) pairs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark import catalog
+
+    got = {
+        (r.c_custkey, r.o_orderkey)
+        for r in REGISTRY["lateral_top2_orders_per_customer"].spark(spark, sf_dir).collect()
+    }
+    cust = catalog.table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    orders = catalog.table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r.c_custkey, r.o_orderkey)
+        for r in orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey")
+        .collect()
+    }
+    assert got == want
+
+
+def test_recursive_cte_reachability_matches_python_bfs(spark, sf_dir):
+    """WITH RECURSIVE must agree with an independent driver-side BFS
+    (path-count DP) over the same top-3-partner edge set — catches both
+    recursion-engine bugs and edge-derivation nondeterminism."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark import catalog
+
+    li = catalog.table(spark, sf_dir, "lineitem")
+    orders = catalog.table(spark, sf_dir, "orders")
+    cust = catalog.table(spark, sf_dir, "customer")
+    supp = catalog.table(spark, sf_dir, "supplier")
+    nation = catalog.table(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    cn = nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    trade = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("sk"))
+        .join(cn, cust.c_nationkey == F.col("ck"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n_trades"), F.asc("dst"))
+    edges = defaultdict(list)
+    for r in trade.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3).collect():
+        edges[r.src].append(r.dst)
+
+    paths = defaultdict(int)  # (node, hops) -> number of paths
+    paths[("NATION_0", 0)] = 1
+    for h in range(4):
+        for (node, hops), cnt in list(paths.items()):
+            if hops == h:
+                for nxt in edges[node]:
+                    paths[(nxt, h + 1)] += cnt
+    want = {}
+    for (node, hops), cnt in paths.items():
+        mh, np = want.get(node, (99, 0))
+        want[node] = (min(mh, hops), np + cnt)
+
+    got = {
+        r.n_name: (r.min_hops, r.n_paths)
+        for r in REGISTRY["recursive_cte_trade_reachability"].spark(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -867,3 +867,73 @@ def test_tws_event_time_timers_finalize_sessions(spark, tmp_path):
     assert str(s["session_end"]).startswith("2024-01-01 10:05:00")
     assert s["n_events"] == 2
     assert s["session_value"] == pytest.approx(3.0)
+
+
+def test_tws_map_state_per_type_totals(spark, tmp_path):
+    """MapState semantics: per-(user, event_type) running totals carry
+    across micro-batches; each batch emits rows ONLY for the sub-keys
+    it touched, with values equal to the batch groupBy over everything
+    seen so far."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    from etl_sample_spark.streaming.windows import per_type_user_totals_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "ev_map")
+    ckpt = str(tmp_path / "map_ckpt")
+    out = str(tmp_path / "map_out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        totals = per_type_user_totals_tws(stream)
+        q = (
+            totals.writeStream.foreachBatch(
+                lambda batch, bid: batch.withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    _write_events_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 7, "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 7, "event_type": "click", "value": 3.0},
+        ],
+        "m1.json",
+    )
+    run_once()
+    # batch 2 touches ONLY user 7's click (and a new user)
+    _write_events_json(
+        src,
+        [
+            {"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 7, "event_type": "click", "value": 10.0},
+            {"event_id": 5, "ts": "2024-01-01 10:11:00", "user_id": 9, "event_type": "view", "value": 5.0},
+        ],
+        "m2.json",
+    )
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        k = (r["user_id"], r["event_type"])
+        if k not in latest or r["batch_id"] > latest[k][0]:
+            latest[k] = (r["batch_id"], r["n_events"], r["total_value"])
+    assert latest[(7, "click")][1:] == (3, pytest.approx(14.0))  # 1+3 then +10
+    assert latest[(7, "view")][1:] == (1, pytest.approx(2.0))
+    assert latest[(9, "view")][1:] == (1, pytest.approx(5.0))
+    # untouched sub-key must NOT re-emit in the later batch
+    b2 = [r for r in rows if r["user_id"] == 7 and r["event_type"] == "view"]
+    assert len(b2) == 1
