@@ -1,0 +1,71 @@
+"""State Data Source reader: offline inspection of a streaming query's
+checkpointed state (Spark 4 `statestore` / `state-metadata` formats).
+
+The reference has no streaming state at all; [EXT] this is the ops
+surface every long-running 100 TB streaming job needs: answer "what is
+this job holding in state, and is it bounded?" WITHOUT stopping the
+query — the state store is read as a plain DataFrame from the
+checkpoint location, so the bounded-state claims made throughout
+``streaming/windows.py`` stop being docstring assertions and become
+queryable facts (and testable ones: see
+``tests/test_streaming.py::test_state_reader_*``).
+
+Scale note: the read is partitioned like the state store itself (one
+input split per store partition), so inspecting a multi-TB RocksDB
+state is itself a distributed scan, and predicate/column pruning apply
+to the flattened view like any DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Operator-level metadata for every stateful operator in the
+    checkpoint: operator name, state store name, partition counts, and
+    the min/max batch ids still readable."""
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    state_var: str | None = None,
+    flatten: bool = True,
+) -> DataFrame:
+    """The state rows of a checkpointed stateful operator as a DataFrame.
+
+    ``state_var``: for transformWithState operators, the named state
+    variable to read (ValueState/ListState/MapState name); omit for
+    single-store operators (applyInPandasWithState, dedup, windows).
+    ``flatten``: lift the nested ``key``/``value`` structs to top-level
+    columns (``key_<field>``, ``value_<field>``) for direct querying.
+    """
+    reader = spark.read.format("statestore")
+    if state_var is not None:
+        reader = reader.option("stateVarName", state_var)
+    df = reader.load(checkpoint)
+    if not flatten:
+        return df
+    cols: list = []
+    for field in df.schema["key"].dataType.fieldNames():
+        cols.append(F.col(f"key.{field}").alias(f"key_{field}"))
+    value_type = df.schema["value"].dataType
+    for field in value_type.fieldNames():
+        cols.append(F.col(f"value.{field}").alias(f"value_{field}"))
+    cols.append(F.col("partition_id"))
+    return df.select(*cols)
+
+
+def state_key_count(spark: SparkSession, checkpoint: str, **kwargs) -> int:
+    """Number of keys currently held in state — THE bounded-state gauge.
+
+    For a watermark/timer/TTL-disciplined operator this tracks the
+    number of ACTIVE keys (open sessions, in-flight windows), not the
+    stream's lifetime key cardinality; a monotonically growing value on
+    an idle stream is the signature of a state leak.
+    """
+    return read_state(spark, checkpoint, flatten=False, **kwargs).count()

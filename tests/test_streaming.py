@@ -937,3 +937,114 @@ def test_tws_map_state_per_type_totals(spark, tmp_path):
     # untouched sub-key must NOT re-emit in the later batch
     b2 = [r for r in rows if r["user_id"] == 7 and r["event_type"] == "view"]
     assert len(b2) == 1
+
+
+def test_state_reader_exposes_group_state(spark, tmp_path):
+    """The statestore data source must read back EXACTLY the running
+    totals the stateful operator holds, keyed per user."""
+    from etl_sample_spark.streaming.state_reader import (
+        read_state,
+        state_key_count,
+        state_metadata,
+    )
+    from etl_sample_spark.streaming.windows import running_user_totals_stateful
+
+    src = str(tmp_path / "sr_src")
+    ckpt = str(tmp_path / "sr_ckpt")
+    _write_events_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.5},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 8, "event_type": "view", "value": 2.5},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 7, "event_type": "view", "value": 4.0},
+        ],
+        "a.json",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = (
+        running_user_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sr_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    md = state_metadata(spark, ckpt)
+    assert [r["operatorName"] for r in md.collect()] == ["applyInPandasWithState"]
+    flat = read_state(spark, ckpt)
+    got = {
+        r["key_user_id"]: (r["value_groupState"]["n"], r["value_groupState"]["total"])
+        for r in flat.collect()
+    }
+    assert got == {7: (2, pytest.approx(5.5)), 8: (1, pytest.approx(2.5))}
+    assert state_key_count(spark, ckpt) == 2
+
+
+def test_state_reader_proves_session_state_is_freed(spark, tmp_path):
+    """The bounded-state contract, mechanically observed: an OPEN session
+    is one state row; once the watermark fires its timer and the session
+    row is emitted, the key must be GONE from the state store."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    from etl_sample_spark.streaming.state_reader import read_state
+    from etl_sample_spark.streaming.windows import finalized_sessions_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "sf_src")
+    ckpt = str(tmp_path / "sf_ckpt")
+    out = str(tmp_path / "sf_out")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        q = (
+            finalized_sessions_tws(stream, gap_minutes=30)
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    _write_events_json(
+        src,
+        [{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0}],
+        "s1.json",
+    )
+    run_once()
+    open_keys = {
+        r["key_user_id"]
+        for r in read_state(spark, ckpt, state_var="sess").collect()
+    }
+    assert open_keys == {7}, "open session must be exactly one state row"
+
+    # advance the watermark past 10:30 and run a batch under it
+    _write_events_json(
+        src,
+        [{"event_id": 2, "ts": "2024-01-01 14:00:00", "user_id": 9, "event_type": "click", "value": 1.0}],
+        "s2.json",
+    )
+    run_once()
+    _write_events_json(
+        src,
+        [{"event_id": 3, "ts": "2024-01-01 14:01:00", "user_id": 9, "event_type": "click", "value": 1.0}],
+        "s3.json",
+    )
+    run_once()
+    emitted = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 7]
+    assert len(emitted) == 1
+    open_keys = {
+        r["key_user_id"]
+        for r in read_state(spark, ckpt, state_var="sess").collect()
+    }
+    assert 7 not in open_keys, "finalized session's state row must be freed"
