@@ -90,3 +90,77 @@ def test_hll_sketches_merge_across_shards(spark, sf_dir):
     assert sharded == global_est, "sketch merge is not lossless"
     exact = orders.select("o_custkey").distinct().count()
     assert abs(global_est - exact) / exact < 0.05
+
+
+def test_kll_sketches_merge_across_shards(spark, sf_dir):
+    """Datasketches KLL (Spark 4.1): per-shard quantile sketches merged
+    with kll_merge_agg_double must (a) preserve the EXACT item count and
+    (b) land every probed quantile within the sketch's normalized rank
+    error (k=200 → ~1.65% two-sided) of the exact percentile — the
+    mergeable-quantiles contract that replaces a global sort at 100 TB
+    (histogram_quantile_prices is the exact-twin counterpart)."""
+    from pyspark.sql import functions as F
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    n = orders.count()
+    merged = (
+        orders.groupBy(F.col("o_orderkey") % 7)
+        .agg(F.expr("kll_sketch_agg_double(o_totalprice)").alias("sk"))
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+    )
+    got_n = merged.select(F.expr("kll_sketch_get_n_double(sk)").alias("n")).collect()[0]["n"]
+    assert got_n == n, "merge lost items"
+
+    probes = [0.1, 0.5, 0.9]
+    row = merged.select(
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(sk, {q}d)").alias(f"q{i}")
+            for i, q in enumerate(probes)
+        ]
+    ).collect()[0]
+    exact = orders.select(
+        F.expr(f"percentile(o_totalprice, array({', '.join(str(q) for q in probes)}))").alias("p")
+    ).collect()[0]["p"]
+    # rank-error bound: the sketch value's true rank is within eps of q;
+    # translate to a value bound via the exact quantiles at q±eps.
+    eps = 0.0165 * 2  # headroom over the one-sided 1.65% for k=200
+    lo_hi = orders.select(
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(f"{max(q - eps, 0.0)}, {min(q + eps, 1.0)}" for q in probes)
+            + "))"
+        ).alias("b")
+    ).collect()[0]["b"]
+    for i, q in enumerate(probes):
+        lo, hi = lo_hi[2 * i], lo_hi[2 * i + 1]
+        got = row[f"q{i}"]
+        assert lo <= got <= hi, (q, got, (lo, hi), exact[i])
+
+
+def test_theta_sketch_set_algebra_exact_below_k(spark, sf_dir):
+    """Datasketches Theta (Spark 4.1): union / intersection / difference
+    of per-predicate distinct-customer sketches. Below the sketch's
+    nominal entries (4096) theta is EXACT, so the estimates must equal
+    the true set cardinalities computed relationally — the set-algebra-
+    on-sketches contract (HLL can union but cannot intersect)."""
+    from pyspark.sql import functions as F
+
+    orders = catalog.table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    big = orders.where(F.col("o_totalprice") > 200000)
+
+    a = {r["o_custkey"] for r in urgent.select("o_custkey").distinct().collect()}
+    b = {r["o_custkey"] for r in big.select("o_custkey").distinct().collect()}
+    assert 0 < len(a) < 4096 and 0 < len(b) < 4096, "testdata outgrew exact-mode premise"
+
+    ska = urgent.select(F.expr("theta_sketch_agg(o_custkey)").alias("sk"))
+    skb = big.select(F.expr("theta_sketch_agg(o_custkey)").alias("sk"))
+    both = ska.crossJoin(skb.select(F.col("sk").alias("sk2")))
+    got = both.select(
+        F.expr("theta_sketch_estimate(theta_union(sk, sk2))").alias("u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk, sk2))").alias("i"),
+        F.expr("theta_sketch_estimate(theta_difference(sk, sk2))").alias("d"),
+    ).collect()[0]
+    assert got["u"] == len(a | b)
+    assert got["i"] == len(a & b)
+    assert got["d"] == len(a - b)
