@@ -44,28 +44,39 @@ def read_state(
     ``flatten``: lift the nested ``key``/``value`` structs to top-level
     columns (``key_<field>``, ``value_<field>``) for direct querying.
     """
+    from pyspark.sql.types import StructType
+
     reader = spark.read.format("statestore")
     if state_var is not None:
         reader = reader.option("stateVarName", state_var)
     df = reader.load(checkpoint)
     if not flatten:
         return df
+    # The source's columns differ by state kind: ValueState/single-store
+    # operators expose `key`/`value` structs, ListState exposes
+    # `list_element`, MapState `user_map_key`/`user_map_value` — flatten
+    # whatever struct columns are present instead of assuming `value`.
     cols: list = []
-    for field in df.schema["key"].dataType.fieldNames():
-        cols.append(F.col(f"key.{field}").alias(f"key_{field}"))
-    value_type = df.schema["value"].dataType
-    for field in value_type.fieldNames():
-        cols.append(F.col(f"value.{field}").alias(f"value_{field}"))
-    cols.append(F.col("partition_id"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StructType):
+            for sub in f.dataType.fieldNames():
+                cols.append(F.col(f"{f.name}.{sub}").alias(f"{f.name}_{sub}"))
+        else:
+            cols.append(F.col(f.name))
     return df.select(*cols)
 
 
 def state_key_count(spark: SparkSession, checkpoint: str, **kwargs) -> int:
-    """Number of keys currently held in state — THE bounded-state gauge.
+    """Number of KEYS currently held in state — THE bounded-state gauge.
 
-    For a watermark/timer/TTL-disciplined operator this tracks the
-    number of ACTIVE keys (open sessions, in-flight windows), not the
-    stream's lifetime key cardinality; a monotonically growing value on
-    an idle stream is the signature of a state leak.
+    Counts distinct grouping keys, not state rows: for ListState /
+    MapState variables the source emits one row per element/entry
+    (``flattenCollectionTypes``), so a raw count would read a 3-key ×
+    20-element frame as 60. For a watermark/timer/TTL-disciplined
+    operator this tracks the number of ACTIVE keys (open sessions,
+    in-flight windows), not the stream's lifetime key cardinality; a
+    monotonically growing value on an idle stream is the signature of a
+    state leak.
     """
-    return read_state(spark, checkpoint, flatten=False, **kwargs).count()
+    df = read_state(spark, checkpoint, flatten=False, **kwargs)
+    return df.select("key").distinct().count()

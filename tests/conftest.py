@@ -37,14 +37,15 @@ def _enable_vendored_protobuf() -> None:
         return
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_pbshim")
+    # A fresh mkdtemp per session (0700, unique) rather than a fixed
+    # /tmp name: a predictable path could be pre-created by another
+    # local user (code injection via sys.path) and races concurrent
+    # pytest runs on the symlink creation.
+    root = tempfile.mkdtemp(prefix="spark_graft_pbshim_")
     pkg = os.path.join(root, "google")
     link = os.path.join(pkg, "protobuf")
-    os.makedirs(pkg, exist_ok=True)
-    if os.path.islink(link) and os.readlink(link) != _PB_VENDOR:
-        os.unlink(link)
-    if not os.path.exists(link):
-        os.symlink(_PB_VENDOR, link)
+    os.makedirs(pkg)
+    os.symlink(_PB_VENDOR, link)
     sys.path.insert(0, root)
     os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get("PYTHONPATH", "")
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
@@ -200,6 +201,19 @@ def _duck_type_category(type_str: str) -> str:
     if t == "VARCHAR":
         return "string"
     return t
+
+
+def simple_plan(df) -> str:
+    """df.explain() output (simple mode: each physical node appears
+    exactly once — formatted mode prints tree + per-node detail,
+    doubling substring counts)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
 
 
 def assert_matches_oracle(spark_df, duck_con, sql):

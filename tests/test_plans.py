@@ -283,14 +283,9 @@ def test_lateral_topk_decorrelates_to_single_join(spark, sf_dir):
     """The LATERAL ... LIMIT correlate must decorrelate into a ranked
     window + ONE hash join — per-outer-row re-execution (nested-loop /
     cartesian) would be a 100 TB non-starter."""
-    import contextlib
-    import io
+    from tests.conftest import simple_plan
 
-    df = REGISTRY["lateral_top2_orders_per_customer"].spark(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain()
-    p = buf.getvalue()
+    p = simple_plan(REGISTRY["lateral_top2_orders_per_customer"].spark(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p, "LIMIT-per-key not planned as a ranked window"

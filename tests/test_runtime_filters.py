@@ -151,7 +151,10 @@ def test_theta_sketch_set_algebra_exact_below_k(spark, sf_dir):
 
     a = {r["o_custkey"] for r in urgent.select("o_custkey").distinct().collect()}
     b = {r["o_custkey"] for r in big.select("o_custkey").distinct().collect()}
-    assert 0 < len(a) < 4096 and 0 < len(b) < 4096, "testdata outgrew exact-mode premise"
+    assert 0 < len(a) < 4096 and 0 < len(b) < 4096 and len(a | b) < 4096, (
+        "testdata outgrew exact-mode premise (theta goes approximate past "
+        "4096 nominal entries — including in the UNION)"
+    )
 
     ska = urgent.select(F.expr("theta_sketch_agg(o_custkey)").alias("sk"))
     skb = big.select(F.expr("theta_sketch_agg(o_custkey)").alias("sk"))

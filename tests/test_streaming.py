@@ -1048,3 +1048,69 @@ def test_state_reader_proves_session_state_is_freed(spark, tmp_path):
         for r in read_state(spark, ckpt, state_var="sess").collect()
     }
     assert 7 not in open_keys, "finalized session's state row must be freed"
+
+
+def test_state_reader_handles_list_and_map_state(spark, tmp_path):
+    """The statestore source's per-kind column layouts (ListState →
+    list_element rows, MapState → user_map_key/user_map_value rows) must
+    flatten without assuming a `value` struct, and state_key_count must
+    count KEYS, not elements/entries."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+    from etl_sample_spark.streaming.state_reader import read_state, state_key_count
+    from etl_sample_spark.streaming.windows import (
+        per_type_user_totals_tws,
+        rolling_zscore_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = [
+        {"event_id": i, "ts": f"2024-01-01 10:{i:02d}:00", "user_id": 7 + i % 2,
+         "event_type": "click" if i % 2 else "view", "value": float(i + 1)}
+        for i in range(6)
+    ]
+
+    # MapState: 2 users × 1 event_type each → 2 keys, 2 map entries
+    src_m, ckpt_m = str(tmp_path / "m_src"), str(tmp_path / "m_ckpt")
+    _write_events_json(src_m, events, "m.json")
+    q = (
+        per_type_user_totals_tws(spark.readStream.schema(EVENT_SCHEMA).json(src_m))
+        .writeStream.format("memory").queryName("lm_sink1")
+        .option("checkpointLocation", ckpt_m)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    _await(q)
+    flat = read_state(spark, ckpt_m, state_var="by_type")
+    assert "key_user_id" in flat.columns, flat.columns
+    entries = {
+        (r["key_user_id"], r["user_map_key_event_type"]): (
+            r["user_map_value_n"], r["user_map_value_total"]
+        )
+        for r in flat.collect()
+    }
+    assert entries == {
+        (7, "view"): (3, pytest.approx(1.0 + 3.0 + 5.0)),
+        (8, "click"): (3, pytest.approx(2.0 + 4.0 + 6.0)),
+    }
+    assert state_key_count(spark, ckpt_m, state_var="by_type") == 2
+
+    # ListState: rolling z-score frame (2 event types × 3 values each)
+    src_l, ckpt_l = str(tmp_path / "l_src"), str(tmp_path / "l_ckpt")
+    _write_events_json(src_l, events, "l.json")
+    q = (
+        rolling_zscore_tws(spark.readStream.schema(EVENT_SCHEMA).json(src_l))
+        .writeStream.format("memory").queryName("lm_sink2")
+        .option("checkpointLocation", ckpt_l)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    rows = read_state(spark, ckpt_l, state_var="frame").collect()
+    assert len(rows) == 6, "one row per frame ELEMENT expected"
+    assert state_key_count(spark, ckpt_l, state_var="frame") == 2, (
+        "key count must collapse list elements to their grouping keys"
+    )
