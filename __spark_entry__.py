@@ -60,6 +60,19 @@ _FRONT_PINS = [
     # RECURSIVE and LATERAL ... LIMIT, both identical-SQL on DuckDB).
     "recursive_cte_trade_reachability",
     "lateral_top2_orders_per_customer",
+    # r10 batch 4: Spark 4 SQL surface — pipe syntax (|> operators,
+    # lowered by Catalyst to the identical nested plan), SQL UDFs
+    # (scalar + composed scalar + table function, all inlined at
+    # analysis time), and UTF8_LCASE collated grouping. Never
+    # driver-checked, so pinned.
+    "pipe_syntax_yearly_orders",
+    "sql_udf_net_revenue_bands",
+    "collation_ci_brand_rollup",
+    # r10 batch 4 (cont.): session variables + EXECUTE IMMEDIATE INTO +
+    # named-parameter SQL; SQL scripting (WHILE-loop sigma clipping,
+    # oracle unrolls the identical iterations as chained CTEs).
+    "session_vars_above_avg_orders",
+    "sql_scripting_sigma_clip_prices",
 ]
 # r9 pins (yoy_monthly_revenue, PQ pair, video delta, twap) all landed
 # green driver rows in CORRECTNESS_r09.json — cleared for rotation.

@@ -462,3 +462,295 @@ def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "pipe_syntax_yearly_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS total_rev
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY order_year, o_orderstatus
+    """,
+    doc="Spark 4 SQL PIPE syntax run ENGINE-NATIVE: the query is written "
+    "as FROM orders |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY |> WHERE "
+    "(post-aggregate, i.e. HAVING) |> ORDER BY — each operator applied in "
+    "reading order, the Spark 4.0 SQL surface for linear query "
+    "composition. Catalyst lowers pipes to the identical logical plan as "
+    "the nested form, so every optimization (pushdown, partial agg, "
+    "pruning) applies unchanged; the oracle is the standard ANSI nesting "
+    "of the same query, so the lowering itself is what is checked. Money "
+    "sum on the exact decimal grid (functions/money.py discipline). "
+    "Reference analog: none ([EXT] SQL pipe syntax, Spark 4.0).",
+)
+def pipe_syntax_yearly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_totalprice > 0
+        |> EXTEND CAST(year(o_orderdate) AS INT) AS order_year
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_rev
+           GROUP BY order_year, o_orderstatus
+        |> WHERE n_orders >= 5
+        |> ORDER BY order_year, o_orderstatus
+        """
+    )
+
+
+# The SQL-UDF bodies are pinned on an exact decimal grid at every
+# intermediate (18,2 price; 18,4 factors; 18,6 after discount; 28,10
+# after tax — the 6dp*4dp product is <=10dp so the final cast is exact,
+# never rounded) so Spark and the inlined DuckDB twin agree bit-for-bit.
+_NET_REV_BODY = (
+    "CAST(CAST(CAST({p} AS DECIMAL(18,2)) * (1 - CAST({d} AS DECIMAL(18,4)))"
+    " AS DECIMAL(18,6)) * (1 + CAST({t} AS DECIMAL(18,4))) AS DECIMAL(28,10))"
+)
+
+
+@register(
+    "sql_udf_net_revenue_bands",
+    f"""
+    WITH big AS (
+      SELECT o_orderkey, o_orderpriority
+      FROM orders WHERE o_totalprice >= 150000.0
+    ),
+    net AS (
+      SELECT b.o_orderpriority,
+             {_NET_REV_BODY.format(p="l.l_extendedprice", d="l.l_discount", t="l.l_tax")} AS nr
+      FROM lineitem l JOIN big b ON l.l_orderkey = b.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CASE WHEN nr >= 50000 THEN 'high'
+                WHEN nr >= 20000 THEN 'mid'
+                ELSE 'low' END AS band,
+           COUNT(*) AS n_lines,
+           CAST(CAST(SUM(nr) AS VARCHAR) AS DOUBLE) AS band_rev
+    FROM net
+    GROUP BY 1, 2
+    ORDER BY o_orderpriority, band
+    """,
+    doc="Spark 4 SQL user-defined functions, all three kinds composed in "
+    "one query: a scalar SQL UDF (net_rev, exact-decimal net revenue), a "
+    "second scalar UDF that CALLS the first (rev_band — SQL UDFs compose "
+    "at analysis time, the body is inlined into the plan so there is no "
+    "per-row call overhead and codegen sees one expression tree), and a "
+    "SQL TABLE function (big_orders(threshold) RETURNS TABLE) used as a "
+    "parameterized relation in the FROM clause. The oracle inlines every "
+    "body by hand, so what is checked is exactly Spark's inlining. At "
+    "100 TB SQL UDFs are the shareable-logic surface that keeps "
+    "everything JVM-side — unlike Python UDFs they cost nothing. "
+    "Reference analog: none ([EXT] CREATE FUNCTION, Spark 4.0).",
+)
+def sql_udf_net_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__sqludf_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__sqludf_lineitem")
+    body = _NET_REV_BODY.format(p="price", d="disc", t="tax")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev("
+        "price DOUBLE, disc DOUBLE, tax DOUBLE) "
+        f"RETURNS DECIMAL(28,10) RETURN {body}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rev_band("
+        "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS STRING RETURN "
+        "CASE WHEN net_rev(price, disc, tax) >= 50000 THEN 'high' "
+        "WHEN net_rev(price, disc, tax) >= 20000 THEN 'mid' "
+        "ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION big_orders(threshold DOUBLE) "
+        "RETURNS TABLE(o_orderkey BIGINT, o_orderpriority STRING) RETURN "
+        "SELECT o_orderkey, o_orderpriority FROM __sqludf_orders "
+        "WHERE o_totalprice >= threshold"
+    )
+    return spark.sql(
+        """
+        SELECT b.o_orderpriority,
+               rev_band(l.l_extendedprice, l.l_discount, l.l_tax) AS band,
+               COUNT(*) AS n_lines,
+               CAST(SUM(net_rev(l.l_extendedprice, l.l_discount, l.l_tax))
+                    AS DOUBLE) AS band_rev
+        FROM __sqludf_lineitem l
+        JOIN big_orders(150000.0) b ON l.l_orderkey = b.o_orderkey
+        GROUP BY 1, 2
+        ORDER BY o_orderpriority, band
+        """
+    )
+
+
+@register(
+    "collation_ci_brand_rollup",
+    """
+    WITH styled AS (
+      SELECT CASE CAST(p_partkey % 3 AS INT)
+               WHEN 0 THEN upper(p_brand)
+               WHEN 1 THEN lower(p_brand)
+               ELSE p_brand END AS s,
+             p_retailprice
+      FROM part
+    )
+    SELECT lower(s) AS brand_ci,
+           COUNT(*) AS n_parts,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_casings,
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS retail_sum
+    FROM styled
+    GROUP BY lower(s)
+    ORDER BY brand_ci
+    """,
+    doc="Spark 4 string collations: brands restyled into three distinct "
+    "casings (deterministically, by p_partkey mod 3), then grouped on "
+    "collate(s, 'UTF8_LCASE') — the ENGINE's collation-aware hash/compare "
+    "does the case-insensitive merge, no lower() normalization column is "
+    "materialized on the grouping path. COUNT(DISTINCT s) on the "
+    "un-collated column proves each group really merged multiple "
+    "binary-distinct casings (hash-diverges if collation silently decays "
+    "to binary equality); the final key is emitted as lower() CAST back "
+    "to a plain string so the output schema carries no collation. The "
+    "oracle groups by lower(s) — semantically identical for ASCII "
+    "brands. At 100 TB collated grouping beats lower()-wrapping because "
+    "the collation key participates in shuffle partitioning natively and "
+    "comparisons run on collation keys inside Tungsten. Reference "
+    "analog: none ([EXT] UTF8_LCASE collation, Spark 4.0).",
+)
+def collation_ci_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__collate_part")
+    return spark.sql(
+        """
+        WITH styled AS (
+          SELECT CASE CAST(p_partkey % 3 AS INT)
+                   WHEN 0 THEN upper(p_brand)
+                   WHEN 1 THEN lower(p_brand)
+                   ELSE p_brand END AS s,
+                 p_retailprice
+          FROM __collate_part
+        )
+        SELECT CAST(lower(collate(s, 'UTF8_LCASE')) AS STRING) AS brand_ci,
+               COUNT(*) AS n_parts,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_casings,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS retail_sum
+        FROM styled
+        GROUP BY collate(s, 'UTF8_LCASE')
+        ORDER BY brand_ci
+        """
+    )
+
+
+@register(
+    "session_vars_above_avg_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS rev
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 5
+    ORDER BY o_orderpriority
+    """,
+    doc="Spark 4 SQL session variables + EXECUTE IMMEDIATE ... INTO + "
+    "named-parameter SQL, composed: the above-average price threshold is "
+    "computed by EXECUTE IMMEDIATE (dynamic SQL string) INTO a DECLAREd "
+    "session variable, the main aggregate references the variable "
+    "directly in its WHERE (variables are plain expressions to Catalyst "
+    "— constant-folded into the plan, so pushdown still applies), and "
+    "the HAVING bound arrives as a named parameter via spark.sql(..., "
+    "args=...) (injection-proof parameter binding, not string splicing). "
+    "The oracle inlines the threshold as a scalar subquery and the bound "
+    "as a constant, so what is checked is exactly the variable/parameter "
+    "substitution. The threshold is only a filter boundary (prices sit "
+    "on a 2dp grid; ulp noise in AVG cannot flip membership). Reference "
+    "analog: none ([EXT] session variables, Spark 4.0).",
+)
+def session_vars_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE ord_thr DOUBLE")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT AVG(o_totalprice) FROM __var_orders' INTO ord_thr"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS rev
+        FROM __var_orders
+        WHERE o_totalprice > ord_thr
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) >= :min_n
+        ORDER BY o_orderpriority
+        """,
+        args={"min_n": 5},
+    )
+
+
+@register(
+    "sql_scripting_sigma_clip_prices",
+    """
+    WITH c0 AS (SELECT p_brand, p_retailprice FROM part),
+    t1 AS (SELECT AVG(p_retailprice) + 1.0::DOUBLE * stddev_samp(p_retailprice) AS thr FROM c0),
+    c1 AS (SELECT * FROM c0 WHERE p_retailprice <= (SELECT thr FROM t1)),
+    t2 AS (SELECT AVG(p_retailprice) + 1.0::DOUBLE * stddev_samp(p_retailprice) AS thr FROM c1),
+    c2 AS (SELECT * FROM c1 WHERE p_retailprice <= (SELECT thr FROM t2)),
+    t3 AS (SELECT AVG(p_retailprice) + 1.0::DOUBLE * stddev_samp(p_retailprice) AS thr FROM c2),
+    c3 AS (SELECT * FROM c2 WHERE p_retailprice <= (SELECT thr FROM t3))
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS clipped_sum
+    FROM c3
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="Spark 4 SQL scripting (BEGIN..END, DECLARE, WHILE, compound "
+    "SET with scalar subqueries) running ENGINE-NATIVE: three rounds of "
+    "iterative sigma-clipping (drop rows above mean + 1*stddev of the "
+    "still-surviving set — the classic robust-statistics cleaning pass "
+    "for price/measurement columns) expressed as a WHILE loop that "
+    "re-aggregates the surviving rows each pass; the script's final "
+    "SELECT is the result relation. The oracle unrolls the exact same "
+    "three iterations as chained CTEs, so the scripting control flow "
+    "itself is what is checked. Thresholds are filter boundaries only "
+    "(2dp price grid vs ~1e-9 ulp noise), so cross-engine float noise "
+    "cannot flip membership; emitted aggregates are exact decimal sums. "
+    "At 100 TB each loop iteration is one scan+aggregate Catalyst plan "
+    "— the loop runs on the driver, the data never leaves executors. "
+    "Reference analog: none ([EXT] SQL scripting, Spark 4.0).",
+)
+def sql_scripting_sigma_clip_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__clip_part")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 1e18D;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 3 DO
+            SET thr = (SELECT AVG(p_retailprice)
+                              + 1.0D * stddev_samp(p_retailprice)
+                       FROM __clip_part WHERE p_retailprice <= thr);
+            SET i = i + 1;
+          END WHILE;
+          SELECT p_brand,
+                 COUNT(*) AS n_parts,
+                 CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS clipped_sum
+          FROM __clip_part
+          WHERE p_retailprice <= thr
+          GROUP BY p_brand
+          ORDER BY p_brand;
+        END
+        """
+    )

@@ -372,3 +372,118 @@ def test_recursive_cte_reachability_matches_python_bfs(spark, sf_dir):
         for r in REGISTRY["recursive_cte_trade_reachability"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pipe_syntax_lowers_to_standard_agg_plan(spark, sf_dir):
+    """The |> pipeline must lower to the same physical shape as the
+    nested form: partial+final hash aggregate around ONE exchange, with
+    the pre-aggregate filter pushed into the scan — pipes are syntax,
+    not a different (worse) execution strategy."""
+    from tests.conftest import simple_plan
+
+    p = simple_plan(REGISTRY["pipe_syntax_yearly_orders"].spark(spark, sf_dir))
+    assert p.count("HashAggregate") == 2, p  # partial + final
+    # one agg exchange + the ORDER BY range exchange, nothing else
+    assert p.count("Exchange") <= 2, p
+    assert "Filter" in p or "PushedFilters: [IsNotNull(o_totalprice)" in p
+
+
+def test_sql_udfs_stay_jvm_side_and_inline(spark, sf_dir):
+    """SQL UDFs (scalar, composed scalar, table function) must inline at
+    analysis time: zero Python eval nodes, and the TVF behaves as a
+    parameterized relation (plain join, no nested-loop re-execution)."""
+    from tests.conftest import simple_plan
+
+    df = REGISTRY["sql_udf_net_revenue_bands"].spark(spark, sf_dir)
+    p = simple_plan(df)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the three temp functions are resolvable in the session catalog
+    for fn in ("net_rev", "rev_band", "big_orders"):
+        assert spark.catalog.functionExists(fn), fn
+
+
+def test_collation_grouping_is_engine_native_and_merges_casings(spark, sf_dir):
+    """The UTF8_LCASE group-by must (a) really group on a collated key —
+    pinned via the analyzed aggregate's grouping expression type — and
+    (b) really merge binary-distinct casings; the emitted schema must
+    carry NO collation (plain string out)."""
+    df = REGISTRY["collation_ci_brand_rollup"].spark(spark, sf_dir)
+    # (a) the analyzed plan groups on a UTF8_LCASE-collated expression
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "UTF8_LCASE" in analyzed, analyzed
+    # (b) output schema is collation-free and merges happened
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert got == {
+        "brand_ci": "string",
+        "n_parts": "bigint",
+        "n_casings": "bigint",
+        "retail_sum": "double",
+    }
+    rows = df.collect()
+    assert max(r.n_casings for r in rows) >= 2, (
+        "no group merged multiple casings — collation not load-bearing"
+    )
+    # every brand_ci is already lowercase (deterministic representative)
+    assert all(r.brand_ci == r.brand_ci.lower() for r in rows)
+
+
+def test_session_vars_fold_to_constants_and_params_bind(spark, sf_dir):
+    """The session variable and the named parameter must reach the plan
+    as literals (variables are constant-folded by Catalyst — the main
+    aggregate's scan must carry a pushed price filter, not a subquery),
+    and result must equal the inlined-scalar-subquery twin."""
+    df = REGISTRY["session_vars_above_avg_orders"].spark(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().optimizedPlan().toString()
+    # the variable folded into a literal comparison; no correlated
+    # subquery survives into the optimized main query
+    assert "variablereference" not in analyzed.lower(), analyzed
+    twin = spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM __var_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM __var_orders)
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) >= 5
+        ORDER BY o_orderpriority
+        """
+    )
+    assert [r.asDict() for r in df.collect()] == [r.asDict() for r in twin.collect()]
+
+
+def test_sql_scripting_sigma_clip_matches_unrolled_dataframe(spark, sf_dir):
+    """The WHILE-loop sigma clip must equal an independently unrolled
+    DataFrame computation (3 iterations), and each iteration must
+    actually clip rows at sf defaults (loop is load-bearing)."""
+    import pyspark.sql.functions as F
+
+    from etl_sample_spark import catalog
+
+    df = REGISTRY["sql_scripting_sigma_clip_prices"].spark(spark, sf_dir)
+
+    part = catalog.table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    surviving = part
+    counts = [surviving.count()]
+    for _ in range(3):
+        stats = surviving.agg(
+            (F.avg("p_retailprice") + 1.0 * F.stddev_samp("p_retailprice")).alias("thr")
+        ).collect()[0]
+        surviving = surviving.filter(F.col("p_retailprice") <= float(stats.thr))
+        counts.append(surviving.count())
+    # the loop clipped something overall (otherwise the script is a no-op)
+    assert counts[-1] < counts[0], counts
+    twin = (
+        surviving.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("clipped_sum"),
+        )
+        .orderBy("p_brand")
+    )
+    assert [r.asDict() for r in df.collect()] == [r.asDict() for r in twin.collect()]
