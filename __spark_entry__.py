@@ -73,6 +73,25 @@ _FRONT_PINS = [
     # oracle unrolls the identical iterations as chained CTEs).
     "session_vars_above_avg_orders",
     "sql_scripting_sigma_clip_prices",
+    # r10 batch 5: continuous-ingestion + training-run plumbing (new
+    # registrations): cross-snapshot dedup verdicts, deterministic
+    # epoch shuffle, Spark 4 native XML round-trip, and the zero-cost
+    # Observation quality gate.
+    "incremental_dedup_new_vs_corpus",
+    "epoch_shuffle_assignments",
+    "xml_roundtrip_events",
+    "observe_quality_gate_orders",
+    # r10 batch 5: ANSI-mode error-safe scalar lane (try_cast /
+    # try_divide / try_to_timestamp over deterministically dirty input).
+    "try_functions_dirty_inputs",
+    # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
+    # construction was factored into minhash_band_frame (shared with the
+    # incremental dedup probe) — result-invariant, but the reachable
+    # code of these four changed, so they go back through the driver.
+    "minhash_lsh_candidate_pairs",
+    "neardup_clusters_documents",
+    "semantic_dedup_keep_best",
+    "minhash_jaccard_estimate_audit",
 ]
 # r9 pins (yoy_monthly_revenue, PQ pair, video delta, twap) all landed
 # green driver rows in CORRECTNESS_r09.json — cleared for rotation.

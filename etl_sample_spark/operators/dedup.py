@@ -119,15 +119,13 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text", id_col: str = "d
     return out.drop("__hx")
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-duplicate pairs: docs whose signatures collide in at
-    least one LSH band (bands of 2 rows over the k=4 signature).
-
-    The band explode (k/2 rows per doc) + self-join on the band key is the
-    scalable substitute for all-pairs: cost is Σ bucket² instead of n².
-    """
+def minhash_band_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(id, band, key)`` LSH band frame: bands of 2 rows over the k=4
+    signature. The shared building block for within-corpus candidate
+    pairs (:func:`minhash_lsh_candidates`) and cross-snapshot
+    new-vs-corpus probing (:func:`incremental_dedup_verdicts`)."""
     sig = minhash_signature_df(df, text_col, id_col)
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -136,6 +134,64 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = 
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.key")
+
+
+def incremental_dedup_verdicts(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion dedup: verdict for every NEW document against
+    an existing CORPUS snapshot — ``exact_dup`` (byte-identical text
+    already in the corpus), else ``near_dup`` (MinHash LSH band collision
+    with a corpus doc), else ``kept``.
+
+    Scale shape: the exact tier ships only a 256-bit digest per doc
+    through the shuffle (semi join on the hash, never the text); the
+    near tier is an equi-join of the new batch's band keys against the
+    corpus band keys — Σ bucket² cost like the within-corpus path, and
+    the (typically much larger) corpus side is never self-joined. At
+    100 TB the corpus band frame is the precomputed, persisted index a
+    crawl pipeline probes per batch.
+    """
+    new_ids = new.select(id_col)
+    corp_hashes = corpus.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
+    exact_ids = (
+        new.select(id_col, F.sha2(F.col(text_col), 256).alias("__h"))
+        .join(corp_hashes, "__h", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(1))
+    )
+    new_bands = minhash_band_frame(new, text_col, id_col)
+    corp_bands = minhash_band_frame(corpus, text_col, id_col).select("band", "key")
+    near_ids = (
+        new_bands.join(corp_bands, ["band", "key"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    return (
+        new_ids.join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact") == 1, F.lit("exact_dup"))
+            .when(F.col("__near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs: docs whose signatures collide in at
+    least one LSH band (bands of 2 rows over the k=4 signature).
+
+    The band explode (k/2 rows per doc) + self-join on the band key is the
+    scalable substitute for all-pairs: cost is Σ bucket² instead of n².
+    """
+    bands = minhash_band_frame(df, text_col, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

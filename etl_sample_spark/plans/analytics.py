@@ -1564,3 +1564,58 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+# Latest Observation handle from observe_quality_gate_orders, for tests
+# (and callers) to read the gate metrics after the action runs. The
+# query's RESULT is oracle-checked as usual; the observation is the
+# zero-cost side channel.
+LAST_QUALITY_GATE_OBSERVATION = None
+
+
+@register(
+    "observe_quality_gate_orders",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Data-quality observability via DataFrame.observe: the scan is "
+    "instrumented with a named Observation collecting row count, "
+    "bad-price count (<= 0) and null-date count AS THE QUERY RUNS — "
+    "CollectMetrics piggybacks on the existing pass, so at 100 TB the "
+    "quality gate costs ZERO extra scans (the naive alternative is a "
+    "second full aggregate over the input). The observed metrics are "
+    "exposed through LAST_QUALITY_GATE_OBSERVATION for the ingest "
+    "gate to assert on (pytest pins them against an independent "
+    "aggregate and pins the CollectMetrics node in the plan); the "
+    "query result itself is ordinary and fully oracle-checked. "
+    "Reference analog: none ([EXT] Observation API).",
+)
+def observe_quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    global LAST_QUALITY_GATE_OBSERVATION
+    orders = _t(spark, sf_dir, "orders")
+    obs = Observation("ingest_quality_gate")
+    LAST_QUALITY_GATE_OBSERVATION = obs
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_bad_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n_null_date"),
+    )
+    return (
+        observed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -4203,3 +4203,145 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_tokens", "avg_llr", (F.col("avg_llr") > 0).alias("keep")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Continuous-ingestion / training-run plumbing (r10)
+# --------------------------------------------------------------------------
+
+
+def _incremental_dedup_oracle() -> str:
+    from etl_sample_spark.operators.sampling import hash_position_sql
+
+    h = _HASH_SQL.format(t="sh.s")
+    sig_cols = ",\n             ".join(
+        f"CAST(MIN(({h} * {a} + {b}) % 2147483647) AS BIGINT) AS h{j}"
+        for j, (a, b) in enumerate(((7, 3), (13, 17), (31, 29), (61, 47)))
+    )
+    split = f"(({hash_position_sql('doc_id')} % 5) = 0)"
+    return f"""
+    WITH tagged AS (SELECT doc_id, text, {split} AS is_new FROM documents),
+    docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+    sh AS (
+      SELECT d.doc_id, d.l[r.i + 1] || ' ' || d.l[r.i + 2] || ' ' || d.l[r.i + 3] AS s
+      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 2, 0))) AS r(i)),
+    sig AS (
+      SELECT sh.doc_id,
+             {sig_cols}
+      FROM sh GROUP BY sh.doc_id),
+    fullsig AS (
+      SELECT d.doc_id, COALESCE(h0, -1) AS h0, COALESCE(h1, -1) AS h1,
+             COALESCE(h2, -1) AS h2, COALESCE(h3, -1) AS h3
+      FROM documents d LEFT JOIN sig USING (doc_id)),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key FROM fullsig
+      UNION ALL
+      SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key FROM fullsig),
+    exact AS (
+      SELECT DISTINCT n.doc_id
+      FROM tagged n JOIN tagged c ON c.is_new = FALSE AND n.text = c.text
+      WHERE n.is_new),
+    near AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a
+      JOIN tagged ta ON ta.doc_id = a.doc_id AND ta.is_new
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+      JOIN tagged tb ON tb.doc_id = b.doc_id AND tb.is_new = FALSE)
+    SELECT t.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM tagged t
+    LEFT JOIN exact e ON e.doc_id = t.doc_id
+    LEFT JOIN near nr ON nr.doc_id = t.doc_id
+    WHERE t.is_new
+    ORDER BY t.doc_id
+    """
+
+
+@register(
+    "incremental_dedup_new_vs_corpus",
+    _incremental_dedup_oracle(),
+    doc="L1+L2 for CONTINUOUS ingestion: the documents table is split "
+    "deterministically (portable hash of doc_id, ~20% 'new batch' / 80% "
+    "'existing corpus') and every new doc gets a verdict against the "
+    "corpus snapshot: exact_dup (byte-identical text already present — "
+    "probed as a 256-bit-digest semi join, text never shuffles), "
+    "near_dup (MinHash LSH band collision with any corpus doc — "
+    "equi-join of the batch's band keys against the corpus band index, "
+    "the corpus is never self-joined), else kept. This is the missing "
+    "tier above within-corpus dedup: a crawl pipeline deduping each "
+    "incoming batch against 100 TB of already-kept data probes a "
+    "persisted band index instead of re-clustering the corpus. Full "
+    "oracle: the portable MinHash makes the banding bit-reproducible in "
+    "SQL, so the exact verdict per new doc is checked cross-engine. "
+    "operators/dedup.py::incremental_dedup_verdicts.",
+)
+def incremental_dedup_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import incremental_dedup_verdicts
+    from etl_sample_spark.operators.sampling import hash_position
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.withColumn("__is_new", (hash_position(F.col("doc_id")) % 5) == 0)
+    new = tagged.filter(F.col("__is_new")).drop("__is_new")
+    corpus = tagged.filter(~F.col("__is_new")).drop("__is_new")
+    return incremental_dedup_verdicts(new, corpus).orderBy("doc_id")
+
+
+def _epoch_shuffle_oracle() -> str:
+    from etl_sample_spark.operators.sampling import hash_position_sql
+
+    pos = hash_position_sql("doc_id + epoch * 1000003")
+    return f"""
+    WITH e AS (SELECT doc_id, CAST(r.e AS INT) AS epoch
+               FROM documents, UNNEST([0, 1]) AS r(e)),
+    p AS (SELECT doc_id, epoch, CAST({pos} AS BIGINT) AS pos FROM e)
+    SELECT epoch,
+           CAST(pos % 8 AS INT) AS shard,
+           doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, pos % 8
+                                   ORDER BY pos, doc_id) AS INT) AS shard_pos
+    FROM p
+    ORDER BY epoch, shard, shard_pos
+    """
+
+
+@register(
+    "epoch_shuffle_assignments",
+    _epoch_shuffle_oracle(),
+    doc="Training-run data ordering: DETERMINISTIC per-epoch global "
+    "shuffle — each (doc, epoch) gets a position from the portable hash "
+    "of (doc_id + epoch * large-prime), docs land in 8 shards by "
+    "position, and shard_pos is the within-shard read order. Two epochs "
+    "are emitted so the oracle checks that the permutation is (a) fully "
+    "reproducible — same seed, same order, on any engine, any executor "
+    "count, any partitioning, which Spark's rand()/shuffle cannot "
+    "promise — and (b) genuinely different across epochs. At 100 TB "
+    "this is one map stage + one window per epoch: no RNG state, no "
+    "driver coordination, restartable mid-epoch because position is a "
+    "pure function of (doc_id, epoch). "
+    "operators/sampling.py::hash_position.",
+)
+def epoch_shuffle_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_sample_spark.operators.sampling import hash_position
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    p = e.withColumn(
+        "pos", hash_position(F.col("doc_id") + F.col("epoch") * F.lit(1_000_003))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("pos", "doc_id")
+    return (
+        p.withColumn("shard", (F.col("pos") % 8).cast("int"))
+        .select(
+            "epoch",
+            "shard",
+            "doc_id",
+            F.row_number().over(w).alias("shard_pos"),
+        )
+        .orderBy("epoch", "shard", "shard_pos")
+    )

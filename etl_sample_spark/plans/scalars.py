@@ -754,3 +754,142 @@ def sql_scripting_sigma_clip_prices(spark: SparkSession, sf_dir: str) -> DataFra
         END
         """
     )
+
+
+@register(
+    "xml_roundtrip_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Spark 4 native XML: every event row is serialized to an XML "
+    "document (to_xml over a NESTED struct — metrics under a child "
+    "element), then parsed back with from_xml against a typed schema "
+    "and aggregated from the decoded fields only. The oracle computes "
+    "the same aggregates from the base columns, so any encode→parse "
+    "corruption (type coercion, nesting, numeric text round-trip — "
+    "JVM shortest-roundtrip double printing makes the value column "
+    "lossless) hash-diverges. XML is the remaining first-class "
+    "semi-structured format next to JSON (from_json), Variant "
+    "(parse_json) and CSV; at 100 TB both directions are per-row "
+    "codegen expressions — no Python, no shuffle added. Reference "
+    "analog: none ([EXT] built-in XML, Spark 4.0).",
+)
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    enc = ev.select(
+        F.to_xml(
+            F.struct(
+                "event_id",
+                "event_type",
+                F.struct("user_id", "value").alias("m"),
+            ),
+            {"rowTag": "ev"},
+        ).alias("xml")
+    )
+    schema = "event_id BIGINT, event_type STRING, m STRUCT<user_id: BIGINT, value: DOUBLE>"
+    dec = enc.select(F.from_xml("xml", schema, {"rowTag": "ev"}).alias("r"))
+    return (
+        dec.select(
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.m.user_id").alias("user_id"),
+            F.col("r.m.value").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "try_functions_dirty_inputs",
+    """
+    WITH dirty AS (
+      SELECT event_type, value, event_id,
+             CASE CAST(event_id % 4 AS INT)
+               WHEN 0 THEN CAST(value AS VARCHAR)
+               WHEN 1 THEN 'not-a-number'
+               WHEN 2 THEN ''
+               ELSE NULL END AS raw_num,
+             CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN '2024-01-15 10:30:00'
+               WHEN 1 THEN '2024-13-45 99:99:99'
+               ELSE 'garbage' END AS raw_ts
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+             TRY_CAST(raw_num AS DOUBLE) AS num,
+             CASE WHEN CAST(event_id % 5 AS INT) = 0 THEN NULL
+                  ELSE value / (CAST(event_id % 5 AS INT)) END AS ratio,
+             TRY_CAST(raw_ts AS TIMESTAMP) AS ts
+      FROM dirty)
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(num) AS n_num_ok,
+           ROUND(SUM(num), 2) AS sum_num,
+           COUNT(ratio) AS n_ratio_ok,
+           ROUND(SUM(ratio), 2) AS sum_ratio,
+           COUNT(ts) AS n_ts_ok
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="ANSI-mode error-safe scalar surface: Spark 4 runs ANSI ON, so "
+    "a single malformed row aborts a 100 TB job unless the pipeline "
+    "uses the try_* family — exercised here over deterministically "
+    "dirtied inputs (event_id mod N selects clean / malformed / empty / "
+    "NULL variants): try_cast for numeric parse (malformed -> NULL, "
+    "never an exception), try_divide for the div-by-zero lane, and "
+    "try_to_timestamp for unparseable timestamps. The oracle mirrors "
+    "with DuckDB TRY_CAST and an explicit zero-guard, so both the "
+    "success lanes (values survive bit-exact) and the failure lanes "
+    "(exact per-group NULL counts) are hash-checked. All JVM-side "
+    "codegen expressions. Reference analog: none ([EXT] try_* "
+    "functions, ANSI SQL mode).",
+)
+def try_functions_dirty_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mod4 = (F.col("event_id") % 4).cast("int")
+    mod3 = (F.col("event_id") % 3).cast("int")
+    mod5 = (F.col("event_id") % 5).cast("int")
+    dirty = ev.select(
+        "event_type",
+        "value",
+        F.when(mod4 == 0, F.col("value").cast("string"))
+        .when(mod4 == 1, F.lit("not-a-number"))
+        .when(mod4 == 2, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("raw_num"),
+        F.when(mod3 == 0, F.lit("2024-01-15 10:30:00"))
+        .when(mod3 == 1, F.lit("2024-13-45 99:99:99"))
+        .otherwise(F.lit("garbage"))
+        .alias("raw_ts"),
+        mod5.alias("den"),
+    )
+    parsed = dirty.select(
+        "event_type",
+        F.col("raw_num").try_cast("double").alias("num"),
+        F.try_divide(F.col("value"), F.col("den")).alias("ratio"),
+        F.try_to_timestamp(F.col("raw_ts")).alias("ts"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("num").alias("n_num_ok"),
+            F.round(F.sum("num"), 2).alias("sum_num"),
+            F.count("ratio").alias("n_ratio_ok"),
+            F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+            F.count("ts").alias("n_ts_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -225,6 +225,7 @@ def stream_stream_click_attribution(
     ts_col: str = "ts",
     attribution_window: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the
     clicks the same user made within ``attribution_window`` before it —
@@ -235,6 +236,13 @@ def stream_stream_click_attribution(
     in BOTH directions, so Spark can compute how long either side's rows
     must be retained and evict join state — without the time bound the
     state would grow forever (the 100-TB streaming failure mode).
+
+    ``how="leftOuter"`` adds the funnel-loss lane: a purchase with NO
+    qualifying click is emitted exactly once, with a NULL click, as soon
+    as the watermark proves no future click can still match (i.e. passes
+    the purchase's event time) — the streaming form of "unattributed
+    purchases", impossible to compute eagerly because absence is only
+    decidable once event time has moved on.
     """
     p = purchases.withWatermark(ts_col, watermark).select(
         F.col("event_id").alias("purchase_id"),
@@ -252,7 +260,7 @@ def stream_stream_click_attribution(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") < F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
-        "inner",
+        how,
     ).select("purchase_id", "click_id", F.col("p_user").alias(key), "purchase_ts", "click_ts")
 
 

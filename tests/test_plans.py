@@ -487,3 +487,76 @@ def test_sql_scripting_sigma_clip_matches_unrolled_dataframe(spark, sf_dir):
         .orderBy("p_brand")
     )
     assert [r.asDict() for r in df.collect()] == [r.asDict() for r in twin.collect()]
+
+
+def test_xml_roundtrip_is_jvm_side_and_lossless(spark, sf_dir):
+    """to_xml/from_xml must stay JVM-side (no Python eval nodes) and the
+    decode must be value-lossless: the aggregate over decoded fields
+    equals the aggregate over the base columns."""
+    from tests.conftest import simple_plan
+
+    df = REGISTRY["xml_roundtrip_events"].spark(spark, sf_dir)
+    p = simple_plan(df)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    base = (
+        catalog.table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+    assert [r.asDict() for r in df.collect()] == [r.asDict() for r in base.collect()]
+
+
+def test_observe_gate_collects_metrics_in_the_same_pass(spark, sf_dir):
+    """The Observation must (a) appear as a CollectMetrics node in the
+    plan — same-pass instrumentation, not a second scan — and (b) report
+    metrics equal to an independent aggregate after the action."""
+    import pyspark.sql.functions as F
+
+    from etl_sample_spark import catalog
+    from etl_sample_spark.plans import analytics
+
+    df = REGISTRY["observe_quality_gate_orders"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan, plan
+    df.collect()  # action populates the observation
+    got = analytics.LAST_QUALITY_GATE_OBSERVATION.get
+    want = (
+        catalog.table(spark, sf_dir, "orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_bad_price"),
+            F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n_null_date"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert got == want
+
+
+def test_try_functions_stay_jvm_side_and_null_on_failure(spark, sf_dir):
+    """The try_* lanes must be codegen expressions (no Python nodes) and
+    must convert EVERY failure to NULL: under ANSI mode the same inputs
+    through plain cast/divide would raise."""
+    from tests.conftest import simple_plan
+
+    df = REGISTRY["try_functions_dirty_inputs"].spark(spark, sf_dir)
+    p = simple_plan(df)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    rows = {r.event_type: r for r in df.collect()}
+    for r in rows.values():
+        # failure lanes really produced NULLs (counts strictly below n_rows)
+        assert r.n_num_ok < r.n_rows, r
+        assert r.n_ratio_ok < r.n_rows, r
+        assert r.n_ts_ok < r.n_rows, r
+        # and success lanes really produced values
+        assert r.n_num_ok > 0 and r.n_ratio_ok > 0 and r.n_ts_ok > 0, r

@@ -1114,3 +1114,78 @@ def test_state_reader_handles_list_and_map_state(spark, tmp_path):
     assert state_key_count(spark, ckpt_l, state_var="frame") == 2, (
         "key count must collapse list elements to their grouping keys"
     )
+
+
+def test_stream_stream_left_outer_emits_unattributed_after_watermark(spark, tmp_path):
+    """leftOuter stream-stream join: a purchase with no qualifying click
+    must emit exactly once, with NULL click, and only AFTER the
+    watermark proves no future click can match — absence is decidable
+    only once event time moves past the purchase."""
+    from etl_sample_spark.streaming.windows import stream_stream_click_attribution
+
+    psrc = str(tmp_path / "p_stream")
+    csrc = str(tmp_path / "c_stream")
+    ckpt = str(tmp_path / "outer_ckpt")
+    out = str(tmp_path / "outer_out")
+
+    def run_once():
+        purchases = spark.readStream.schema(EVENT_SCHEMA).json(psrc)
+        clicks = spark.readStream.schema(EVENT_SCHEMA).json(csrc)
+        joined = stream_stream_click_attribution(purchases, clicks, how="leftOuter")
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    _write_events_json(
+        psrc,
+        [
+            # has an in-window click -> inner row
+            {"event_id": 100, "ts": "2024-01-01 10:30:00", "user_id": 7, "event_type": "purchase", "value": 20.0},
+            # user 8 never clicks -> must surface as unattributed
+            {"event_id": 101, "ts": "2024-01-01 12:00:00", "user_id": 8, "event_type": "purchase", "value": 5.0},
+        ],
+        "p1.json",
+    )
+    _write_events_json(
+        csrc,
+        [{"event_id": 1, "ts": "2024-01-01 10:10:00", "user_id": 7, "event_type": "click", "value": 0.0}],
+        "c1.json",
+    )
+    run_once()
+    emitted = {r.purchase_id for r in spark.read.parquet(out).collect()} if _parquet_nonempty(out) else set()
+    # watermark has not passed 12:00 yet: the NULL row must NOT have leaked
+    assert 101 not in emitted
+
+    # advance event time far past purchase 101 + window on BOTH streams
+    _write_events_json(
+        psrc,
+        [{"event_id": 999, "ts": "2024-01-01 14:00:00", "user_id": 99, "event_type": "purchase", "value": 1.0}],
+        "p2.json",
+    )
+    _write_events_json(
+        csrc,
+        [{"event_id": 998, "ts": "2024-01-01 14:00:00", "user_id": 99, "event_type": "click", "value": 0.0}],
+        "c2.json",
+    )
+    run_once()
+    run_once()  # one more cycle so the advanced watermark evicts + emits
+
+    rows = spark.read.parquet(out).collect()
+    by_purchase = {}
+    for r in rows:
+        by_purchase.setdefault(r.purchase_id, []).append(r.click_id)
+    assert by_purchase[100] == [1]  # attributed purchase: inner row, once
+    assert by_purchase[101] == [None]  # unattributed: exactly one NULL-click row
+
+
+def _parquet_nonempty(path: str) -> bool:
+    import glob as _g
+
+    return bool(_g.glob(path + "/*.parquet"))
