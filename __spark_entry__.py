@@ -84,6 +84,10 @@ _FRONT_PINS = [
     # r10 batch 5: ANSI-mode error-safe scalar lane (try_cast /
     # try_divide / try_to_timestamp over deterministically dirty input).
     "try_functions_dirty_inputs",
+    # r10 batch 5: IDENTIFIER(:name) dynamic-identifier binding +
+    # GROUP BY ALL (analysis-time features; oracle is the constant-
+    # inlined ANSI form).
+    "identifier_group_by_all_orders",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -893,3 +893,44 @@ def try_functions_dirty_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "identifier_group_by_all_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY o_orderstatus, order_year
+    ORDER BY o_orderstatus, order_year
+    """,
+    doc="Spark 4 IDENTIFIER() binding + GROUP BY ALL: the table and the "
+    "grouped measure column arrive as PARAMETERS bound through "
+    "IDENTIFIER(:name) — the injection-safe way to write dynamic SQL "
+    "over table/column names (string-splicing identifiers is the "
+    "classic ETL-template vulnerability; parameter markers alone "
+    "cannot name a table). GROUP BY ALL infers the grouping set from "
+    "the non-aggregate select items — template queries stay correct "
+    "when a dimension column is added. Both are pure analysis-time "
+    "features: the optimized plan is the ordinary partial+final "
+    "aggregate, which is what the constant-inlined oracle checks. "
+    "Reference analog: none ([EXT] IDENTIFIER clause, Spark 4.0).",
+)
+def identifier_group_by_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ident_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(IDENTIFIER(:measure) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS rev
+        FROM IDENTIFIER(:tbl)
+        GROUP BY ALL
+        ORDER BY o_orderstatus, order_year
+        """,
+        args={"tbl": "__ident_orders", "measure": "o_totalprice"},
+    )

@@ -665,3 +665,26 @@ def per_type_user_totals_tws(
             timeMode="None",
         )
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC enrichment join: each micro-batch of the stream is
+    joined against a bounded dimension table (user/customer attributes).
+
+    Unlike a stream-stream join this is STATELESS — no watermark, no
+    join state, nothing to evict: the static side is simply (broadcast-)
+    hash-joined into every micro-batch, so the operator adds zero state
+    bytes regardless of how long the query runs. At 100 TB/day this is
+    the default shape for reference-data enrichment; only when the
+    dimension itself must be versioned per event time does it graduate
+    to a stream-stream or as-of form (plans/temporal.py).
+
+    The explicit ``broadcast`` hint keeps the join map-side even if the
+    static side's stats are unknown (common for freshly-written parquet).
+    """
+    return stream.join(F.broadcast(dim), key, how)

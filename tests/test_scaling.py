@@ -73,6 +73,9 @@ FLAGSHIP = (
     "bpe_merge_learning",
     "cdc_upsert_apply_customers",
     "histogram_quantile_prices",
+    # r10 addition: the cross-snapshot dedup probe — digest semi join +
+    # band-index probe; both sides grow 10×, the probe must stay linear.
+    "incremental_dedup_new_vs_corpus",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
@@ -132,6 +135,41 @@ def test_minhash_band_buckets_stay_linear(spark):
     n, work, worst = _band_join_work(bands, ["band", "key"])
     assert work <= 60 * n, f"MinHash band join work {work} > 60*n ({n}) — buckets collapsing"
     assert worst <= work * 0.25, f"one MinHash bucket is {worst/work:.0%} of all join work"
+
+
+def test_incremental_probe_work_stays_linear(spark):
+    """Cross-snapshot dedup at 10×: the new-batch band keys are probed
+    against the corpus band index, so the join work is
+    Σ (new_bucket × corpus_bucket) over COLLIDING keys only. That must
+    stay a small multiple of n, with no dominating bucket — the scale
+    contract that lets a crawl batch probe a 100 TB corpus index."""
+    from etl_sample_spark.operators.dedup import minhash_band_frame
+    from etl_sample_spark.operators.sampling import hash_position
+
+    docs = catalog.table(spark, SYNTH_DIR, "documents")
+    tagged = docs.withColumn("__new", (hash_position(F.col("doc_id")) % 5) == 0)
+    new_sizes = (
+        minhash_band_frame(tagged.filter(F.col("__new")))
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    corp_sizes = (
+        minhash_band_frame(tagged.filter(~F.col("__new")))
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    colliding = new_sizes.join(corp_sizes, ["band", "key"])
+    row = colliding.agg(
+        F.sum(F.col("a") * F.col("b")).alias("work"),
+        F.max(F.col("a") * F.col("b")).alias("worst"),
+    ).head()
+    n = docs.count()
+    work = int(row["work"] or 0)
+    worst = int(row["worst"] or 0)
+    assert work <= 60 * n, f"incremental probe work {work} > 60*n ({n})"
+    assert worst <= max(1, int(work * 0.25)), (
+        f"one bucket is {worst}/{work} of the probe work — salting needed"
+    )
 
 
 def test_simhash_bucket_entropy_and_cap(spark):

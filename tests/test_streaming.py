@@ -1189,3 +1189,42 @@ def _parquet_nonempty(path: str) -> bool:
     import glob as _g
 
     return bool(_g.glob(path + "/*.parquet"))
+
+
+def test_stream_static_enrichment_is_stateless_and_broadcast(spark, tmp_path):
+    """Stream-static join: every micro-batch row is enriched from the
+    dimension; the query reports ZERO stateful operators (no watermark,
+    no join state) — the property that makes enrichment free to run
+    forever."""
+    from etl_sample_spark.streaming.windows import enrich_with_dimension
+
+    src = str(tmp_path / "enrich_src")
+    _write_events_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 8, "event_type": "buy", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 99, "event_type": "click", "value": 3.0},
+        ],
+        "b1.json",
+    )
+    dim = spark.createDataFrame(
+        [(7, "gold", "EU"), (8, "basic", "US")], "user_id long, tier string, region string"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    enriched = enrich_with_dimension(stream, dim)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    rows = {r.event_id: r for r in spark.sql("SELECT * FROM enrich_sink").collect()}
+    assert rows[1].tier == "gold" and rows[1].region == "EU"
+    assert rows[2].tier == "basic" and rows[2].region == "US"
+    assert rows[3].tier is None  # left join keeps unmatched stream rows
+    # stateless: the progress reports no state operators at all
+    assert q.lastProgress is not None
+    assert q.lastProgress["stateOperators"] == []
