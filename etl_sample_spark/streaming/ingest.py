@@ -206,3 +206,88 @@ def run_ingest_available_now_jdbc(
         .trigger(availableNow=True)
     )
     return writer.start()
+
+
+def run_cdc_to_scd2_stream(
+    spark: SparkSession,
+    changes: DataFrame,
+    dim_path: str,
+    checkpoint: str,
+    key: str,
+    tracked: list[str],
+    ts_col: str = "change_ts",
+) -> None:
+    """Streaming CDC feed → SCD2 dimension maintenance, end to end.
+
+    Each micro-batch is collapsed LATEST-WINS per key (by ``ts_col``,
+    tracked attributes as the deterministic tie-break), then merged into
+    the persisted version history with ``operators/scd.py::scd2_merge``
+    at batch-grain effective time (the batch's max change timestamp —
+    the standard warehouse contract for intra-batch grain). The merged
+    history is persisted write-and-swap like
+    ``operators/incremental.py::update_rollup_table`` so a reader never
+    sees a half-written table and a crash leaves the previous version
+    recoverable.
+
+    Exactly-once WITHOUT idempotent sinks: ``foreachBatch`` is
+    at-least-once, but re-merging an already-applied batch finds every
+    tracked attribute equal to the current version, so ``scd2_merge``
+    closes nothing and opens nothing — replay is a no-op by
+    construction, which upgrades at-least-once delivery to an
+    exactly-once version history. (Deletes are out of SCD2 scope here;
+    route them through ``operators/incremental.py::cdc_apply``.)
+
+    100 TB shape: one key shuffle per batch (the latest-wins window) +
+    the scd2_merge joins, all keyed on the dimension key; per-batch cost
+    is O(batch + dimension), independent of stream history length.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from etl_sample_spark.operators.scd import scd2_init, scd2_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(key).orderBy(
+            F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in tracked]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        effective = str(latest.agg(F.max(ts_col)).head()[0])
+        updates = latest.drop(ts_col)
+        if _os.path.exists(_os.path.join(dim_path, "_SUCCESS")):
+            history = batch_df.sparkSession.read.parquet(dim_path)
+            merged = scd2_merge(history, updates, key, tracked, effective)
+        else:
+            merged = scd2_init(updates, effective)
+        import shutil
+        import uuid
+
+        tmp = f"{dim_path}__merge_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.exists(dim_path):
+            old = f"{dim_path}__old_{uuid.uuid4().hex[:8]}"
+            _os.rename(dim_path, old)
+            try:
+                _os.rename(tmp, dim_path)
+            except OSError as e:
+                raise RuntimeError(
+                    f"SCD2 swap failed after moving the previous table to "
+                    f"{old!r}; rename it back to recover"
+                ) from e
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            _os.rename(tmp, dim_path)
+
+    (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1228,3 +1228,73 @@ def test_stream_static_enrichment_is_stateless_and_broadcast(spark, tmp_path):
     # stateless: the progress reports no state operators at all
     assert q.lastProgress is not None
     assert q.lastProgress["stateOperators"] == []
+
+
+def test_cdc_to_scd2_stream_versions_and_replay_idempotence(spark, tmp_path):
+    """Streaming CDC -> SCD2: first batch initializes the dimension;
+    a later change closes the old version and opens a new one; an
+    unchanged re-sent row does nothing; and a FULL REPLAY (fresh
+    checkpoint over the same source) leaves the history bit-identical —
+    at-least-once delivery upgraded to an exactly-once history."""
+    import json
+    import os
+
+    from etl_sample_spark.streaming.ingest import run_cdc_to_scd2_stream
+
+    src = str(tmp_path / "cdc_src")
+    dim = str(tmp_path / "dim_customer")
+    os.makedirs(src, exist_ok=True)
+    schema = "custkey BIGINT, tier STRING, region STRING, change_ts TIMESTAMP"
+
+    def write_batch(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run(ckpt):
+        changes = spark.readStream.schema(schema).json(src)
+        run_cdc_to_scd2_stream(
+            spark, changes, dim, ckpt, key="custkey", tracked=["tier", "region"]
+        )
+
+    write_batch(
+        "b1.json",
+        [
+            {"custkey": 7, "tier": "gold", "region": "EU", "change_ts": "2024-01-01 10:00:00"},
+            {"custkey": 8, "tier": "basic", "region": "US", "change_ts": "2024-01-01 10:00:00"},
+            # intra-batch latest-wins: the 09:00 gold row must lose to 10:00
+            {"custkey": 7, "tier": "silver", "region": "EU", "change_ts": "2024-01-01 09:00:00"},
+        ],
+    )
+    run(str(tmp_path / "ck1"))
+    h1 = spark.read.parquet(dim)
+    assert h1.count() == 2  # one current version per key
+    cur7 = h1.where("custkey = 7 AND is_current").head()
+    assert cur7.tier == "gold"
+
+    write_batch(
+        "b2.json",
+        [
+            {"custkey": 7, "tier": "platinum", "region": "EU", "change_ts": "2024-01-02 08:00:00"},
+            # unchanged re-send: must NOT open a new version
+            {"custkey": 8, "tier": "basic", "region": "US", "change_ts": "2024-01-02 08:00:00"},
+        ],
+    )
+    run(str(tmp_path / "ck1"))  # same checkpoint: only b2 is new
+    h2 = spark.read.parquet(dim)
+    v7 = sorted(
+        h2.where("custkey = 7").collect(), key=lambda r: (r.is_current, str(r.valid_from))
+    )
+    assert len(v7) == 2
+    closed, opened = v7[0], v7[1]
+    assert closed.is_current is False and closed.tier == "gold"
+    assert str(closed.valid_to) == "2024-01-02 08:00:00"
+    assert opened.is_current is True and opened.tier == "platinum"
+    assert h2.where("custkey = 8").count() == 1  # unchanged: single version
+
+    # FULL replay: fresh checkpoint reprocesses b1+b2 as one batch over
+    # the already-merged dimension — must change nothing.
+    before = sorted(map(tuple, h2.collect()))
+    run(str(tmp_path / "ck_replay"))
+    after = sorted(map(tuple, spark.read.parquet(dim).collect()))
+    assert after == before
