@@ -154,7 +154,16 @@ def incremental_dedup_verdicts(
     the (typically much larger) corpus side is never self-joined. At
     100 TB the corpus band frame is the precomputed, persisted index a
     crawl pipeline probes per batch.
+
+    Docs too short to shingle (<3 tokens) carry the ``-1`` sentinel
+    signature; their band keys are EXCLUDED from the probe on both
+    sides — a sentinel is the absence of a content signal, and letting
+    it collide would near-dup every short new doc against any short
+    corpus doc (silent data loss, since this API emits a terminal
+    verdict, not candidates for later verification). Byte-identical
+    short docs are still caught by the exact tier.
     """
+    sentinel_key = "-1:-1"
     new_ids = new.select(id_col)
     corp_hashes = corpus.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
     exact_ids = (
@@ -163,8 +172,14 @@ def incremental_dedup_verdicts(
         .select(id_col)
         .withColumn("__exact", F.lit(1))
     )
-    new_bands = minhash_band_frame(new, text_col, id_col)
-    corp_bands = minhash_band_frame(corpus, text_col, id_col).select("band", "key")
+    new_bands = minhash_band_frame(new, text_col, id_col).where(
+        F.col("key") != sentinel_key
+    )
+    corp_bands = (
+        minhash_band_frame(corpus, text_col, id_col)
+        .where(F.col("key") != sentinel_key)
+        .select("band", "key")
+    )
     near_ids = (
         new_bands.join(corp_bands, ["band", "key"], "left_semi")
         .select(id_col)

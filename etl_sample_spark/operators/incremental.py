@@ -79,24 +79,16 @@ def update_rollup_table(
     distributed end-to-end: nothing is collected, so a rollup with
     billions of groups works the same as one with ten.
     """
-    import shutil
     import uuid
+
+    from etl_sample_spark.sources.sinks import swap_parquet_dir
 
     delta = rollup_batch(batch, keys, measures)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         merged = merge_rollups(spark.read.parquet(path), delta, keys)
         tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        try:
-            os.rename(tmp, path)
-        except OSError as e:
-            raise RuntimeError(
-                f"rollup swap failed after moving the previous table to {old!r}; "
-                f"rename it back to recover"
-            ) from e
-        shutil.rmtree(old, ignore_errors=True)
+        swap_parquet_dir(tmp, path)
     else:
         delta.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

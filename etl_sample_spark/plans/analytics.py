@@ -1566,11 +1566,41 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-# Latest Observation handle from observe_quality_gate_orders, for tests
-# (and callers) to read the gate metrics after the action runs. The
-# query's RESULT is oracle-checked as usual; the observation is the
-# zero-cost side channel.
+# Latest Observation handle from observe_quality_gate_orders — a
+# last-writer-wins CONVENIENCE for interactive use only (two
+# interleaved runs alias it). Programmatic callers should use
+# quality_gate_orders(), which returns the Observation paired with its
+# own DataFrame.
 LAST_QUALITY_GATE_OBSERVATION = None
+
+
+def quality_gate_orders(orders: DataFrame):
+    """(result_df, observation): the orders rollup instrumented with a
+    same-pass quality gate (row count, bad-price count, null-date
+    count via ``DataFrame.observe`` — CollectMetrics piggybacks on the
+    existing scan, zero extra passes). Read ``observation.get`` after
+    an action on the returned DataFrame; each call gets its OWN
+    Observation, so concurrent/interleaved runs never alias."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_quality_gate")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_bad_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n_null_date"),
+    )
+    result = (
+        observed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return result, obs
 
 
 @register(
@@ -1597,25 +1627,7 @@ LAST_QUALITY_GATE_OBSERVATION = None
     "Reference analog: none ([EXT] Observation API).",
 )
 def observe_quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Observation
-
     global LAST_QUALITY_GATE_OBSERVATION
-    orders = _t(spark, sf_dir, "orders")
-    obs = Observation("ingest_quality_gate")
+    result, obs = quality_gate_orders(_t(spark, sf_dir, "orders"))
     LAST_QUALITY_GATE_OBSERVATION = obs
-    observed = orders.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_bad_price"),
-        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n_null_date"),
-    )
-    return (
-        observed.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("rev"),
-        )
-        .orderBy("o_orderstatus")
-    )
+    return result

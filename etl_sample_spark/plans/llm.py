@@ -4242,11 +4242,14 @@ def _incremental_dedup_oracle() -> str:
       FROM tagged n JOIN tagged c ON c.is_new = FALSE AND n.text = c.text
       WHERE n.is_new),
     near AS (
+      -- '-1:-1' is the no-shingle sentinel: excluded from the probe on
+      -- both sides, mirroring incremental_dedup_verdicts.
       SELECT DISTINCT a.doc_id
       FROM bands a
       JOIN tagged ta ON ta.doc_id = a.doc_id AND ta.is_new
       JOIN bands b ON a.band = b.band AND a.key = b.key
-      JOIN tagged tb ON tb.doc_id = b.doc_id AND tb.is_new = FALSE)
+      JOIN tagged tb ON tb.doc_id = b.doc_id AND tb.is_new = FALSE
+      WHERE a.key <> '-1:-1')
     SELECT t.doc_id,
            CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
                 WHEN nr.doc_id IS NOT NULL THEN 'near_dup'

@@ -731,7 +731,22 @@ def session_vars_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def sql_scripting_sigma_clip_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "part").createOrReplaceTempView("__clip_part")
+    # The scripting flag is needed only while spark.sql() parses and runs
+    # the script (the returned relation is an ordinary plan); restore the
+    # previous value so this — the one registry query that touches session
+    # conf — stays side-effect-free like its peers.
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return _sigma_clip_script(spark)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+def _sigma_clip_script(spark: SparkSession) -> DataFrame:
     return spark.sql(
         """
         BEGIN

@@ -254,6 +254,51 @@ def write_partitioned(
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def swap_parquet_dir(tmp: str, path: str) -> None:
+    """Install the directory at ``tmp`` as ``path`` via rename swap —
+    the shared write-and-swap tail for the right-to-erasure rewrite,
+    rollup maintenance and the streaming SCD2 sink (previously inline
+    copies with diverging failure behavior; ``compact_parquet_table``
+    keeps its own stricter variant, which RAISES if the post-swap
+    cleanup of the old copy fails).
+
+    Contract (local/POSIX only — object stores need a table format's
+    rewrite): if ``path`` exists it is moved aside, ``tmp`` is renamed
+    into place, and the old copy is removed; if the second rename fails
+    the original is RESTORED before raising, so a caller never loses the
+    previous table. First write (``path`` absent) is a plain rename —
+    but a stale ``<path>__old_*`` leftover next to an absent ``path``
+    means a previous swap crashed mid-window, and installing ``tmp`` as
+    if this were a first write would silently discard that history, so
+    it raises with recovery instructions instead.
+    """
+    import glob as _glob
+    import shutil
+    import uuid
+
+    if not os.path.exists(path):
+        stale = sorted(_glob.glob(f"{path}__old_*"))
+        if stale:
+            raise RuntimeError(
+                f"{path} is absent but {stale[0]} exists — a previous swap "
+                f"crashed between renames. Rename it back to {path} to "
+                f"recover the prior table, then re-run."
+            )
+        os.rename(tmp, path)
+        return
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError as ex:
+        os.rename(old, path)  # restore the original on failure
+        raise RuntimeError(
+            f"swap failed; original table restored at {path}, new copy "
+            f"left at {tmp}"
+        ) from ex
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_parquet_table(
     spark,
     path: str,
@@ -413,14 +458,5 @@ def erase_rows_by_key(
         writer = writer.option("compression", compression)
     writer.parquet(tmp)
     after = spark.read.parquet(tmp).count()
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except Exception:
-        os.rename(old, path)
-        raise
-    import shutil
-
-    shutil.rmtree(old, ignore_errors=True)
+    swap_parquet_dir(tmp, path)
     return before, after

@@ -209,7 +209,6 @@ def run_ingest_available_now_jdbc(
 
 
 def run_cdc_to_scd2_stream(
-    spark: SparkSession,
     changes: DataFrame,
     dim_path: str,
     checkpoint: str,
@@ -220,32 +219,39 @@ def run_cdc_to_scd2_stream(
     """Streaming CDC feed → SCD2 dimension maintenance, end to end.
 
     Each micro-batch is collapsed LATEST-WINS per key (by ``ts_col``,
-    tracked attributes as the deterministic tie-break), then merged into
-    the persisted version history with ``operators/scd.py::scd2_merge``
-    at batch-grain effective time (the batch's max change timestamp —
-    the standard warehouse contract for intra-batch grain). The merged
-    history is persisted write-and-swap like
-    ``operators/incremental.py::update_rollup_table`` so a reader never
-    sees a half-written table and a crash leaves the previous version
-    recoverable.
+    tracked attributes as the deterministic tie-break), STALE changes
+    are dropped (a row whose ``ts_col`` is not strictly newer than the
+    key's current ``valid_from`` — late/out-of-order CDC files would
+    otherwise close a newer version with an older effective time,
+    yielding negative-duration intervals and resurrecting stale values
+    as current), and the survivors are merged into the persisted
+    version history with ``operators/scd.py::scd2_merge`` at
+    batch-grain effective time (the surviving rows' max change
+    timestamp — the standard warehouse contract for intra-batch grain).
+    The merged history is persisted with
+    ``sources/sinks.py::swap_parquet_dir``: restore-on-failure, and a
+    LOUD error (never a silent re-init) if a previous swap crashed
+    mid-window leaving ``<dim_path>__old_*`` behind.
 
     Exactly-once WITHOUT idempotent sinks: ``foreachBatch`` is
-    at-least-once, but re-merging an already-applied batch finds every
-    tracked attribute equal to the current version, so ``scd2_merge``
-    closes nothing and opens nothing — replay is a no-op by
-    construction, which upgrades at-least-once delivery to an
-    exactly-once version history. (Deletes are out of SCD2 scope here;
-    route them through ``operators/incremental.py::cdc_apply``.)
+    at-least-once, but a replayed batch is entirely stale-or-unchanged
+    against the already-merged history, so ``scd2_merge`` closes
+    nothing and opens nothing — replay is a no-op by construction,
+    which upgrades at-least-once delivery to an exactly-once version
+    history. (Deletes are out of SCD2 scope here; route them through
+    ``operators/incremental.py::cdc_apply``.)
 
     100 TB shape: one key shuffle per batch (the latest-wins window) +
     the scd2_merge joins, all keyed on the dimension key; per-batch cost
     is O(batch + dimension), independent of stream history length.
     """
     import os as _os
+    import uuid
 
     from pyspark.sql import Window
 
     from etl_sample_spark.operators.scd import scd2_init, scd2_merge
+    from etl_sample_spark.sources.sinks import swap_parquet_dir
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -258,31 +264,32 @@ def run_cdc_to_scd2_stream(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
+        spark = batch_df.sparkSession
+        history = None
+        if _os.path.exists(_os.path.join(dim_path, "_SUCCESS")):
+            history = spark.read.parquet(dim_path)
+            current = history.where(F.col("is_current")).select(
+                key, F.col("valid_from").alias("__cur_from")
+            )
+            latest = (
+                latest.join(current, key, "left")
+                .where(
+                    F.col("__cur_from").isNull()
+                    | (F.col(ts_col) > F.col("__cur_from"))
+                )
+                .drop("__cur_from")
+            )
+            if latest.isEmpty():
+                return
         effective = str(latest.agg(F.max(ts_col)).head()[0])
         updates = latest.drop(ts_col)
-        if _os.path.exists(_os.path.join(dim_path, "_SUCCESS")):
-            history = batch_df.sparkSession.read.parquet(dim_path)
+        if history is not None:
             merged = scd2_merge(history, updates, key, tracked, effective)
         else:
             merged = scd2_init(updates, effective)
-        import shutil
-        import uuid
-
         tmp = f"{dim_path}__merge_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
-        if _os.path.exists(dim_path):
-            old = f"{dim_path}__old_{uuid.uuid4().hex[:8]}"
-            _os.rename(dim_path, old)
-            try:
-                _os.rename(tmp, dim_path)
-            except OSError as e:
-                raise RuntimeError(
-                    f"SCD2 swap failed after moving the previous table to "
-                    f"{old!r}; rename it back to recover"
-                ) from e
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            _os.rename(tmp, dim_path)
+        swap_parquet_dir(tmp, dim_path)
 
     (
         changes.writeStream.foreachBatch(_apply)

@@ -1497,3 +1497,22 @@ def test_epoch_shuffle_is_deterministic_and_epoch_varying(spark, sf_dir):
         per_shard[(epoch, shard)].append(shard_pos)
     for k, poss in per_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), k
+
+
+def test_incremental_dedup_short_docs_never_sentinel_collide(spark):
+    """Docs too short to shingle (<3 tokens) carry the -1 sentinel
+    signature; the probe must NOT near-dup them against unrelated short
+    corpus docs (sentinel = absence of signal). Byte-identical short
+    docs are still exact_dups."""
+    from etl_sample_spark.operators.dedup import incremental_dedup_verdicts
+
+    corpus = spark.createDataFrame(
+        [(100, "tiny corpus"), (101, "another unrelated short")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "brand new"), (2, "tiny corpus")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.verdict for r in incremental_dedup_verdicts(new, corpus).collect()}
+    assert got == {1: "kept", 2: "exact_dup"}

@@ -524,11 +524,11 @@ def test_observe_gate_collects_metrics_in_the_same_pass(spark, sf_dir):
     from etl_sample_spark import catalog
     from etl_sample_spark.plans import analytics
 
-    df = REGISTRY["observe_quality_gate_orders"].spark(spark, sf_dir)
+    df, obs = analytics.quality_gate_orders(catalog.table(spark, sf_dir, "orders"))
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "CollectMetrics" in plan, plan
     df.collect()  # action populates the observation
-    got = analytics.LAST_QUALITY_GATE_OBSERVATION.get
+    got = obs.get
     want = (
         catalog.table(spark, sf_dir, "orders")
         .agg(

@@ -1254,7 +1254,7 @@ def test_cdc_to_scd2_stream_versions_and_replay_idempotence(spark, tmp_path):
     def run(ckpt):
         changes = spark.readStream.schema(schema).json(src)
         run_cdc_to_scd2_stream(
-            spark, changes, dim, ckpt, key="custkey", tracked=["tier", "region"]
+            changes, dim, ckpt, key="custkey", tracked=["tier", "region"]
         )
 
     write_batch(
@@ -1292,9 +1292,23 @@ def test_cdc_to_scd2_stream_versions_and_replay_idempotence(spark, tmp_path):
     assert opened.is_current is True and opened.tier == "platinum"
     assert h2.where("custkey = 8").count() == 1  # unchanged: single version
 
-    # FULL replay: fresh checkpoint reprocesses b1+b2 as one batch over
-    # the already-merged dimension — must change nothing.
-    before = sorted(map(tuple, h2.collect()))
+    # LATE out-of-order batch: an older change for key 7 must be DROPPED
+    # (not close the platinum version with an earlier effective time).
+    write_batch(
+        "b3.json",
+        [{"custkey": 7, "tier": "bronze", "region": "EU", "change_ts": "2024-01-01 23:00:00"}],
+    )
+    run(str(tmp_path / "ck1"))
+    h3 = spark.read.parquet(dim)
+    cur7 = h3.where("custkey = 7 AND is_current").head()
+    assert cur7.tier == "platinum"  # stale bronze ignored
+    assert h3.where("custkey = 7").count() == 2
+    # no corrupted interval anywhere (valid_to always >= valid_from)
+    assert h3.where("valid_to IS NOT NULL AND valid_to < valid_from").count() == 0
+
+    # FULL replay: fresh checkpoint reprocesses b1+b2+b3 as one batch
+    # over the already-merged dimension — must change nothing.
+    before = sorted(map(tuple, h3.collect()))
     run(str(tmp_path / "ck_replay"))
     after = sorted(map(tuple, spark.read.parquet(dim).collect()))
     assert after == before
