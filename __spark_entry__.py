@@ -88,6 +88,11 @@ _FRONT_PINS = [
     # GROUP BY ALL (analysis-time features; oracle is the constant-
     # inlined ANSI form).
     "identifier_group_by_all_orders",
+    # r10 batch 6: exact distinct via mergeable bitmap pages
+    # (construct -> shard OR-merge -> popcount; oracle COUNT DISTINCT)
+    # and SQL:2023 listagg WITHIN GROUP (oracle string_agg ORDER BY).
+    "bitmap_exact_distinct_customers",
+    "listagg_nations_per_region",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -851,3 +851,89 @@ def bloom_semi_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "bitmap_exact_distinct_customers",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="EXACT distinct counting via mergeable bitmaps (A2's exact "
+    "counterpart to HLL): keys are bucketed (bitmap_bucket_number / "
+    "bitmap_bit_position partition the bigint key space into 32k-bit "
+    "pages), each synthetic shard builds its page bitmaps with "
+    "bitmap_construct_agg, shard bitmaps are OR-merged per page "
+    "(bitmap_or_agg — associative and idempotent, so retries/overlaps "
+    "cannot overcount), and the page popcounts sum to the exact "
+    "distinct count. The shard tier is deliberate: it is the shape of "
+    "a 1000-executor pre-aggregation or an incremental daily rollup "
+    "(store page bitmaps, OR tomorrow's in — exact distinct without "
+    "re-scanning history, impossible with plain COUNT DISTINCT and "
+    "only approximate with HLL). Oracle: COUNT(DISTINCT). "
+    "Reference analog: none ([EXT] bitmap aggregates).",
+)
+def bitmap_exact_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__bm_orders")
+    return spark.sql(
+        """
+        WITH sharded AS (
+          SELECT o_orderpriority,
+                 o_orderkey % 8 AS shard,
+                 bitmap_bucket_number(o_custkey) AS page,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b,
+                 COUNT(*) AS n
+          FROM __bm_orders
+          GROUP BY o_orderpriority, o_orderkey % 8,
+                   bitmap_bucket_number(o_custkey)),
+        merged AS (
+          SELECT o_orderpriority, page, bitmap_or_agg(b) AS b, SUM(n) AS n
+          FROM sharded GROUP BY o_orderpriority, page)
+        SELECT o_orderpriority,
+               SUM(bitmap_count(b)) AS n_customers,
+               SUM(n) AS n_orders
+        FROM merged
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "listagg_nations_per_region",
+    """
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="Spark 4 listagg (SQL:2023 LISTAGG ... WITHIN GROUP): ordered "
+    "string aggregation as a first-class aggregate — the deterministic "
+    "ORDER BY inside the group is what makes the result hash-stable "
+    "across engines and partitionings (collect_list + array_join has "
+    "no such guarantee without an explicit sort). Bounded groups only "
+    "(dimension-sized): an unbounded listagg over a fact table is the "
+    "string version of the unpartitioned collect. Oracle: DuckDB "
+    "string_agg with ORDER BY. Reference analog: none ([EXT] listagg, "
+    "Spark 4.0).",
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "region").createOrReplaceTempView("__la_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__la_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations,
+               COUNT(*) AS n_nations
+        FROM __la_region r JOIN __la_nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )

@@ -560,3 +560,41 @@ def test_try_functions_stay_jvm_side_and_null_on_failure(spark, sf_dir):
         assert r.n_ts_ok < r.n_rows, r
         # and success lanes really produced values
         assert r.n_num_ok > 0 and r.n_ratio_ok > 0 and r.n_ts_ok > 0, r
+
+
+def test_bitmap_distinct_is_shard_invariant_and_exact(spark, sf_dir):
+    """The bitmap OR-merge must make the distinct count independent of
+    how the build was sharded (associativity + idempotence) and exactly
+    equal to COUNT(DISTINCT)."""
+    import pyspark.sql.functions as F
+
+    from etl_sample_spark import catalog
+
+    base = REGISTRY["bitmap_exact_distinct_customers"].spark(spark, sf_dir)
+    got = {r.o_orderpriority: r.n_customers for r in base.collect()}
+    orders = catalog.table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__bm_inv_orders")
+    for shards in (1, 3, 32):
+        alt = spark.sql(
+            f"""
+            WITH sharded AS (
+              SELECT o_orderpriority, o_orderkey % {shards} AS shard,
+                     bitmap_bucket_number(o_custkey) AS page,
+                     bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+              FROM __bm_inv_orders
+              GROUP BY 1, 2, 3),
+            merged AS (
+              SELECT o_orderpriority, page, bitmap_or_agg(b) AS b
+              FROM sharded GROUP BY 1, 2)
+            SELECT o_orderpriority, SUM(bitmap_count(b)) AS n
+            FROM merged GROUP BY 1
+            """
+        )
+        assert {r.o_orderpriority: r.n for r in alt.collect()} == got, shards
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == exact
