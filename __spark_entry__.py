@@ -93,6 +93,11 @@ _FRONT_PINS = [
     # and SQL:2023 listagg WITHIN GROUP (oracle string_agg ORDER BY).
     "bitmap_exact_distinct_customers",
     "listagg_nations_per_region",
+    # r10 batch 7: MAD robust outliers (50% breakdown point vs the
+    # sigma-clip family) and positional phrase retrieval (zip_with
+    # bigram postings, broadcast phrase probe).
+    "mad_outlier_prices_by_brand",
+    "phrase_search_top_bigram",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -4348,3 +4348,63 @@ def epoch_shuffle_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard", "shard_pos")
     )
+
+
+_BIGRAMS_EXPR = (
+    "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+    "(a, b) -> concat(a, ' ', b))"
+)
+
+
+@register(
+    "phrase_search_top_bigram",
+    """
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id, CAST(r.i AS INT) AS pos, l[r.i + 1] || ' ' || l[r.i + 2] AS ph
+      FROM tok, UNNEST(RANGE(GREATEST(LEN(l) - 1, 0))) AS r(i)),
+    top AS (SELECT ph FROM bg GROUP BY ph ORDER BY COUNT(*) DESC, ph LIMIT 1)
+    SELECT b.doc_id,
+           b.ph AS phrase,
+           COUNT(*) AS n_occ,
+           CAST(MIN(b.pos) AS INT) AS first_pos
+    FROM bg b JOIN top t ON b.ph = t.ph
+    GROUP BY b.doc_id, b.ph
+    ORDER BY b.doc_id
+    """,
+    doc="PHRASE retrieval over a positional index — the tier above "
+    "bag-of-words BM25: adjacent-token pairs are materialized map-only "
+    "with zip_with over the token array and its own tail (no "
+    "positional self-join, no shuffle to build), the corpus-wide top "
+    "bigram is selected deterministically (count desc, phrase asc — "
+    "the 'query' is derived from the data so the test is "
+    "self-contained), and every document containing it is returned "
+    "with occurrence count and first 0-based position. At 100 TB the "
+    "phrase probe is one broadcast of the query phrase against the "
+    "(token-pair, doc, pos) postings — an equi-join, never a "
+    "position-arithmetic theta join. Oracle rebuilds the identical "
+    "positional postings with UNNEST(RANGE(...)). Reference analog: "
+    "none ([EXT] positional inverted index).",
+)
+def phrase_search_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.posexplode(F.expr(_BIGRAMS_EXPR)).alias("pos", "ph"))
+    top = (
+        bg.groupBy("ph")
+        .count()
+        .orderBy(F.desc("count"), "ph")
+        .limit(1)
+        .select("ph")
+    )
+    return (
+        bg.join(F.broadcast(top), "ph")
+        .groupBy("doc_id", "ph")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+        .select("doc_id", F.col("ph").alias("phrase"), "n_occ", "first_pos")
+        .orderBy("doc_id")
+    )

@@ -937,3 +937,65 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name
         """
     )
+
+
+@register(
+    "mad_outlier_prices_by_brand",
+    """
+    WITH med AS (
+      SELECT p_brand, QUANTILE_CONT(p_retailprice, 0.5) AS med
+      FROM part GROUP BY p_brand),
+    dev AS (
+      SELECT p.p_brand, p.p_retailprice, m.med,
+             ABS(p.p_retailprice - m.med) AS adev
+      FROM part p JOIN med m ON p.p_brand = m.p_brand),
+    mad AS (
+      SELECT p_brand, QUANTILE_CONT(adev, 0.5) AS mad
+      FROM dev GROUP BY p_brand)
+    SELECT d.p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN d.adev > 3.0::DOUBLE * 1.4826::DOUBLE * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(d.med), 4) AS median_price,
+           ROUND(MAX(m.mad), 4) AS mad_price
+    FROM dev d JOIN mad m ON d.p_brand = m.p_brand
+    GROUP BY d.p_brand
+    ORDER BY d.p_brand
+    """,
+    doc="Robust outlier detection via Median Absolute Deviation: per "
+    "brand, median and MAD (median of |x - median|), then the classic "
+    "3-sigma-equivalent flag |x - med| > 3 * 1.4826 * MAD — the "
+    "consistency constant makes MAD estimate sigma under normality, "
+    "but unlike mean/stddev the estimator has a 50% breakdown point, "
+    "so the outliers themselves cannot drag the threshold (the failure "
+    "mode of the sigma-clip family on heavy-tailed measurement "
+    "columns). Exact medians both sides (Spark percentile == DuckDB "
+    "QUANTILE_CONT linear interpolation, the established r8 pairing). "
+    "100 TB shape: two grouped exact percentiles + one broadcast-sized "
+    "per-brand stats join back onto the scan. Reference analog: none "
+    "([EXT] robust statistics).",
+)
+def mad_outlier_prices_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    med = part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("med")
+    )
+    dev = part.join(F.broadcast(med), "p_brand").withColumn(
+        "adev", F.abs(F.col("p_retailprice") - F.col("med"))
+    )
+    mad = dev.groupBy("p_brand").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("med"), 4).alias("median_price"),
+            F.round(F.max("mad"), 4).alias("mad_price"),
+        )
+        .orderBy("p_brand")
+    )

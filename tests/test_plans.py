@@ -598,3 +598,48 @@ def test_bitmap_distinct_is_shard_invariant_and_exact(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_mad_threshold_resists_planted_outliers(spark):
+    """MAD's 50% breakdown point, demonstrated: planting extreme
+    outliers must leave the MAD-based threshold (and the other rows'
+    verdicts) unchanged, where a mean+stddev threshold would inflate
+    and mask them."""
+    import pyspark.sql.functions as F
+
+    base = [(float(900 + i),) for i in range(20)]
+    planted = base + [(1e9,), (2e9,)]
+    df = spark.createDataFrame(planted, "price double")
+    stats = df.agg(
+        F.expr("percentile(price, 0.5)").alias("med"),
+    ).head()
+    dev = df.withColumn("adev", F.abs(F.col("price") - F.lit(stats.med)))
+    mad = dev.agg(F.expr("percentile(adev, 0.5)").alias("mad")).head().mad
+    thr = 3.0 * 1.4826 * mad
+    n_out = dev.where(F.col("adev") > thr).count()
+    assert n_out == 2  # exactly the planted points
+    # the sigma-clip twin is blinded by its own outliers: mean+3*stddev
+    # exceeds 1e9 is false — stddev inflates so much that only the MORE
+    # extreme plant survives (or none); MAD catches both.
+    s = df.agg(F.avg("price").alias("m"), F.stddev_samp("price").alias("sd")).head()
+    n_sigma = df.where(F.col("price") > s.m + 3.0 * s.sd).count()
+    assert n_sigma < 2
+
+
+def test_phrase_search_occurrences_match_python_twin(spark, sf_dir):
+    """Every (doc, n_occ, first_pos) row must equal a direct Python
+    recount of the winning bigram over the raw text."""
+    from etl_sample_spark import catalog
+
+    rows = REGISTRY["phrase_search_top_bigram"].spark(spark, sf_dir).collect()
+    assert rows, "top bigram matched no documents"
+    phrase = rows[0].phrase
+    assert all(r.phrase == phrase for r in rows)
+    want = {}
+    for d in catalog.table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = d.text.split(" ")
+        hits = [i for i in range(len(toks) - 1) if f"{toks[i]} {toks[i+1]}" == phrase]
+        if hits:
+            want[d.doc_id] = (len(hits), hits[0])
+    got = {r.doc_id: (r.n_occ, r.first_pos) for r in rows}
+    assert got == want
