@@ -670,3 +670,43 @@ def test_rolling_zscore_core_is_split_invariant(vals, split):
         got.extend(out)
     assert got == whole
     assert state == state_whole
+
+
+_WORDS_DEDUP = ["amber", "birch", "cobalt", "dune", "ember", "flint"]
+_TEXT = st.lists(st.sampled_from(_WORDS_DEDUP), min_size=0, max_size=6).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    corpus_texts=st.lists(_TEXT, min_size=1, max_size=4),
+    new_texts=st.lists(_TEXT, min_size=1, max_size=4),
+)
+def test_incremental_dedup_verdict_invariants(spark, corpus_texts, new_texts):
+    """For ANY corpus/new split over a tiny vocabulary:
+    (1) every new doc gets exactly one verdict;
+    (2) exact_dup <=> the text is byte-identical to some corpus text;
+    (3) a <3-token doc that is not an exact dup is ALWAYS kept (the
+        sentinel-collision fix: no content signal => no near verdict)."""
+    from etl_sample_spark.operators.dedup import incremental_dedup_verdicts
+
+    corpus = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(new_texts)], "doc_id long, text string"
+    )
+    rows = incremental_dedup_verdicts(new, corpus).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(new_texts)))  # (1)
+    corpus_set = set(corpus_texts)
+    for r in rows:
+        text = new_texts[r.doc_id]
+        if text in corpus_set:
+            assert r.verdict == "exact_dup", (text, r.verdict)  # (2) =>
+        else:
+            assert r.verdict != "exact_dup", (text, r.verdict)  # (2) <=
+            if len(text.split(" ")) < 3:
+                assert r.verdict == "kept", (text, r.verdict)  # (3)
