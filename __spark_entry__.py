@@ -98,6 +98,9 @@ _FRONT_PINS = [
     # bigram postings, broadcast phrase probe).
     "mad_outlier_prices_by_brand",
     "phrase_search_top_bigram",
+    # r10 batch 7: single-pass Deequ-class column profiling (oracle is
+    # deliberately per-column UNION ALL; engine fuses to one scan).
+    "profile_columns_orders",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

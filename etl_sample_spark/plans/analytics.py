@@ -1631,3 +1631,39 @@ def observe_quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, obs = quality_gate_orders(_t(spark, sf_dir, "orders"))
     LAST_QUALITY_GATE_OBSERVATION = obs
     return result
+
+
+_ORDERS_PROFILE_SPECS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    from etl_sample_spark.operators.profiling import profile_oracle_sql
+
+    return profile_oracle_sql("orders", _ORDERS_PROFILE_SPECS)
+
+
+@register(
+    "profile_columns_orders",
+    _profile_oracle(),
+    doc="Single-pass column profiling (the Deequ-class data-profile "
+    "report): per column of orders — row count, null count, EXACT "
+    "distinct count, and type-appropriate min/max. The engine side is "
+    "ONE aggregate over ONE scan (multi-countDistinct plans via Expand; "
+    "the wide stats row is unpivoted to the report with stack), so "
+    "profiling a 100 TB table costs a single read regardless of column "
+    "count — the oracle deliberately recomputes per column with UNION "
+    "ALL branches, so the single-pass fusion itself is what the hash "
+    "check verifies. operators/profiling.py::profile_columns. "
+    "Reference analog: none ([EXT] data profiling).",
+)
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.profiling import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"), _ORDERS_PROFILE_SPECS)

@@ -643,3 +643,22 @@ def test_phrase_search_occurrences_match_python_twin(spark, sf_dir):
             want[d.doc_id] = (len(hits), hits[0])
     got = {r.doc_id: (r.n_occ, r.first_pos) for r in rows}
     assert got == want
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The whole-table profile must read the table ONCE — one parquet
+    scan node no matter how many columns are profiled (the oracle's
+    per-column UNION ALL is the shape the engine must NOT plan)."""
+    from tests.conftest import simple_plan
+
+    df = REGISTRY["profile_columns_orders"].spark(spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("Scan parquet") == 1, p
+    rows = {r.column_name: r for r in df.collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    # sanity: key column is unique and non-null
+    k = rows["o_orderkey"]
+    assert k.n_null == 0 and k.n_distinct == k.n_rows
