@@ -101,6 +101,9 @@ _FRONT_PINS = [
     # r10 batch 7: single-pass Deequ-class column profiling (oracle is
     # deliberately per-column UNION ALL; engine fuses to one scan).
     "profile_columns_orders",
+    # r10 batch 7: gaps-and-islands streak detection (date minus dense
+    # row number is constant within a consecutive run).
+    "longest_daily_streak_per_user",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -455,3 +455,61 @@ def bounce_rate_by_usertype(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "longest_daily_streak_per_user",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_islands
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands (MATCH_RECOGNIZE-lite): longest run of "
+    "CONSECUTIVE calendar days with activity per user. The classic "
+    "trick — date minus dense row number is CONSTANT exactly within a "
+    "consecutive run — turns sequence-pattern detection into a plain "
+    "groupBy, so the whole pattern costs one (user) window + one "
+    "(user, island) aggregate: no self-join, no iteration, no UDF, "
+    "and it scales as ordinary keyed shuffles at 100 TB. Emits per "
+    "user the longest streak, total active days, and number of "
+    "distinct runs. Identical SQL on both engines. Reference analog: "
+    "none ([EXT] sequence patterns).",
+)
+def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .orderBy("user_id")
+    )

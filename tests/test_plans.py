@@ -662,3 +662,40 @@ def test_profile_is_single_scan(spark, sf_dir):
     # sanity: key column is unique and non-null
     k = rows["o_orderkey"]
     assert k.n_null == 0 and k.n_distinct == k.n_rows
+
+
+def test_streak_islands_match_python_twin(spark, sf_dir):
+    """The islands trick must reproduce a direct Python streak scan of
+    each user's sorted active-day set."""
+    import datetime
+
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    rows = {
+        r.user_id: (r.longest_streak, r.n_active_days, r.n_islands)
+        for r in REGISTRY["longest_daily_streak_per_user"].spark(spark, sf_dir).collect()
+    }
+    days = (
+        catalog.table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict = {}
+    for r in days:
+        by_user.setdefault(r.user_id, []).append(r.d)
+    want = {}
+    for u, ds in by_user.items():
+        ds.sort()
+        longest = cur = 1
+        islands = 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                islands += 1
+                cur = 1
+            longest = max(longest, cur)
+        want[u] = (longest, len(ds), islands)
+    assert rows == want
