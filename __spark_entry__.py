@@ -104,6 +104,9 @@ _FRONT_PINS = [
     # r10 batch 7: gaps-and-islands streak detection (date minus dense
     # row number is constant within a consecutive run).
     "longest_daily_streak_per_user",
+    # r10 batch 7: interpolated bigram LM scoring (order-sensitive
+    # quality signal; LN/ROUND(,6) discipline like the unigram tier).
+    "bigram_interp_logprob_score",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

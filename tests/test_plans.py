@@ -169,6 +169,7 @@ _SCALAR_SUBQUERY = {
     "tfidf_sample_docs",
     "heavy_hitters_tokens",  # one-row total-token-count broadcast
     "unigram_logprob_score",  # same one-row totals broadcast
+    "bigram_interp_logprob_score",  # same one-row totals broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -699,3 +700,23 @@ def test_streak_islands_match_python_twin(spark, sf_dir):
             longest = max(longest, cur)
         want[u] = (longest, len(ds), islands)
     assert rows == want
+
+
+def test_bigram_interp_sees_word_order_where_unigram_cannot(spark):
+    """Two docs with the IDENTICAL bag of words but different orders:
+    the unigram model scores them equally by construction; the
+    interpolated bigram model must score the implausible-transition doc
+    strictly lower — word order is exactly what the bigram tier adds."""
+    from etl_sample_spark.plans.llm import bigram_interp_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y"),   # alternating: frequent transitions
+            (2, "x x x x y y y y"),   # same bag, rare transitions
+            (3, "x y x y x y x y"),   # more support for the alternating pattern
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_interp_logprob for r in bigram_interp_scores(docs).collect()}
+    assert got[1] == got[3]
+    assert got[2] < got[1], got
