@@ -76,6 +76,10 @@ FLAGSHIP = (
     # r10 addition: the cross-snapshot dedup probe — digest semi join +
     # band-index probe; both sides grow 10×, the probe must stay linear.
     "incremental_dedup_new_vs_corpus",
+    # r10 batch 7: the heaviest new analytic shape — map-only bigram
+    # stream + three model-table equi-joins + per-doc agg; the model
+    # tables grow sub-linearly (vocabulary), the stream linearly.
+    "bigram_interp_logprob_score",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
