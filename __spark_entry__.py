@@ -107,6 +107,9 @@ _FRONT_PINS = [
     # r10 batch 7: interpolated bigram LM scoring (order-sensitive
     # quality signal; LN/ROUND(,6) discipline like the unigram tier).
     "bigram_interp_logprob_score",
+    # r10 batch 8: order-dependent clamped recurrence as a JVM
+    # higher-order fold (sort_array + F.aggregate; oracle list_reduce).
+    "clamped_inventory_balance_suppliers",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

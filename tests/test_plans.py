@@ -720,3 +720,43 @@ def test_bigram_interp_sees_word_order_where_unigram_cannot(spark):
     got = {r.doc_id: r.avg_interp_logprob for r in bigram_interp_scores(docs).collect()}
     assert got[1] == got[3]
     assert got[2] < got[1], got
+
+
+def test_clamped_fold_matches_python_and_differs_from_plain_sum(spark, sf_dir):
+    """The clamp must be load-bearing (some supplier's balance differs
+    from the naive max(sum, 0)) and the fold must equal a direct Python
+    replay of each supplier's ordered movements."""
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    got = {
+        r.l_suppkey: (r.n_moves, r.final_balance)
+        for r in REGISTRY["clamped_inventory_balance_suppliers"].spark(spark, sf_dir).collect()
+    }
+    rows = (
+        catalog.table(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("bigint"))
+            .otherwise(-F.col("l_quantity").cast("bigint"))
+            .alias("d"),
+        )
+        .collect()
+    )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.l_suppkey, []).append(
+            (r.l_shipdate, r.l_orderkey, r.l_linenumber, r.d)
+        )
+    want = {}
+    plain_differs = 0
+    for k, mvs in by_key.items():
+        mvs.sort()
+        bal = 0
+        for *_key, d in mvs:
+            bal = max(bal + d, 0)
+        want[k] = (len(mvs), bal)
+        if bal != max(sum(m[3] for m in mvs), 0):
+            plain_differs += 1
+    assert got == want
+    assert plain_differs > 0, "clamp never fired — query degenerates to a plain sum"
