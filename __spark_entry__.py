@@ -110,6 +110,11 @@ _FRONT_PINS = [
     # r10 batch 8: order-dependent clamped recurrence as a JVM
     # higher-order fold (sort_array + F.aggregate; oracle list_reduce).
     "clamped_inventory_balance_suppliers",
+    # r10 batch 9: exact-sum proportional allocation (largest
+    # remainder, pure integer math) and change-point run-length
+    # timeline compaction (lag + cumulative change flags).
+    "largest_remainder_allocation",
+    "state_runs_per_user",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -1667,3 +1667,73 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.profiling import profile_columns
 
     return profile_columns(_t(spark, sf_dir, "orders"), _ORDERS_PROFILE_SPECS)
+
+
+@register(
+    "largest_remainder_allocation",
+    """
+    WITH grp AS (
+      SELECT o_orderpriority AS pri,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT SUM(n) AS tn FROM grp),
+    quota AS (
+      SELECT pri, n,
+             CAST(FLOOR(n * 1000 / tn) AS BIGINT) AS base,
+             (n * 1000) % tn AS rem
+      FROM grp CROSS JOIN tot),
+    ranked AS (
+      SELECT pri, n, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, pri) AS rk,
+             1000 - SUM(base) OVER () AS leftover
+      FROM quota)
+    SELECT pri,
+           n AS n_orders,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS seats
+    FROM ranked
+    ORDER BY pri
+    """,
+    doc="EXACT-SUM proportional allocation (largest-remainder / "
+    "Hamilton method): distribute 1000 'seats' across order priorities "
+    "proportionally to volume such that the allocations sum to EXACTLY "
+    "1000 — naive per-group rounding violates the total (the classic "
+    "budget/quota bug). Pure integer arithmetic end to end (floor "
+    "quotas via integer division, remainders ranked, the leftover "
+    "seats go to the largest remainders with a deterministic "
+    "tie-break), so the oracle is bit-exact with no float rounding "
+    "anywhere. Shape: one grouped count + one broadcast total + one "
+    "tiny window over group-cardinality rows. Reference analog: none "
+    "([EXT] constrained allocation).",
+)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    grp = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = grp.agg(F.sum("n").alias("tn"))
+    quota = grp.crossJoin(F.broadcast(tot)).select(
+        "pri",
+        "n",
+        F.floor(F.col("n") * 1000 / F.col("tn")).cast("bigint").alias("base"),
+        ((F.col("n") * 1000) % F.col("tn")).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.desc("rem"), "pri")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = quota.select(
+        "pri",
+        "n",
+        "base",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(1000) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "pri",
+        F.col("n").alias("n_orders"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("seats"),
+    ).orderBy("pri")

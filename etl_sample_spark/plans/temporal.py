@@ -513,3 +513,84 @@ def longest_daily_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "state_runs_per_user",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(run_id AS BIGINT) AS run_id,
+           event_type,
+           COUNT(*) AS n_events,
+           MIN(ts) AS run_start,
+           MAX(ts) AS run_end
+    FROM runs
+    GROUP BY user_id, run_id, event_type
+    ORDER BY user_id, run_id
+    """,
+    doc="Run-length encoding of an event-state TIMELINE (change-point "
+    "runs): consecutive same-type events per user collapse into one "
+    "run with start/end/count — the general form of gaps-and-islands "
+    "for VALUE changes rather than date gaps, via the lag-compare + "
+    "cumulative-sum-of-change-flags trick (run_id is constant exactly "
+    "between change points). The compacted timeline is how state "
+    "histories are stored at scale (RLE rows instead of raw events). "
+    "Deterministic (ts, event_id) ordering makes arrival order "
+    "irrelevant. Shape: ONE keyed sort serves both windows, then one "
+    "keyed agg — Catalyst reuses the (user_id) partitioning across "
+    "lag, running sum and groupBy. Reference analog: none ([EXT] "
+    "change-point compaction).",
+)
+def state_runs_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").cast("timestamp").alias("run_start"),
+            F.max("ts").cast("timestamp").alias("run_end"),
+        )
+        .select(
+            "user_id",
+            F.col("run_id").cast("bigint").alias("run_id"),
+            "event_type",
+            "n_events",
+            "run_start",
+            "run_end",
+        )
+        .orderBy("user_id", "run_id")
+    )

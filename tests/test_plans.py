@@ -170,6 +170,7 @@ _SCALAR_SUBQUERY = {
     "heavy_hitters_tokens",  # one-row total-token-count broadcast
     "unigram_logprob_score",  # same one-row totals broadcast
     "bigram_interp_logprob_score",  # same one-row totals broadcast
+    "largest_remainder_allocation",  # one-row grand-total broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -760,3 +761,49 @@ def test_clamped_fold_matches_python_and_differs_from_plain_sum(spark, sf_dir):
             plain_differs += 1
     assert got == want
     assert plain_differs > 0, "clamp never fired — query degenerates to a plain sum"
+
+
+def test_allocation_sums_exactly_and_stays_proportional(spark, sf_dir):
+    """Largest-remainder allocation: seats must sum to EXACTLY 1000
+    (the property naive rounding violates) and each group's seats must
+    sit within 1 of its unrounded proportional quota."""
+    rows = REGISTRY["largest_remainder_allocation"].spark(spark, sf_dir).collect()
+    total_orders = sum(r.n_orders for r in rows)
+    assert sum(r.seats for r in rows) == 1000
+    for r in rows:
+        quota = r.n_orders * 1000 / total_orders
+        assert abs(r.seats - quota) < 1.0, (r.pri, r.seats, quota)
+
+
+def test_state_runs_compact_correctly(spark, sf_dir):
+    """RLE invariants: adjacent runs always change type, run counts sum
+    to the raw event count, run_ids are dense from 1 — plus a direct
+    Python replay of one user's full timeline."""
+    from etl_sample_spark import catalog
+
+    rows = REGISTRY["state_runs_per_user"].spark(spark, sf_dir).collect()
+    ev = catalog.table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, runs in by_user.items():
+        runs.sort(key=lambda r: r.run_id)
+        assert [r.run_id for r in runs] == list(range(1, len(runs) + 1)), u
+        for a, b in zip(runs, runs[1:]):
+            assert a.event_type != b.event_type, (u, a.run_id)
+            assert a.run_end <= b.run_start, (u, a.run_id)
+    # full replay for the busiest user
+    busiest = max(by_user, key=lambda u: sum(r.n_events for r in by_user[u]))
+    seq = sorted(
+        ev.where(ev.user_id == busiest).select("ts", "event_id", "event_type").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    want = []
+    for r in seq:
+        if want and want[-1][0] == r.event_type:
+            want[-1][1] += 1
+        else:
+            want.append([r.event_type, 1])
+    got = [[r.event_type, r.n_events] for r in by_user[busiest]]
+    assert got == want
