@@ -115,6 +115,9 @@ _FRONT_PINS = [
     # timeline compaction (lag + cumulative change flags).
     "largest_remainder_allocation",
     "state_runs_per_user",
+    # r10 batch 10: period-over-period revenue bridge (exact decimal,
+    # foots to the total net change by construction).
+    "revenue_bridge_customers",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

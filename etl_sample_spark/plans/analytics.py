@@ -1737,3 +1737,78 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seats"),
     ).orderBy("pri")
+
+
+@register(
+    "revenue_bridge_customers",
+    """
+    WITH a AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+    b AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+    j AS (
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS k,
+             COALESCE(a.rev, 0) AS ra, COALESCE(b.rev, 0) AS rb
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey),
+    cls AS (
+      SELECT k, ra, rb,
+             CASE WHEN ra = 0 THEN 'new'
+                  WHEN rb = 0 THEN 'churned'
+                  WHEN rb > ra THEN 'expansion'
+                  WHEN rb < ra THEN 'contraction'
+                  ELSE 'flat' END AS segment
+      FROM j)
+    SELECT segment,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(rb - ra) AS VARCHAR) AS DOUBLE) AS rev_delta
+    FROM cls
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc="Revenue BRIDGE (waterfall decomposition): the 1995→1996 net "
+    "revenue change split into its causal segments — new customers, "
+    "churned, expansion, contraction — via two period aggregates "
+    "full-outer joined per customer and classified. The per-segment "
+    "deltas sum EXACTLY to the total net change (exact decimal "
+    "arithmetic end to end; a float bridge visibly fails to foot, the "
+    "classic finance-report bug), and the foot-to-total property is "
+    "pinned in pytest. Shape: two filtered grouped aggregates over one "
+    "fact scan each + one key-partitioned full-outer join — all "
+    "ordinary keyed shuffles at 100 TB. Reference analog: none ([EXT] "
+    "period-over-period bridge).",
+)
+def revenue_bridge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def period(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        )
+
+    a, b = period(1995).alias("a"), period(1996).alias("b")
+    j = a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("a.rev"), F.lit(0).cast("decimal(18,2)")).alias("ra"),
+        F.coalesce(F.col("b.rev"), F.lit(0).cast("decimal(18,2)")).alias("rb"),
+    )
+    cls = j.select(
+        "ra",
+        "rb",
+        F.when(F.col("ra") == 0, "new")
+        .when(F.col("rb") == 0, "churned")
+        .when(F.col("rb") > F.col("ra"), "expansion")
+        .when(F.col("rb") < F.col("ra"), "contraction")
+        .otherwise("flat")
+        .alias("segment"),
+    )
+    return (
+        cls.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("rb") - F.col("ra")).cast("double").alias("rev_delta"),
+        )
+        .orderBy("segment")
+    )

@@ -807,3 +807,35 @@ def test_state_runs_compact_correctly(spark, sf_dir):
             want.append([r.event_type, 1])
     got = [[r.event_type, r.n_events] for r in by_user[busiest]]
     assert got == want
+
+
+def test_revenue_bridge_foots_to_total(spark, sf_dir):
+    """The bridge must FOOT: per-segment deltas sum exactly to the
+    total 1995->1996 net revenue change computed independently, and
+    every segment's sign matches its meaning."""
+    import pyspark.sql.functions as F
+
+    from etl_sample_spark import catalog
+
+    rows = {r.segment: r for r in REGISTRY["revenue_bridge_customers"].spark(spark, sf_dir).collect()}
+    orders = catalog.table(spark, sf_dir, "orders")
+
+    def total(year):
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"))
+            .head()
+            .t
+        )
+
+    want_delta = float(total(1996) - total(1995))
+    got_delta = sum(r.rev_delta for r in rows.values())
+    assert abs(got_delta - want_delta) < 1e-6, (got_delta, want_delta)
+    if "new" in rows:
+        assert rows["new"].rev_delta > 0
+    if "churned" in rows:
+        assert rows["churned"].rev_delta < 0
+    if "expansion" in rows:
+        assert rows["expansion"].rev_delta > 0
+    if "contraction" in rows:
+        assert rows["contraction"].rev_delta < 0
