@@ -118,6 +118,9 @@ _FRONT_PINS = [
     # r10 batch 10: period-over-period revenue bridge (exact decimal,
     # foots to the total net change by construction).
     "revenue_bridge_customers",
+    # r10 batch 11: exact two-sample KS drift statistic (integer-ratio
+    # ECDFs at every jump point; the shape-sensitive tier above PSI).
+    "ks_two_sample_click_vs_purchase",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

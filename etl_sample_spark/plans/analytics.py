@@ -1812,3 +1812,73 @@ def revenue_bridge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "ks_two_sample_click_vs_purchase",
+    """
+    WITH s AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    pts AS (SELECT v, SUM(g1) AS c1, SUM(g2) AS c2 FROM s GROUP BY v),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM pts),
+    ecdf AS (
+      SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM pts)
+    SELECT t.n1, t.n2,
+           MAX(ABS(e.cum1 * 1.0 / t.n1 - e.cum2 * 1.0 / t.n2)) AS ks_stat
+    FROM ecdf e CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+    doc="EXACT two-sample Kolmogorov-Smirnov statistic between the "
+    "click and purchase value distributions — the distribution-drift "
+    "test that sees SHAPE changes PSI's fixed binning smooths over: "
+    "per distinct value, both groups' counts; running sums give both "
+    "ECDFs at every jump point; KS = max |F1 - F2|. All counts are "
+    "exact integers and each ECDF value is one ratio of exact "
+    "integers, so the max is bit-deterministic cross-engine with no "
+    "rounding anywhere (the established exact-integer-ratio "
+    "discipline). Scale note: the ordered running sum here is one "
+    "global window over the DISTINCT-value points (same tier as the "
+    "registry's Pareto/RFM global rankings); the 100 TB form "
+    "range-partitions by value and adds per-partition offsets in a "
+    "second pass — and the mergeable-histogram query is the sketch "
+    "path when jump-point exactness isn't required. Reference analog: "
+    "none ([EXT] KS drift test).",
+)
+def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pts = (
+        ev.select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g2"),
+        )
+        .groupBy("v")
+        .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+    )
+    tot = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = pts.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1") * 1.0 / F.col("n1")
+                    - F.col("cum2") * 1.0 / F.col("n2")
+                )
+            ).alias("ks_stat")
+        )
+        .select("n1", "n2", "ks_stat")
+    )

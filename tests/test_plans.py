@@ -171,6 +171,7 @@ _SCALAR_SUBQUERY = {
     "unigram_logprob_score",  # same one-row totals broadcast
     "bigram_interp_logprob_score",  # same one-row totals broadcast
     "largest_remainder_allocation",  # one-row grand-total broadcast
+    "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -839,3 +840,32 @@ def test_revenue_bridge_foots_to_total(spark, sf_dir):
         assert rows["expansion"].rev_delta > 0
     if "contraction" in rows:
         assert rows["contraction"].rev_delta < 0
+
+
+def test_ks_statistic_matches_scipy_style_python_twin(spark, sf_dir):
+    """The KS statistic must equal a direct Python two-sample ECDF scan
+    (the scipy ks_2samp definition) on the same values."""
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    row = REGISTRY["ks_two_sample_click_vs_purchase"].spark(spark, sf_dir).head()
+    ev = (
+        catalog.table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r.value for r in ev if r.event_type == "click")
+    b = sorted(r.value for r in ev if r.event_type == "purchase")
+    assert (row.n1, row.n2) == (len(a), len(b))
+    import bisect
+
+    points = sorted(set(a) | set(b))
+    ks = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in points
+    )
+    assert row.ks_stat == ks
