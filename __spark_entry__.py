@@ -121,6 +121,9 @@ _FRONT_PINS = [
     # r10 batch 11: exact two-sample KS drift statistic (integer-ratio
     # ECDFs at every jump point; the shape-sensitive tier above PSI).
     "ks_two_sample_click_vs_purchase",
+    # r10 batch 11: support-pruned market-basket lift (top-K postings
+    # pair join; exact integer-ratio ranking).
+    "basket_lift_top_parts",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

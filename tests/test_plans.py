@@ -172,6 +172,7 @@ _SCALAR_SUBQUERY = {
     "bigram_interp_logprob_score",  # same one-row totals broadcast
     "largest_remainder_allocation",  # one-row grand-total broadcast
     "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
+    "basket_lift_top_parts",  # one-row order-total broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -869,3 +870,39 @@ def test_ks_statistic_matches_scipy_style_python_twin(spark, sf_dir):
         for v in points
     )
     assert row.ks_stat == ks
+
+
+def test_basket_lift_matches_python_twin(spark, sf_dir):
+    """Every (pair, n_ab, lift) must match a direct Python basket scan
+    restricted to the same top-20 parts."""
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_sample_spark import catalog
+
+    rows = REGISTRY["basket_lift_top_parts"].spark(spark, sf_dir).collect()
+    li = (
+        catalog.table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    freq = Counter(r.l_partkey for r in li)
+    top = set(
+        p for p, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    )
+    baskets: dict = {}
+    for r in li:
+        if r.l_partkey in top:
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len({r.l_orderkey for r in li})
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        for pa, pb in combinations(sorted(parts), 2):
+            pair_counts[(pa, pb)] += 1
+    want = {
+        (pa, pb): (n, n * n_orders / (freq[pa] * freq[pb]))
+        for (pa, pb), n in pair_counts.items()
+    }
+    got = {(r.pa, r.pb): (r.n_ab, r.lift) for r in rows}
+    assert got == want
