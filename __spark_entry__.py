@@ -124,6 +124,10 @@ _FRONT_PINS = [
     # r10 batch 11: support-pruned market-basket lift (top-K postings
     # pair join; exact integer-ratio ranking).
     "basket_lift_top_parts",
+    # r10 batch 11: Kaplan-Meier survival over customer lifetime with
+    # proper right-censoring (exp of running LN-sum = distributed
+    # cumulative product).
+    "kaplan_meier_customer_lifetime",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -530,3 +530,104 @@ def time_to_convert_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_users").over(w_cum) * F.lit(1.0) / F.sum("n_users").over(w_all)
         ).alias("cum_share"),
     ).orderBy("hours")
+
+
+@register(
+    "kaplan_meier_customer_lifetime",
+    """
+    WITH life AS (
+      SELECT o_custkey,
+             date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                              MAX(CAST(o_orderdate AS DATE))) AS t,
+             CASE WHEN MAX(CAST(o_orderdate AS DATE))
+                       < (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+                         - INTERVAL 180 DAY
+                  THEN 1 ELSE 0 END AS ev
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT COUNT(*) AS n FROM life),
+    pts AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) AS leaving
+      FROM life GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             tt.n - COALESCE(SUM(leaving) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM pts CROSS JOIN tot tt),
+    km AS (
+      SELECT t, d, n_risk,
+             ROUND(EXP(SUM(LN(1.0 - d * 1.0 / n_risk))
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+               AS survival
+      FROM risk WHERE d > 0)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           survival
+    FROM km
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival estimator over customer LIFETIME (days "
+    "between first and last order), with right-censoring done properly: "
+    "a customer whose last order falls within 180 days of the dataset "
+    "horizon is CENSORED (their lifetime is still running), not an "
+    "event — the distinction naive churn averages get wrong, biasing "
+    "lifetime low. S(t) = product over event times of (1 - d/n_at_risk) "
+    "computed as exp of a running LN-sum (the distributed form of a "
+    "cumulative product); d and n_at_risk are exact integers, LN ulp "
+    "noise sits far below ROUND(,6). Shape: one keyed agg (lifetimes), "
+    "one grouped agg (event times), one ordered window over the "
+    "event-time points (hundreds of rows, the global-ranking tier). "
+    "Reference analog: none ([EXT] survival analysis).",
+)
+def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("hmax")
+    )
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").alias("t"),
+            F.when(
+                F.col("last_d") < F.date_sub(F.col("hmax"), 180), 1
+            )
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    tot = life.agg(F.count(F.lit(1)).alias("n"))
+    pts = life.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = pts.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    km = risk.withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(w_run)
+            ),
+            6,
+        ),
+    ).where(F.col("d") > 0)
+    return km.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        "survival",
+    ).orderBy("t_days")

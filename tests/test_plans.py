@@ -173,6 +173,7 @@ _SCALAR_SUBQUERY = {
     "largest_remainder_allocation",  # one-row grand-total broadcast
     "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
     "basket_lift_top_parts",  # one-row order-total broadcast
+    "kaplan_meier_customer_lifetime",  # one-row horizon + total broadcasts
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -906,3 +907,44 @@ def test_basket_lift_matches_python_twin(spark, sf_dir):
     }
     got = {(r.pa, r.pb): (r.n_ab, r.lift) for r in rows}
     assert got == want
+
+
+def test_kaplan_meier_matches_lifelines_style_python_twin(spark, sf_dir):
+    """The KM curve must equal a textbook Python KM computation (event
+    times, at-risk counts, survival product) with right-censoring at
+    180 days before the horizon — and survival must be monotonically
+    non-increasing, starting below or at 1."""
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    rows = REGISTRY["kaplan_meier_customer_lifetime"].spark(spark, sf_dir).collect()
+    orders = catalog.table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .collect()
+    )
+    horizon = max(r.hi for r in per)
+    import datetime
+
+    cutoff = horizon - datetime.timedelta(days=180)
+    life = [((r.hi - r.lo).days, 1 if r.hi < cutoff else 0) for r in per]
+    n = len(life)
+    from collections import Counter
+
+    d_at = Counter(t for t, ev in life if ev)
+    leave_at = Counter(t for t, _ in life)
+    surv, want, removed = 1.0, [], 0
+    for t in sorted(leave_at):
+        n_risk = n - removed
+        if d_at.get(t, 0) > 0:
+            surv *= 1.0 - d_at[t] / n_risk
+            want.append((t, d_at[t], n_risk, round(surv, 6)))
+        removed += leave_at[t]
+    got = [(r.t_days, r.d_events, r.n_at_risk, r.survival) for r in rows]
+    assert got == want
+    vals = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[0] <= 1.0
