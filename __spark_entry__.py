@@ -128,6 +128,9 @@ _FRONT_PINS = [
     # proper right-censoring (exp of running LN-sum = distributed
     # cumulative product).
     "kaplan_meier_customer_lifetime",
+    # r10 batch 11: closed-form per-group OLS from exact moments
+    # (slope/intercept/r2; normal equations, zero residual passes).
+    "ols_price_on_quantity_by_flag",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -1956,3 +1956,77 @@ def basket_lift_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "pa", "pb")
     )
+
+
+@register(
+    "ols_price_on_quantity_by_flag",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*)                                            AS n,
+             SUM(CAST(l_quantity AS BIGINT))                     AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)))         AS sy,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(l_extendedprice AS DECIMAL(18,2)))       AS sxy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2)))       AS syy
+      FROM lineitem GROUP BY l_returnflag),
+    c AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(CAST(n AS DECIMAL(38,4)) * sxy
+                       - CAST(sx AS DECIMAL(38,4)) * sy AS VARCHAR) AS DOUBLE) AS sxy_c,
+             CAST(CAST(CAST(n AS DECIMAL(38,4)) * CAST(sxx AS DECIMAL(38,4))
+                       - CAST(sx AS DECIMAL(38,4)) * CAST(sx AS DECIMAL(38,4))
+                  AS VARCHAR) AS DOUBLE) AS sxx_c,
+             CAST(CAST(CAST(n AS DECIMAL(38,4)) * syy - sy * sy AS VARCHAR) AS DOUBLE) AS syy_c,
+             CAST(CAST(sy * CAST(sxx AS DECIMAL(38,4))
+                       - CAST(sx AS DECIMAL(38,4)) * sxy AS VARCHAR) AS DOUBLE) AS int_num
+      FROM m)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(sxy_c / sxx_c, 6) AS slope,
+           ROUND(int_num / sxx_c, 6) AS intercept,
+           ROUND(sxy_c * sxy_c / (sxx_c * syy_c), 6) AS r2
+    FROM c
+    ORDER BY l_returnflag
+    """,
+    doc="Closed-form OLS per group (price regressed on quantity per "
+    "return flag) from EXACT moments — the distributed-regression "
+    "pattern: the fit never iterates, it is five map-side-combinable "
+    "partials per group (same exact BIGINT/DECIMAL moment discipline "
+    "as correlation_qty_price_exact) plugged into the normal "
+    "equations, with the intercept in its all-exact-numerator form "
+    "(ΣyΣxx − ΣxΣxy)/(nΣxx − Σx²) so no intermediate rounding "
+    "leaks. slope/intercept/r² are ratios of identically-computed "
+    "exact numbers, ROUND(,6) absorbs the final-division ulp. At "
+    "100 TB this is how per-segment elasticities/trends are fit: one "
+    "aggregate, zero passes over residuals. Reference analog: none "
+    "([EXT] closed-form regression).",
+)
+def ols_price_on_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * price).alias("sxy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price * price).alias("syy"),
+    )
+    n_d = F.col("n").cast("decimal(38,4)")
+    sx_d = F.col("sx").cast("decimal(38,4)")
+    sxx_d = F.col("sxx").cast("decimal(38,4)")
+    sxy_c = (n_d * F.col("sxy") - sx_d * F.col("sy")).cast("double")
+    sxx_c = (n_d * sxx_d - sx_d * sx_d).cast("double")
+    syy_c = (n_d * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    int_num = (F.col("sy") * sxx_d - sx_d * F.col("sxy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(sxy_c / sxx_c, 6).alias("slope"),
+        F.round(int_num / sxx_c, 6).alias("intercept"),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
+    ).orderBy("l_returnflag")

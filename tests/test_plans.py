@@ -948,3 +948,33 @@ def test_kaplan_meier_matches_lifelines_style_python_twin(spark, sf_dir):
     vals = [r.survival for r in rows]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
     assert vals[0] <= 1.0
+
+
+def test_ols_matches_numpy_least_squares(spark, sf_dir):
+    """slope/intercept/r2 per group must equal numpy's lstsq fit to 6dp
+    — the closed-form moments and the direct solver agree."""
+    import numpy as np
+
+    from etl_sample_spark import catalog
+
+    rows = {
+        r.l_returnflag: r
+        for r in REGISTRY["ols_price_on_quantity_by_flag"].spark(spark, sf_dir).collect()
+    }
+    li = catalog.table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append((r.l_quantity, r.l_extendedprice))
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        A = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), res, *_ = np.linalg.lstsq(A, y, rcond=None)
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - float(res[0]) / ss_tot
+        got = rows[flag]
+        assert abs(got.slope - slope) < 1e-5, (flag, got.slope, slope)
+        assert abs(got.intercept - intercept) < 1e-4, (flag, got.intercept, intercept)
+        assert abs(got.r2 - r2) < 1e-5, (flag, got.r2, r2)
