@@ -104,9 +104,6 @@ _FRONT_PINS = [
     # r10 batch 7: gaps-and-islands streak detection (date minus dense
     # row number is constant within a consecutive run).
     "longest_daily_streak_per_user",
-    # r10 batch 7: interpolated bigram LM scoring (order-sensitive
-    # quality signal; LN/ROUND(,6) discipline like the unigram tier).
-    "bigram_interp_logprob_score",
     # r10 batch 8: order-dependent clamped recurrence as a JVM
     # higher-order fold (sort_array + F.aggregate; oracle list_reduce).
     "clamped_inventory_balance_suppliers",
@@ -121,9 +118,6 @@ _FRONT_PINS = [
     # r10 batch 11: exact two-sample KS drift statistic (integer-ratio
     # ECDFs at every jump point; the shape-sensitive tier above PSI).
     "ks_two_sample_click_vs_purchase",
-    # r10 batch 11: support-pruned market-basket lift (top-K postings
-    # pair join; exact integer-ratio ranking).
-    "basket_lift_top_parts",
     # r10 batch 11: Kaplan-Meier survival over customer lifetime with
     # proper right-censoring (exp of running LN-sum = distributed
     # cumulative product).

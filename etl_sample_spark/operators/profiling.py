@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 def _agg_exprs(col: str, kind: str) -> list[Column]:
     c = F.col(col)
-    n_null = F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("bigint").alias(f"{col}__nn")
+    # count() is 0 (never NULL) over zero rows — matches the oracle's
+    # COUNT(*) - COUNT(col) on empty input, where SUM would yield NULL.
+    n_null = F.count(F.when(c.isNull(), F.lit(1))).cast("bigint").alias(f"{col}__nn")
     ndv = F.countDistinct(c).cast("bigint").alias(f"{col}__ndv")
     if kind == "num":
         lo = F.round(F.min(c).cast("double"), 2).alias(f"{col}__lo")

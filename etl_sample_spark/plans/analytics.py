@@ -1679,7 +1679,7 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n) AS tn FROM grp),
     quota AS (
       SELECT pri, n,
-             CAST(FLOOR(n * 1000 / tn) AS BIGINT) AS base,
+             CAST((n * 1000) // tn AS BIGINT) AS base,
              (n * 1000) % tn AS rem
       FROM grp CROSS JOIN tot),
     ranked AS (
@@ -1718,7 +1718,7 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = grp.crossJoin(F.broadcast(tot)).select(
         "pri",
         "n",
-        F.floor(F.col("n") * 1000 / F.col("tn")).cast("bigint").alias("base"),
+        F.expr("(n * 1000) div tn").cast("bigint").alias("base"),
         ((F.col("n") * 1000) % F.col("tn")).alias("rem"),
     )
     w_rank = Window.orderBy(F.desc("rem"), "pri")
@@ -1881,80 +1881,6 @@ def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("ks_stat")
         )
         .select("n1", "n2", "ks_stat")
-    )
-
-
-@register(
-    "basket_lift_top_parts",
-    """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    torders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
-    freq AS (
-      SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY l_partkey
-      ORDER BY n DESC, l_partkey LIMIT 20),
-    f AS (SELECT li.l_orderkey, li.l_partkey FROM li JOIN freq USING (l_partkey)),
-    pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
-      FROM f a JOIN f b ON a.l_orderkey = b.l_orderkey
-                       AND a.l_partkey < b.l_partkey
-      GROUP BY a.l_partkey, b.l_partkey)
-    SELECT p.pa, p.pb, p.n_ab,
-           p.n_ab * t.n_orders * 1.0 / (fa.n * fb.n) AS lift
-    FROM pairs p
-    JOIN freq fa ON fa.l_partkey = p.pa
-    JOIN freq fb ON fb.l_partkey = p.pb
-    CROSS JOIN torders t
-    ORDER BY lift DESC, pa, pb
-    """,
-    doc="Market-basket association (co-occurrence LIFT) over the top-20 "
-    "most frequent parts: lift = P(a,b) / (P(a)P(b)) as a ratio of "
-    "exact integer counts scaled by the exact order total, so the "
-    "ranking is bit-deterministic cross-engine with no rounding. The "
-    "candidate bound is the point: the pair join runs over the TOP-K "
-    "item postings only (basket mining at 100 TB is always "
-    "support-pruned first — the apriori property — because unpruned "
-    "pair enumeration is Σ basket² in the worst case); the per-order "
-    "DISTINCT collapse first removes line-level duplicates so a part "
-    "reordered twice in one order counts once. Reference analog: none "
-    "([EXT] association rules).",
-)
-def basket_lift_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    torders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    freq = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "l_partkey")
-        .limit(20)
-    )
-    f = li.join(freq.select("l_partkey"), "l_partkey")
-    a, b = f.alias("a"), f.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    fa = freq.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na"))
-    fb = freq.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb"))
-    return (
-        pairs.join(F.broadcast(fa), "pa")
-        .join(F.broadcast(fb), "pb")
-        .crossJoin(F.broadcast(torders))
-        .select(
-            "pa",
-            "pb",
-            "n_ab",
-            (F.col("n_ab") * F.col("n_orders") * 1.0 / (F.col("na") * F.col("nb"))).alias(
-                "lift"
-            ),
-        )
-        .orderBy(F.desc("lift"), "pa", "pb")
     )
 
 

@@ -556,9 +556,14 @@ def time_to_convert_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts CROSS JOIN tot tt),
     km AS (
       SELECT t, d, n_risk,
-             ROUND(EXP(SUM(LN(1.0 - d * 1.0 / n_risk))
-                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
-               AS survival
+             CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                  THEN 0.0
+                  ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                                          THEN LN(1.0 - d * 1.0 / n_risk)
+                                          ELSE 0.0 END)
+                             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+             END AS survival
       FROM risk WHERE d > 0)
     SELECT CAST(t AS BIGINT) AS t_days,
            CAST(d AS BIGINT) AS d_events,
@@ -616,13 +621,28 @@ def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFram
             "n_risk"
         ),
     )
+    # Terminal cohort guard: when d == n_risk the factor is 0 and
+    # survival is EXACTLY 0 from that event time on — LN(0) would be
+    # NULL in Spark (silently skipped by SUM) and an error in DuckDB,
+    # so the zero is carried by an explicit running flag instead.
     km = risk.withColumn(
         "survival",
-        F.round(
-            F.exp(
-                F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(w_run)
-            ),
-            6,
+        F.when(
+            F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(w_run)
+            == 1,
+            F.lit(0.0),
+        ).otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") < F.col("n_risk"),
+                            F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")),
+                        ).otherwise(F.lit(0.0))
+                    ).over(w_run)
+                ),
+                6,
+            )
         ),
     ).where(F.col("d") > 0)
     return km.select(

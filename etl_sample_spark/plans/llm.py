@@ -4410,82 +4410,3 @@ def phrase_search_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_interp_logprob_score",
-    """
-    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents),
-    tok AS (SELECT doc_id, UNNEST(l) AS t FROM docs),
-    tot AS (SELECT COUNT(*) AS n FROM tok),
-    uni AS (SELECT t, COUNT(*) AS cu FROM tok GROUP BY t),
-    bg AS (
-      SELECT d.doc_id, d.l[r.i + 1] AS prev, d.l[r.i + 2] AS cur
-      FROM docs d, UNNEST(RANGE(GREATEST(LEN(d.l) - 1, 0))) AS r(i)),
-    bcnt AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY prev, cur),
-    pcnt AS (SELECT prev, SUM(cb) AS cp FROM bcnt GROUP BY prev)
-    SELECT g.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(SUM(LN(0.75::DOUBLE * (b.cb * 1.0 / p.cp)
-                        + 0.25::DOUBLE * (u.cu * 1.0 / tt.n))) / COUNT(*), 6)
-             AS avg_interp_logprob
-    FROM bg g
-    JOIN bcnt b ON b.prev = g.prev AND b.cur = g.cur
-    JOIN pcnt p ON p.prev = g.prev
-    JOIN uni u ON u.t = g.cur
-    CROSS JOIN tot tt
-    GROUP BY g.doc_id
-    ORDER BY g.doc_id
-    """,
-    doc="Interpolated BIGRAM language-model scoring — the tier above "
-    "unigram_logprob_score and the shape of the KenLM-style quality "
-    "filters used in corpus curation: per transition, "
-    "ln(0.75*P(cur|prev) + 0.25*P(cur)), averaged per document. "
-    "Interpolation with the unigram means word-salad with plausible "
-    "words but implausible TRANSITIONS now scores low (the unigram "
-    "model cannot see order at all). Self-scored, so every probe "
-    "bigram exists in the model — no smoothing constant to cloud the "
-    "oracle; LN ulp noise sits far below ROUND(,6). 100 TB shape: the "
-    "bigram stream is map-only (zip_with over the token array), the "
-    "model tables are two map-side-combinable counts, and scoring is "
-    "three equi-joins against them + one groupBy(doc_id). Docs with "
-    "<2 tokens have no transitions and are excluded identically on "
-    "both engines. Reference analog: none ([EXT] n-gram LM scoring).",
-)
-def bigram_interp_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bigram_interp_scores(_t(spark, sf_dir, "documents"))
-
-
-def bigram_interp_scores(docs: DataFrame) -> DataFrame:
-    """Score any (doc_id, text) frame under its own interpolated bigram
-    LM — factored out so tests can probe the ORDER-sensitivity property
-    on synthetic corpora (same bag of words, different transitions)."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    tok = toks.select("doc_id", F.explode("toks").alias("t"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
-    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
-    bg = toks.select(
-        "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("ph")
-    ).select(
-        "doc_id",
-        F.split(F.col("ph"), " ").getItem(0).alias("prev"),
-        F.split(F.col("ph"), " ").getItem(1).alias("cur"),
-    )
-    bcnt = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
-    pcnt = bcnt.groupBy("prev").agg(F.sum("cb").alias("cp"))
-    interp = (
-        0.75 * (F.col("cb") * 1.0 / F.col("cp"))
-        + 0.25 * (F.col("cu") * 1.0 / F.col("n"))
-    )
-    return (
-        bg.join(bcnt, ["prev", "cur"])
-        .join(pcnt, "prev")
-        .join(uni, F.col("cur") == F.col("t"))
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(F.log(interp)) / F.count(F.lit(1)), 6).alias(
-                "avg_interp_logprob"
-            ),
-        )
-        .orderBy("doc_id")
-    )

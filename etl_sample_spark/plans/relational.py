@@ -980,12 +980,19 @@ def mad_outlier_prices_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = part.groupBy("p_brand").agg(
         F.expr("percentile(p_retailprice, 0.5)").alias("med")
     )
-    dev = part.join(F.broadcast(med), "p_brand").withColumn(
-        "adev", F.abs(F.col("p_retailprice") - F.col("med"))
+    mad = (
+        part.join(F.broadcast(med), "p_brand")
+        .withColumn("adev", F.abs(F.col("p_retailprice") - F.col("med")))
+        .groupBy("p_brand")
+        .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     )
-    mad = dev.groupBy("p_brand").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    # one per-brand stats frame joined back onto the scan ONCE — keeps
+    # the lineage single-consumer so the scan and the median percentile
+    # are not silently re-executed per downstream branch
+    stats = med.join(mad, "p_brand")
     return (
-        dev.join(F.broadcast(mad), "p_brand")
+        part.join(F.broadcast(stats), "p_brand")
+        .withColumn("adev", F.abs(F.col("p_retailprice") - F.col("med")))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),

@@ -169,10 +169,8 @@ _SCALAR_SUBQUERY = {
     "tfidf_sample_docs",
     "heavy_hitters_tokens",  # one-row total-token-count broadcast
     "unigram_logprob_score",  # same one-row totals broadcast
-    "bigram_interp_logprob_score",  # same one-row totals broadcast
     "largest_remainder_allocation",  # one-row grand-total broadcast
     "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
-    "basket_lift_top_parts",  # one-row order-total broadcast
     "kaplan_meier_customer_lifetime",  # one-row horizon + total broadcasts
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
@@ -706,26 +704,6 @@ def test_streak_islands_match_python_twin(spark, sf_dir):
     assert rows == want
 
 
-def test_bigram_interp_sees_word_order_where_unigram_cannot(spark):
-    """Two docs with the IDENTICAL bag of words but different orders:
-    the unigram model scores them equally by construction; the
-    interpolated bigram model must score the implausible-transition doc
-    strictly lower — word order is exactly what the bigram tier adds."""
-    from etl_sample_spark.plans.llm import bigram_interp_scores
-
-    docs = spark.createDataFrame(
-        [
-            (1, "x y x y x y x y"),   # alternating: frequent transitions
-            (2, "x x x x y y y y"),   # same bag, rare transitions
-            (3, "x y x y x y x y"),   # more support for the alternating pattern
-        ],
-        "doc_id long, text string",
-    )
-    got = {r.doc_id: r.avg_interp_logprob for r in bigram_interp_scores(docs).collect()}
-    assert got[1] == got[3]
-    assert got[2] < got[1], got
-
-
 def test_clamped_fold_matches_python_and_differs_from_plain_sum(spark, sf_dir):
     """The clamp must be load-bearing (some supplier's balance differs
     from the naive max(sum, 0)) and the fold must equal a direct Python
@@ -871,42 +849,6 @@ def test_ks_statistic_matches_scipy_style_python_twin(spark, sf_dir):
         for v in points
     )
     assert row.ks_stat == ks
-
-
-def test_basket_lift_matches_python_twin(spark, sf_dir):
-    """Every (pair, n_ab, lift) must match a direct Python basket scan
-    restricted to the same top-20 parts."""
-    from collections import Counter
-    from itertools import combinations
-
-    from etl_sample_spark import catalog
-
-    rows = REGISTRY["basket_lift_top_parts"].spark(spark, sf_dir).collect()
-    li = (
-        catalog.table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .collect()
-    )
-    freq = Counter(r.l_partkey for r in li)
-    top = set(
-        p for p, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
-    )
-    baskets: dict = {}
-    for r in li:
-        if r.l_partkey in top:
-            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
-    n_orders = len({r.l_orderkey for r in li})
-    pair_counts: Counter = Counter()
-    for parts in baskets.values():
-        for pa, pb in combinations(sorted(parts), 2):
-            pair_counts[(pa, pb)] += 1
-    want = {
-        (pa, pb): (n, n * n_orders / (freq[pa] * freq[pb]))
-        for (pa, pb), n in pair_counts.items()
-    }
-    got = {(r.pa, r.pb): (r.n_ab, r.lift) for r in rows}
-    assert got == want
 
 
 def test_kaplan_meier_matches_lifelines_style_python_twin(spark, sf_dir):

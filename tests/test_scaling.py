@@ -79,7 +79,7 @@ FLAGSHIP = (
     # r10 batch 7: the heaviest new analytic shape — map-only bigram
     # stream + three model-table equi-joins + per-doc agg; the model
     # tables grow sub-linearly (vocabulary), the stream linearly.
-    "bigram_interp_logprob_score",
+    "bigram_lm_interpolated_score",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
