@@ -125,6 +125,11 @@ _FRONT_PINS = [
     # r10 batch 11: closed-form per-group OLS from exact moments
     # (slope/intercept/r2; normal equations, zero residual passes).
     "ols_price_on_quantity_by_flag",
+    # r10 batch 12: corpus-mix diagnostics — per-doc Shannon token
+    # entropy (distributional-collapse spam signal) and the Gini
+    # concentration coefficient (exact-decimal Lorenz summary).
+    "token_entropy_per_doc",
+    "gini_revenue_concentration",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

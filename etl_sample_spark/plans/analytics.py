@@ -1956,3 +1956,64 @@ def ols_price_on_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(int_num / sxx_c, 6).alias("intercept"),
         F.round(sxy_c * sxy_c / (sxx_c * syy_c), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "gini_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS i FROM rev),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(y) AS sy,
+             SUM(CAST(i AS DECIMAL(38,4)) * y) AS siy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS total_rev,
+           ROUND(CAST(CAST(2 * siy - CAST(n + 1 AS DECIMAL(38,4)) * sy
+                      AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(CAST(n AS DECIMAL(38,4)) * sy AS VARCHAR)
+                        AS DOUBLE), 6) AS gini
+    FROM m
+    """,
+    doc="Gini coefficient of customer revenue concentration — the "
+    "single-number Lorenz summary behind 'what share of spend sits in "
+    "the top customers' (and, for corpora, 'how concentrated is the "
+    "training mix in few sources'): G = (2Σi·y_i − (n+1)Σy)/(nΣy) over "
+    "ascending-sorted exact decimal revenues with integer ranks, so "
+    "numerator and denominator are EXACT decimals and the single final "
+    "division is deterministic (ROUND(,6) for the division ulp only; "
+    "deterministic (y, custkey) tie-break). The rank pass is one "
+    "global-ordering window (the registry's Pareto/RFM tier); the "
+    "mergeable-histogram query is the sketch path when a sorted pass "
+    "is too dear. Reference analog: none ([EXT] concentration "
+    "metrics).",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    ranked = rev.select(
+        "y", F.row_number().over(Window.orderBy("y", "o_custkey")).alias("i")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("i").cast("decimal(38,4)") * F.col("y")).alias("siy"),
+    )
+    num = (2 * F.col("siy") - (F.col("n") + 1).cast("decimal(38,4)") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n").cast("decimal(38,4)") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sy").cast("double").alias("total_rev"),
+        F.round(num / den, 6).alias("gini"),
+    )

@@ -4410,3 +4410,51 @@ def phrase_search_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "token_entropy_per_doc",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+    n AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(MAX(n.n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-SUM((c.c * 1.0 / n.n) * LN(c.c * 1.0 / n.n)), 6) AS entropy
+    FROM cnt c JOIN n ON n.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    doc="Shannon token entropy per document — the information-theoretic "
+    "repetitiveness signal for corpus curation (keyword-stuffed or "
+    "template spam has LOW entropy even when its token counts look "
+    "normal; the repetition-ratio heuristic catches adjacent repeats, "
+    "entropy catches distributional collapse anywhere in the doc). "
+    "H = -Σ (c/n) ln(c/n) over the doc's own token counts: c and n are "
+    "exact integers, each term is a pure function of an exact ratio, "
+    "and the per-doc sum is over that doc's distinct tokens only — "
+    "ROUND(,6) absorbs LN ulp, the established discipline. Map-shaped "
+    "at 100 TB: one (doc, token) count + one per-doc agg, no corpus-"
+    "wide state. Reference analog: none ([EXT] entropy filtering).",
+)
+def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )

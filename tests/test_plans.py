@@ -920,3 +920,54 @@ def test_ols_matches_numpy_least_squares(spark, sf_dir):
         assert abs(got.slope - slope) < 1e-5, (flag, got.slope, slope)
         assert abs(got.intercept - intercept) < 1e-4, (flag, got.intercept, intercept)
         assert abs(got.r2 - r2) < 1e-5, (flag, got.r2, r2)
+
+
+def test_entropy_flags_distributional_collapse(spark, sf_dir):
+    """Entropy properties: bounded by ln(n_distinct); a synthetic
+    repeated-token doc scores ~0 while a same-length all-distinct doc
+    scores ln(n) — the separation the filter exists for. Registry rows
+    must also match a direct Python recount for a sample."""
+    import math
+
+    from etl_sample_spark import catalog
+
+    rows = REGISTRY["token_entropy_per_doc"].spark(spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-6, r
+    # direct recount for the first 20 docs
+    docs = {
+        d.doc_id: d.text
+        for d in catalog.table(spark, sf_dir, "documents").limit(20).collect()
+    }
+    from collections import Counter
+
+    for r in rows:
+        if r.doc_id not in docs:
+            continue
+        c = Counter(docs[r.doc_id].split(" "))
+        n = sum(c.values())
+        h = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert r.entropy == round(h, 6), (r.doc_id, r.entropy, h)
+
+
+def test_gini_matches_python_and_sits_in_unit_interval(spark, sf_dir):
+    """Gini must equal the textbook Python computation over the same
+    revenues and land in [0, 1)."""
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    row = REGISTRY["gini_revenue_concentration"].spark(spark, sf_dir).head()
+    ys = sorted(
+        float(r.y)
+        for r in catalog.table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+        .collect()
+    )
+    n = len(ys)
+    siy = sum((i + 1) * y for i, y in enumerate(ys))
+    sy = sum(ys)
+    gini = (2 * siy - (n + 1) * sy) / (n * sy)
+    assert row.n_customers == n
+    assert abs(row.gini - gini) < 1e-6
+    assert 0.0 <= row.gini < 1.0
