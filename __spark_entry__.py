@@ -130,6 +130,9 @@ _FRONT_PINS = [
     # concentration coefficient (exact-decimal Lorenz summary).
     "token_entropy_per_doc",
     "gini_revenue_concentration",
+    # r10 batch 12: lag-1/lag-7 autocorrelation of daily revenue
+    # (exact-moment Pearson over lagged pairs; forecasting diagnostic).
+    "acf_daily_revenue",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -971,3 +971,28 @@ def test_gini_matches_python_and_sits_in_unit_interval(spark, sf_dir):
     assert row.n_customers == n
     assert abs(row.gini - gini) < 1e-6
     assert 0.0 <= row.gini < 1.0
+
+
+def test_acf_matches_numpy_pairwise_correlation(spark, sf_dir):
+    """Each lag's ACF must equal numpy's corrcoef over the same (y_t,
+    y_{t-k}) pairs built from the exact daily totals."""
+    import numpy as np
+
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    rows = {r.lag: r for r in REGISTRY["acf_daily_revenue"].spark(spark, sf_dir).collect()}
+    daily = (
+        catalog.table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+        .orderBy("d")
+        .collect()
+    )
+    y = np.array([float(r.y) for r in daily])
+    for k in (1, 7):
+        a, b = y[k:], y[:-k]
+        want = float(np.corrcoef(a, b)[0, 1])
+        got = rows[k]
+        assert got.n_pairs == len(a)
+        assert abs(got.acf - want) < 1e-6, (k, got.acf, want)
