@@ -133,6 +133,9 @@ _FRONT_PINS = [
     # r10 batch 12: lag-1/lag-7 autocorrelation of daily revenue
     # (exact-moment Pearson over lagged pairs; forecasting diagnostic).
     "acf_daily_revenue",
+    # r10 batch 12: chi-square independence test + Cramér's V (the
+    # significance layer over the crosstab tier).
+    "chi2_event_type_by_user_band",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

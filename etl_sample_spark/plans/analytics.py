@@ -2017,3 +2017,86 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").cast("double").alias("total_rev"),
         F.round(num / den, 6).alias("gini"),
     )
+
+
+@register(
+    "chi2_event_type_by_user_band",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(user_id % 4 AS INT) AS band, COUNT(*) AS o
+      FROM events GROUP BY event_type, CAST(user_id % 4 AS INT)),
+    rows_ AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    cols_ AS (SELECT band, SUM(o) AS c FROM obs GROUP BY band),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.o, obs.event_type, obs.band,
+             CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+               AS e,
+             t.n
+      FROM obs
+      JOIN rows_ r ON r.event_type = obs.event_type
+      JOIN cols_ c ON c.band = obs.band
+      CROSS JOIN tot t),
+    agg AS (
+      SELECT MAX(n) AS n,
+             COUNT(DISTINCT event_type) AS nr,
+             COUNT(DISTINCT band) AS nc,
+             SUM((o - e) * (o - e) / e) AS chi2
+      FROM cells)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM agg
+    """,
+    doc="Chi-square test of independence + Cramér's V between event "
+    "type and a deterministic user band (user_id mod 4 — the A/B-arm "
+    "shape): the significance layer on top of the registry's pivot/"
+    "crosstab tier, answering 'does behavior actually differ across "
+    "arms' instead of eyeballing the contingency table. Observed and "
+    "marginal counts are exact integers; each cell's (o−e)²/e is a "
+    "pure function of exact ratios and the cell count is bounded by "
+    "the category product (here ≤ 20), so the final sums sit far "
+    "inside ROUND(,6). Distinct-count of marginal TOTALS gives the "
+    "table dimensions without a second pass. One grouped count + two "
+    "marginal rollups + a broadcast total at any scale. Reference "
+    "analog: none ([EXT] categorical significance testing).",
+)
+def chi2_event_type_by_user_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("band")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("band").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(rows_, "event_type")
+        .join(F.broadcast(cols_), "band")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e",
+            F.col("r").cast("double")
+            * F.col("c").cast("double")
+            / F.col("n").cast("double"),
+        )
+    )
+    agg = cells.agg(
+        F.max("n").alias("n"),
+        # categories, not marginal totals — two categories with equal
+        # totals must still count as two
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("band").alias("nc"),
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "chi2"
+        ),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -172,6 +172,7 @@ _SCALAR_SUBQUERY = {
     "largest_remainder_allocation",  # one-row grand-total broadcast
     "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
     "kaplan_meier_customer_lifetime",  # one-row horizon + total broadcasts
+    "chi2_event_type_by_user_band",  # one-row grand-total broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -996,3 +997,31 @@ def test_acf_matches_numpy_pairwise_correlation(spark, sf_dir):
         got = rows[k]
         assert got.n_pairs == len(a)
         assert abs(got.acf - want) < 1e-6, (k, got.acf, want)
+
+
+def test_chi2_matches_scipy_style_python_twin(spark, sf_dir):
+    """chi2, dof and Cramér's V must equal the textbook contingency
+    computation (scipy.stats.chi2_contingency's correction=False form)
+    over the same observed table."""
+    from collections import Counter
+
+    from etl_sample_spark import catalog
+
+    row = REGISTRY["chi2_event_type_by_user_band"].spark(spark, sf_dir).head()
+    ev = catalog.table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    obs = Counter((r.event_type, r.user_id % 4) for r in ev)
+    rows_ = Counter()
+    cols_ = Counter()
+    for (et, b), o in obs.items():
+        rows_[et] += o
+        cols_[b] += o
+    n = sum(obs.values())
+    chi2 = sum(
+        (o - rows_[et] * cols_[b] / n) ** 2 / (rows_[et] * cols_[b] / n)
+        for (et, b), o in obs.items()
+    )
+    nr, nc = len(rows_), len(cols_)
+    assert row.n == n
+    assert row.dof == (nr - 1) * (nc - 1)
+    assert abs(row.chi2 - chi2) < 1e-5
+    assert abs(row.cramers_v - (chi2 / (n * min(nr - 1, nc - 1))) ** 0.5) < 1e-6
