@@ -80,3 +80,43 @@ def state_key_count(spark: SparkSession, checkpoint: str, **kwargs) -> int:
     """
     df = read_state(spark, checkpoint, flatten=False, **kwargs)
     return df.select("key").distinct().count()
+
+
+def progress_summary(query) -> dict:
+    """Operational summary of a streaming query's RUN so far — the
+    numbers an ingest dashboard alarms on, extracted from the
+    StreamingQueryProgress entries the driver already collects (zero
+    added instrumentation): total rows read across recent batches,
+    the last non-empty batch's processing rate and wall time, and the
+    most recent state rows/bytes (the bounded-state gauge as a live
+    metric, complementing :func:`state_key_count`'s at-rest checkpoint
+    read). Summarizing over ``recentProgress`` matters: under
+    Trigger.AvailableNow the LAST progress entry is the empty
+    commit batch, so ``lastProgress`` alone under-reports every run.
+
+    Returns zeros (not None) before any progress exists, so monitors
+    can alarm on `state_bytes == 0 for N minutes` without
+    NULL-handling.
+    """
+    entries = list(query.recentProgress or [])
+    if not entries:
+        return {
+            "batch_id": -1,
+            "num_input_rows": 0,
+            "input_rows_per_second": 0.0,
+            "batch_duration_ms": 0,
+            "state_rows": 0,
+            "state_bytes": 0,
+        }
+    last = entries[-1]
+    data_batches = [e for e in entries if int(e.get("numInputRows", 0)) > 0]
+    rate_src = data_batches[-1] if data_batches else last
+    state_ops = last.get("stateOperators") or []
+    return {
+        "batch_id": int(last.get("batchId", -1)),
+        "num_input_rows": sum(int(e.get("numInputRows", 0)) for e in entries),
+        "input_rows_per_second": float(rate_src.get("inputRowsPerSecond") or 0.0),
+        "batch_duration_ms": int(rate_src.get("batchDuration", 0)),
+        "state_rows": sum(int(s.get("numRowsTotal", 0)) for s in state_ops),
+        "state_bytes": sum(int(s.get("memoryUsedBytes", 0)) for s in state_ops),
+    }

@@ -1312,3 +1312,49 @@ def test_cdc_to_scd2_stream_versions_and_replay_idempotence(spark, tmp_path):
     run(str(tmp_path / "ck_replay"))
     after = sorted(map(tuple, spark.read.parquet(dim).collect()))
     assert after == before
+
+
+def test_progress_summary_reports_rows_and_state(spark, tmp_path):
+    """progress_summary must report the batch's input rows and non-zero
+    state for a stateful query, and all-zero defaults before any
+    progress exists."""
+    from etl_sample_spark.streaming.state_reader import progress_summary
+    from etl_sample_spark.streaming.windows import watermarked_window_counts
+
+    src = str(tmp_path / "prog_src")
+    _write_events_json(
+        src,
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 8, "event_type": "buy", "value": 2.0},
+        ],
+        "b1.json",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    counts = watermarked_window_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("prog_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    s = progress_summary(q)
+    assert s["num_input_rows"] == 2
+    assert s["batch_id"] >= 0
+    assert s["state_rows"] >= 1  # the open window's state is visible
+    assert s["state_bytes"] > 0
+
+    class _NoProgress:
+        recentProgress = None
+
+    z = progress_summary(_NoProgress())
+    assert z == {
+        "batch_id": -1,
+        "num_input_rows": 0,
+        "input_rows_per_second": 0.0,
+        "batch_duration_ms": 0,
+        "state_rows": 0,
+        "state_bytes": 0,
+    }
