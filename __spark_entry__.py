@@ -136,6 +136,11 @@ _FRONT_PINS = [
     # r10 batch 12: chi-square independence test + Cramér's V (the
     # significance layer over the crosstab tier).
     "chi2_event_type_by_user_band",
+    # r10 batch 13: exact CUSUM changepoint (n·S_k rescaling — zero
+    # floats until the emitted magnitude) and Theil-Sen robust trend
+    # (median of calendar-grid pairwise slopes).
+    "cusum_changepoint_daily_revenue",
+    "theil_sen_monthly_trend",
     # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
     # construction was factored into minhash_band_frame (shared with the
     # incremental dedup probe) — result-invariant, but the reachable

@@ -152,6 +152,10 @@ _INTENTIONAL_NON_EQUI = {
     # on the user key with the time band as a post-join filter, so it is
     # held to the same no-NLJ bar as everything else.
     "similarity_batch_top5",
+    # Theil-Sen is all-pairs BY DEFINITION, over the ~80-row MONTH grid
+    # (aggregation to the calendar grid happens first; the quadratic
+    # input is bounded, never fact-sized).
+    "theil_sen_monthly_trend",
 }
 
 # Scalar-subquery shapes: a crossJoin against a ONE-ROW aggregate
@@ -173,6 +177,7 @@ _SCALAR_SUBQUERY = {
     "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
     "kaplan_meier_customer_lifetime",  # one-row horizon + total broadcasts
     "chi2_event_type_by_user_band",  # one-row grand-total broadcast
+    "cusum_changepoint_daily_revenue",  # one-row (n, Σy) totals broadcast
     "bigram_pmi_collocations",  # two one-row totals broadcasts (uni/bi mass)
     "benford_first_digit_audit",  # one-row total broadcast for the shares
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
@@ -1025,3 +1030,62 @@ def test_chi2_matches_scipy_style_python_twin(spark, sf_dir):
     assert row.dof == (nr - 1) * (nc - 1)
     assert abs(row.chi2 - chi2) < 1e-5
     assert abs(row.cramers_v - (chi2 / (n * min(nr - 1, nc - 1))) ** 0.5) < 1e-6
+
+
+def test_cusum_changepoint_matches_python_argmax(spark, sf_dir):
+    """The changepoint must equal a direct Python argmax of |n*C_k -
+    k*Sy| over the same exact daily totals (deterministic date
+    tie-break)."""
+    from etl_sample_spark import catalog
+    import pyspark.sql.functions as F
+
+    row = REGISTRY["cusum_changepoint_daily_revenue"].spark(spark, sf_dir).head()
+    daily = sorted(
+        (
+            (r.d, r.y)
+            for r in catalog.table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+            .collect()
+        ),
+        key=lambda t: t[0],
+    )
+    n = len(daily)
+    sy = sum(y for _, y in daily)
+    best = None
+    ck = 0
+    for k, (d, y) in enumerate(daily, start=1):
+        ck += y
+        stat = abs(n * ck - k * sy)
+        if best is None or stat > best[0]:
+            best = (stat, d, k)
+    assert (row.changepoint_day, row.k, row.n_days) == (best[1], best[2], n)
+    assert row.n_times_max_cusum == float(best[0])
+
+
+def test_theil_sen_resists_planted_outlier_month(spark):
+    """Robustness property on synthetic data: bending ONE month by 100x
+    must leave the Theil-Sen slope essentially unchanged while the OLS
+    slope explodes — the reason the estimator exists."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    base = [(m, 100.0 + 10.0 * m) for m in range(1, 25)]  # clean trend: slope 10
+    bent = [(m, y if m != 12 else y * 100) for m, y in base]
+
+    def ts_slope(rows):
+        df = spark.createDataFrame(rows, "m long, y double")
+        a, b = df.alias("a"), df.alias("b")
+        pairs = a.join(b, F.col("b.m") > F.col("a.m")).select(
+            ((F.col("b.y") - F.col("a.y")) / (F.col("b.m") - F.col("a.m"))).alias("s")
+        )
+        return pairs.agg(F.expr("percentile(s, 0.5)")).head()[0]
+
+    clean, robust = ts_slope(base), ts_slope(bent)
+    assert abs(clean - 10.0) < 1e-9
+    assert abs(robust - 10.0) < 2.0  # barely moves
+    x = np.array([m for m, _ in bent], dtype=float)
+    y = np.array([v for _, v in bent])
+    ols = np.polyfit(x, y, 1)[0]
+    # OLS loses the true trend entirely (slope 10 -> ~0.5)
+    assert abs(ols - 10.0) > 5.0
