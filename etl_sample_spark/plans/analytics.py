@@ -2028,14 +2028,16 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_ AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
     cols_ AS (SELECT band, SUM(o) AS c FROM obs GROUP BY band),
     tot AS (SELECT SUM(o) AS n FROM obs),
+    -- FULL nr x nc grid: a zero-observed cell still contributes e =
+    -- r*c/n to the statistic (the scipy chi2_contingency convention)
+    grid AS (SELECT r.event_type, c.band, r.r, c.c FROM rows_ r CROSS JOIN cols_ c),
     cells AS (
-      SELECT obs.o, obs.event_type, obs.band,
-             CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+      SELECT COALESCE(obs.o, 0) AS o, g.event_type, g.band,
+             CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE) / CAST(t.n AS DOUBLE)
                AS e,
              t.n
-      FROM obs
-      JOIN rows_ r ON r.event_type = obs.event_type
-      JOIN cols_ c ON c.band = obs.band
+      FROM grid g
+      LEFT JOIN obs ON obs.event_type = g.event_type AND obs.band = g.band
       CROSS JOIN tot t),
     agg AS (
       SELECT MAX(n) AS n,
@@ -2070,9 +2072,11 @@ def chi2_event_type_by_user_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("band").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
+    # full nr x nc grid so zero-observed cells still contribute e=r*c/n
+    grid = rows_.crossJoin(F.broadcast(cols_))
     cells = (
-        obs.join(rows_, "event_type")
-        .join(F.broadcast(cols_), "band")
+        grid.join(obs, ["event_type", "band"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "e",

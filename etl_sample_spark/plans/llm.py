@@ -2697,7 +2697,6 @@ def _qc_score_col():
     return F.round(F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z))), 6)
 
 
-
 @register(
     "quality_classifier_score",
     f"""
@@ -3684,7 +3683,6 @@ def bigram_lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def _pq_oracle(m: int = 8, ksub: int = 16, n_iters: int = 1, k: int = 10,
                rerank_shortlist: int | None = None) -> str:
     """DuckDB twin of the FULL PQ pipeline (train_pq_codebooks +
@@ -3833,7 +3831,6 @@ def similarity_pq_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 @register(
     "cdc_upsert_apply_customers",
     """
@@ -3886,7 +3883,6 @@ def cdc_upsert_apply_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("balance"),
     )
     return cdc_apply(base, log, key="c_custkey", seq="seq").orderBy("c_custkey")
-
 
 
 @register(
@@ -3956,7 +3952,6 @@ def cross_doc_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 @register(
     "multimodal_video_delta_decode",
     """
@@ -4004,7 +3999,6 @@ def multimodal_video_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "width", "height", "n_frames", "pixel_sum")
         .orderBy("doc_id")
     )
-
 
 
 @register(
@@ -4120,7 +4114,6 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_docs").over(w) * F.lit(1.0) * F.sum("n_pos").over(wall))
         ).alias("cum_lift"),
     ).orderBy("decile")
-
 
 
 @register(
@@ -4408,8 +4401,6 @@ def phrase_search_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("ph").alias("phrase"), "n_occ", "first_pos")
         .orderBy("doc_id")
     )
-
-
 
 
 @register(

@@ -1022,8 +1022,10 @@ def test_chi2_matches_scipy_style_python_twin(spark, sf_dir):
         cols_[b] += o
     n = sum(obs.values())
     chi2 = sum(
-        (o - rows_[et] * cols_[b] / n) ** 2 / (rows_[et] * cols_[b] / n)
-        for (et, b), o in obs.items()
+        (obs.get((et, b), 0) - rows_[et] * cols_[b] / n) ** 2
+        / (rows_[et] * cols_[b] / n)
+        for et in rows_
+        for b in cols_
     )
     nr, nc = len(rows_), len(cols_)
     assert row.n == n
