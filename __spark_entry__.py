@@ -44,114 +44,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r10: operators/bloom.py fixed (F.shiftleft/shiftright only take a
-    # Python-int shift; routed through F.call_function) and wired into
-    # its first registry consumer — never driver-checked, so pinned.
-    # Oracle is the plain EXISTS semi join (the bloom stage is
-    # result-invariant by construction; equivalence + FP-rate + zero-
-    # added-Exchange pinned in tests/test_bloom.py).
-    "bloom_semi_join_orders_customers",
-    # r10: Spark 4 VariantType shred (parse_json → variant_get) — new
-    # registration, oracle computes the same aggregates from the base
-    # columns so an encode→shred corruption hash-diverges.
-    "variant_shred_events",
-    # r10: Spark 4 native recursion + SQL-standard lateral correlate —
-    # new registrations (engine surfaces the registry lacked: WITH
-    # RECURSIVE and LATERAL ... LIMIT, both identical-SQL on DuckDB).
-    "recursive_cte_trade_reachability",
-    "lateral_top2_orders_per_customer",
-    # r10 batch 4: Spark 4 SQL surface — pipe syntax (|> operators,
-    # lowered by Catalyst to the identical nested plan), SQL UDFs
-    # (scalar + composed scalar + table function, all inlined at
-    # analysis time), and UTF8_LCASE collated grouping. Never
-    # driver-checked, so pinned.
-    "pipe_syntax_yearly_orders",
-    "sql_udf_net_revenue_bands",
-    "collation_ci_brand_rollup",
-    # r10 batch 4 (cont.): session variables + EXECUTE IMMEDIATE INTO +
-    # named-parameter SQL; SQL scripting (WHILE-loop sigma clipping,
-    # oracle unrolls the identical iterations as chained CTEs).
-    "session_vars_above_avg_orders",
-    "sql_scripting_sigma_clip_prices",
-    # r10 batch 5: continuous-ingestion + training-run plumbing (new
-    # registrations): cross-snapshot dedup verdicts, deterministic
-    # epoch shuffle, Spark 4 native XML round-trip, and the zero-cost
-    # Observation quality gate.
-    "incremental_dedup_new_vs_corpus",
-    "epoch_shuffle_assignments",
-    "xml_roundtrip_events",
-    "observe_quality_gate_orders",
-    # r10 batch 5: ANSI-mode error-safe scalar lane (try_cast /
-    # try_divide / try_to_timestamp over deterministically dirty input).
-    "try_functions_dirty_inputs",
-    # r10 batch 5: IDENTIFIER(:name) dynamic-identifier binding +
-    # GROUP BY ALL (analysis-time features; oracle is the constant-
-    # inlined ANSI form).
-    "identifier_group_by_all_orders",
-    # r10 batch 6: exact distinct via mergeable bitmap pages
-    # (construct -> shard OR-merge -> popcount; oracle COUNT DISTINCT)
-    # and SQL:2023 listagg WITHIN GROUP (oracle string_agg ORDER BY).
-    "bitmap_exact_distinct_customers",
-    "listagg_nations_per_region",
-    # r10 batch 7: MAD robust outliers (50% breakdown point vs the
-    # sigma-clip family) and positional phrase retrieval (zip_with
-    # bigram postings, broadcast phrase probe).
-    "mad_outlier_prices_by_brand",
-    "phrase_search_top_bigram",
-    # r10 batch 7: single-pass Deequ-class column profiling (oracle is
-    # deliberately per-column UNION ALL; engine fuses to one scan).
-    "profile_columns_orders",
-    # r10 batch 7: gaps-and-islands streak detection (date minus dense
-    # row number is constant within a consecutive run).
-    "longest_daily_streak_per_user",
-    # r10 batch 8: order-dependent clamped recurrence as a JVM
-    # higher-order fold (sort_array + F.aggregate; oracle list_reduce).
-    "clamped_inventory_balance_suppliers",
-    # r10 batch 9: exact-sum proportional allocation (largest
-    # remainder, pure integer math) and change-point run-length
-    # timeline compaction (lag + cumulative change flags).
-    "largest_remainder_allocation",
-    "state_runs_per_user",
-    # r10 batch 10: period-over-period revenue bridge (exact decimal,
-    # foots to the total net change by construction).
-    "revenue_bridge_customers",
-    # r10 batch 11: exact two-sample KS drift statistic (integer-ratio
-    # ECDFs at every jump point; the shape-sensitive tier above PSI).
+    # r11 fix of the r10 round's one red driver row: the KS oracle left
+    # n1/n2 as DuckDB HUGEINT and widened the ECDF division through
+    # DECIMAL(38,1) — equal values, driver-hash divergence. Both sides
+    # now CAST BIGINT + explicit DOUBLE division + ROUND(,6); must
+    # re-earn a green rows+schema+hash row.
     "ks_two_sample_click_vs_purchase",
-    # r10 batch 11: Kaplan-Meier survival over customer lifetime with
-    # proper right-censoring (exp of running LN-sum = distributed
-    # cumulative product).
-    "kaplan_meier_customer_lifetime",
-    # r10 batch 11: closed-form per-group OLS from exact moments
-    # (slope/intercept/r2; normal equations, zero residual passes).
-    "ols_price_on_quantity_by_flag",
-    # r10 batch 12: corpus-mix diagnostics — per-doc Shannon token
-    # entropy (distributional-collapse spam signal) and the Gini
-    # concentration coefficient (exact-decimal Lorenz summary).
-    "token_entropy_per_doc",
-    "gini_revenue_concentration",
-    # r10 batch 12: lag-1/lag-7 autocorrelation of daily revenue
-    # (exact-moment Pearson over lagged pairs; forecasting diagnostic).
-    "acf_daily_revenue",
-    # r10 batch 12: chi-square independence test + Cramér's V (the
-    # significance layer over the crosstab tier).
-    "chi2_event_type_by_user_band",
-    # r10 batch 13: exact CUSUM changepoint (n·S_k rescaling — zero
-    # floats until the emitted magnitude) and Theil-Sen robust trend
-    # (median of calendar-grid pairwise slopes).
-    "cusum_changepoint_daily_revenue",
-    "theil_sen_monthly_trend",
-    # r10 batch 5 mechanical re-pins: minhash_lsh_candidates' band
-    # construction was factored into minhash_band_frame (shared with the
-    # incremental dedup probe) — result-invariant, but the reachable
-    # code of these four changed, so they go back through the driver.
-    "minhash_lsh_candidate_pairs",
-    "neardup_clusters_documents",
-    "semantic_dedup_keep_best",
-    "minhash_jaccard_estimate_audit",
+    # r11 scale-shaping of the three corpus-global windows the r10
+    # verdict flagged (result-invariant by construction — exact .5-grid
+    # rank sums / identical NTILE bucket arithmetic / identical
+    # count-greater rank — but reachable code changed, so they go back
+    # through the driver): AUC rank-sum now built from the bounded
+    # 1e-6 score grid; decile lift reconstructs positions from grid
+    # offsets + per-score tiebreak rank; RRF ranks via TakeOrdered
+    # top-50 + broadcast count-greater instead of two corpus windows.
+    "classifier_auc_mann_whitney",
+    "classifier_decile_lift",
+    "hybrid_rrf_rerank",
+    # r11 mechanical re-pin: operators/scd.py grew the per-key
+    # effective_col grain (r10 ADVICE fix for the streaming CDC path);
+    # this batch query still uses the scalar grain and is
+    # result-invariant, but its reachable code changed.
+    "scd2_customer_segment_migration",
+    # r11 mechanical re-pin: bloom_probe now materializes the bitmap
+    # into a local relation instead of caching it (r10 ADVICE — the
+    # cache leaked a session-lifetime InMemoryRelation per invocation).
+    # Result-invariant (same bits, same joins), reachable code changed.
+    "bloom_semi_join_orders_customers",
 ]
-# r9 pins (yoy_monthly_revenue, PQ pair, video delta, twap) all landed
-# green driver rows in CORRECTNESS_r09.json — cleared for rotation.
+# r10 pins (bloom join, variant shred, the Spark 4 SQL-surface batch,
+# the batch 5-13 registrations, and the four minhash re-pins) all landed
+# green driver rows in CORRECTNESS_r10.json — cleared for rotation;
+# with only 4 pins the 50-query window retires every remaining r5/r6 row
+# this round (r10 VERDICT item 3).
 
 
 def _last_checked_rounds() -> dict[str, int]:

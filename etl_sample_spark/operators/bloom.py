@@ -72,12 +72,20 @@ def bloom_probe(
     shuffle on the probe side; each join is map-side against the ~KB
     bitmap. A missing bucket means the bit is 0 (left join null → miss).
 
-    The bitmap is cached here: it is referenced by every one of the
-    ``num_hashes`` joins, and without the cache each BroadcastExchange
-    would RE-RUN the whole build (scan + aggregation) — 3× the build
-    cost for k=3. Cached, the build executes once (≤16K rows in memory)
-    and the probed plan's only Exchanges are the broadcasts."""
-    bitmap = bitmap.cache()
+    The bitmap is MATERIALIZED here into a local relation (one BOUNDED
+    collect: at most ``num_bits/64`` (bucket, bits) rows — 16K longs at
+    the default 2^20 bits): it is referenced by every one of the
+    ``num_hashes`` joins, and left lazy each BroadcastExchange would
+    RE-RUN the whole build (scan + aggregation) — 3× the build cost for
+    k=3. (r10 cached it instead, which leaked a session-lifetime
+    InMemoryRelation per invocation with no unpersist seam for callers
+    that only return a plan — r10 ADVICE.) The local relation gives the
+    same build-once behavior with zero retained session state, and is
+    the same aggregate-to-driver-then-rebroadcast shape Spark's own
+    runtime bloom-filter pruning uses. Note this makes bloom_probe
+    EAGER: the build side's scan + aggregation run at call time."""
+    spark = df.sparkSession
+    bitmap = spark.createDataFrame(bitmap.collect(), schema=bitmap.schema)
     out = df
     for i, pos in enumerate(_positions(F.col(key_col), num_bits, num_hashes)):
         b = bitmap.select(

@@ -23,8 +23,25 @@ from pyspark.sql import functions as F
 SCD2_COLS = ("valid_from", "valid_to", "is_current")
 
 
-def scd2_init(dim: DataFrame, effective: str) -> DataFrame:
-    """Stamp an initial load as all-current versions."""
+def scd2_init(
+    dim: DataFrame, effective: str | None = None, effective_col: str | None = None
+) -> DataFrame:
+    """Stamp an initial load as all-current versions.
+
+    ``effective`` stamps one batch-grain timestamp on every row;
+    ``effective_col`` (exactly one must be given) uses each row's OWN
+    change timestamp as its ``valid_from`` and drops the source column —
+    the per-key grain the streaming CDC path needs (see scd2_merge).
+    """
+    if (effective is None) == (effective_col is None):
+        raise ValueError("give exactly one of effective / effective_col")
+    if effective_col is not None:
+        return (
+            dim.withColumn("valid_from", F.col(effective_col).cast("timestamp"))
+            .drop(effective_col)
+            .withColumn("valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("is_current", F.lit(True))
+        )
     return (
         dim.withColumn("valid_from", F.lit(effective).cast("timestamp"))
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
@@ -46,22 +63,39 @@ def scd2_merge(
     updates: DataFrame,
     key: str,
     tracked: list[str],
-    effective: str,
+    effective: str | None = None,
+    effective_col: str | None = None,
 ) -> DataFrame:
     """Merge an update batch into an SCD2 history table.
 
     - keys whose tracked attributes are UNCHANGED (or absent from the
       batch): carried through untouched, history included;
     - changed keys: the current version is CLOSED (``valid_to`` =
-      ``effective``, ``is_current`` = false) and a new version OPENED;
+      the effective time, ``is_current`` = false) and a new version
+      OPENED;
     - keys new to the dimension: opened as their first version.
+
+    Effective time comes in two grains — exactly one must be given:
+
+    - ``effective``: one batch-grain timestamp stamps every close/open.
+    - ``effective_col``: a column of ``updates`` holding each KEY'S OWN
+      change timestamp; the close/open for a key uses that key's value
+      (and the column is dropped from the opened attributes). This is
+      the grain the streaming CDC path needs: with the batch-grain form
+      every key's valid_from inflates to the batch MAXIMUM, so a later
+      batch's genuinely newer change whose ts falls between a key's own
+      last change and that earlier max is silently lost to the stale
+      filter (r10 ADVICE).
 
     The result is the full new history table (append-only semantics:
     no version row is ever mutated after it closes, so the output can
     be written with partition overwrite or into any warehouse table).
     """
-    eff = F.lit(effective).cast("timestamp")
-    attr_cols = [c for c in history.columns if c not in SCD2_COLS]
+    if (effective is None) == (effective_col is None):
+        raise ValueError("give exactly one of effective / effective_col")
+    attr_cols = [
+        c for c in history.columns if c not in SCD2_COLS
+    ]  # excludes effective_col: it never enters the history schema
     current = history.where(F.col("is_current")).alias("d")
     upd = updates.alias("u")
 
@@ -73,21 +107,40 @@ def scd2_merge(
     new_keys = upd.join(history.select(key).distinct(), key, "left_anti").select(key)
 
     carried = history.join(changed_keys, key, "left_anti")
-    closed = (
-        history.where(F.col("is_current"))
-        .join(changed_keys, key, "left_semi")
-        .withColumn("valid_to", eff)
-        .withColumn("is_current", F.lit(False))
-    )
+    if effective_col is not None:
+        # Per-key effective time: one row per key in `updates` (the
+        # caller's latest-wins dedup guarantees this), joined in so each
+        # close stamps the key's own change ts, not the batch max.
+        key_eff = updates.select(
+            key, F.col(effective_col).cast("timestamp").alias("__eff")
+        )
+        closed = (
+            history.where(F.col("is_current"))
+            .join(changed_keys, key, "left_semi")
+            .join(key_eff, key)
+            .withColumn("valid_to", F.col("__eff"))
+            .drop("__eff")
+            .withColumn("is_current", F.lit(False))
+        )
+        open_from = F.col(effective_col).cast("timestamp")
+    else:
+        eff = F.lit(effective).cast("timestamp")
+        closed = (
+            history.where(F.col("is_current"))
+            .join(changed_keys, key, "left_semi")
+            .withColumn("valid_to", eff)
+            .withColumn("is_current", F.lit(False))
+        )
+        open_from = eff
     opening_keys = changed_keys.unionByName(new_keys)
     opened = (
         updates.join(opening_keys, key, "left_semi")
-        .select(*[c for c in attr_cols])
-        .withColumn("valid_from", eff)
+        .withColumn("valid_from", open_from)
+        .select(*attr_cols, "valid_from")
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
         .withColumn("is_current", F.lit(True))
     )
-    return carried.unionByName(closed).unionByName(opened)
+    return carried.unionByName(closed, allowMissingColumns=False).unionByName(opened)
 
 
 def scd2_as_of(history: DataFrame, ts: str) -> DataFrame:

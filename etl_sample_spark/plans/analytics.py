@@ -1828,8 +1828,10 @@ def revenue_bridge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
              SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
       FROM pts)
-    SELECT t.n1, t.n2,
-           MAX(ABS(e.cum1 * 1.0 / t.n1 - e.cum2 * 1.0 / t.n2)) AS ks_stat
+    SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+           ROUND(MAX(ABS(CAST(e.cum1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                         - CAST(e.cum2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))),
+                 6) AS ks_stat
     FROM ecdf e CROSS JOIN tot t
     GROUP BY t.n1, t.n2
     """,
@@ -1838,10 +1840,13 @@ def revenue_bridge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "test that sees SHAPE changes PSI's fixed binning smooths over: "
     "per distinct value, both groups' counts; running sums give both "
     "ECDFs at every jump point; KS = max |F1 - F2|. All counts are "
-    "exact integers and each ECDF value is one ratio of exact "
-    "integers, so the max is bit-deterministic cross-engine with no "
-    "rounding anywhere (the established exact-integer-ratio "
-    "discipline). Scale note: the ordered running sum here is one "
+    "exact integers; each ECDF value is one double-precision ratio of "
+    "exact integers computed identically on both engines (explicit "
+    "CAST-to-DOUBLE before dividing — DuckDB's `* 1.0` idiom widens "
+    "to DECIMAL(38,1) instead, the r10 hash-divergence cause), and "
+    "ROUND(,6) on the emitted statistic absorbs the final-ulp seam "
+    "per the OLS/Gini discipline. Scale note: the ordered running "
+    "sum here is one "
     "global window over the DISTINCT-value points (same tier as the "
     "registry's Pareto/RFM global rankings); the 100 TB form "
     "range-partitions by value and adds per-partition offsets in a "
@@ -1873,14 +1878,21 @@ def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         ecdf.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            F.max(
-                F.abs(
-                    F.col("cum1") * 1.0 / F.col("n1")
-                    - F.col("cum2") * 1.0 / F.col("n2")
-                )
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum1").cast("double") / F.col("n1").cast("double")
+                        - F.col("cum2").cast("double") / F.col("n2").cast("double")
+                    )
+                ),
+                6,
             ).alias("ks_stat")
         )
-        .select("n1", "n2", "ks_stat")
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "ks_stat",
+        )
     )
 
 

@@ -1928,9 +1928,16 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
     "curation rerank: relevance and quality each contribute 1/(k+rank). "
     "Ranks are exact integers (deterministic tie-break by doc_id), so "
     "the fused score is the same two-term double sum in both engines — "
-    "emitted unrounded. 100 TB shape: both rankings are "
-    "TakeOrdered-style over already-reduced inputs; the fusion join is "
-    "top-50 vs a window output, broadcast-sized.",
+    "emitted unrounded. 100 TB shape (implemented, r11): the BM25 "
+    "top-50 is TakeOrdered (orderBy+limit → TakeOrderedAndProject; "
+    "rank attached by a window over only those 50 rows), and the "
+    "quality rank is computed for ONLY the 50 survivors via a "
+    "broadcast count-greater join — one corpus scan counts, per "
+    "survivor, the docs ranking strictly ahead (higher q, or equal q "
+    "with smaller doc_id), so rq = ahead+1 equals the global "
+    "ROW_NUMBER without ever sorting the corpus. No corpus-global "
+    "window anywhere; the oracle keeps both ROW_NUMBER forms as the "
+    "independent derivation.",
 )
 def hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1938,18 +1945,46 @@ def hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.functions.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
-    brank = _bm25_scored(docs).withColumn(
-        "rb", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    btop = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn(
+            "rb",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "rb")
     )
-    btop = brank.where(F.col("rb") <= 50).select("doc_id", "rb")
-    qrank = docs.select(
-        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("q")
-    ).withColumn("rq", F.row_number().over(Window.orderBy(F.desc("q"), F.asc("doc_id"))))
-    fused = btop.join(qrank.select("doc_id", "rq"), "doc_id").select(
-        "doc_id",
-        F.col("rb").cast("int").alias("bm25_rank"),
-        F.col("rq").cast("int").alias("quality_rank"),
-        (1.0 / (60 + F.col("rb")) + 1.0 / (60 + F.col("rq"))).alias("rrf"),
+    q_all = docs.select(
+        F.col("doc_id").alias("qd"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("q"),
+    )
+    surv = btop.join(
+        q_all.select(F.col("qd").alias("doc_id"), F.col("q").alias("sq")), "doc_id"
+    )
+    ahead = (
+        q_all.join(
+            F.broadcast(surv.select(F.col("doc_id").alias("sid"), "sq")),
+            (F.col("q") > F.col("sq"))
+            | ((F.col("q") == F.col("sq")) & (F.col("qd") < F.col("sid"))),
+            "inner",
+        )
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n_ahead"))
+    )
+    fused = (
+        surv.join(ahead, surv.doc_id == ahead.sid, "left")
+        .select(
+            "doc_id",
+            F.col("rb").cast("int").alias("bm25_rank"),
+            (F.coalesce(F.col("n_ahead"), F.lit(0)) + 1)
+            .cast("int")
+            .alias("quality_rank"),
+            (
+                1.0 / (60 + F.col("rb"))
+                + 1.0 / (60 + F.coalesce(F.col("n_ahead"), F.lit(0)) + 1)
+            ).alias("rrf"),
+        )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
 
@@ -4026,12 +4061,19 @@ def multimodal_video_delta_decode(spark: SparkSession, sf_dir: str) -> DataFrame
     "Scores are the classifier's 6dp-ROUNDED outputs, so the ranking "
     "(and every tie group) is identical cross-engine despite the LN "
     "feature's libm ulps; the final AUC is a ratio of exact .5-grid "
-    "sums and ships unrounded. Pseudo-label: lang='en'. 100 TB shape: "
-    "map-only scoring fused into the scan, one global-order rank "
-    "(at true scale: pre-aggregate to per-score (count, pos_count) "
-    "rows first — scores live on a 1e-6 grid, so that table is "
-    "bounded — then rank the grid, not the corpus), and a single "
-    "scalar aggregate.",
+    "sums and ships unrounded. Pseudo-label: lang='en'. 100 TB shape "
+    "(and the shape implemented here, r11): the corpus is first "
+    "reduced to per-score (count, pos_count) rows — scores live on a "
+    "1e-6 grid, so that table is bounded regardless of corpus size — "
+    "then the tie-corrected average rank is reconstructed per GRID "
+    "row (preceding-count + (tie_size+1)/2, algebraically identical "
+    "to RANK()+(ties-1)/2 per doc) and the rank-sum is "
+    "Σ pos_cnt·avg_rank. The only ordered window runs over the "
+    "bounded grid, never the corpus; every avg_rank is on the exact "
+    ".5 grid and every partial product is an exact small double, so "
+    "the corpus-window and grid forms are bit-identical (the oracle "
+    "deliberately keeps the per-doc RANK() form as an independent "
+    "derivation).",
 )
 def classifier_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -4040,15 +4082,23 @@ def classifier_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         (F.col("lang") == "en").alias("pos"), _qc_score_col().alias("score")
     )
-    avg_rank = (
-        F.rank().over(Window.orderBy("score"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / F.lit(2.0)
+    grid = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("pos_cnt"),
     )
-    ranked = scored.select("pos", avg_rank.alias("avg_rank"))
-    n_pos = F.sum(F.when(F.col("pos"), 1).otherwise(0))
-    n_neg = F.sum(F.when(F.col("pos"), 0).otherwise(1))
-    rank_sum = F.sum(F.when(F.col("pos"), F.col("avg_rank")).otherwise(F.lit(0.0)))
-    return ranked.agg(
+    w_before = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    g = grid.select(
+        "cnt",
+        "pos_cnt",
+        (
+            F.coalesce(F.sum("cnt").over(w_before), F.lit(0))
+            + (F.col("cnt") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    n_pos = F.sum("pos_cnt")
+    n_neg = F.sum(F.col("cnt") - F.col("pos_cnt"))
+    rank_sum = F.sum(F.col("pos_cnt") * F.col("avg_rank"))
+    return g.agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
         ((rank_sum - n_pos * (n_pos + 1) / F.lit(2.0)) / (n_pos * n_neg)).alias(
@@ -4081,22 +4131,60 @@ def classifier_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Decile lift (gains) chart for the quality classifier against "
     "the lang='en' pseudo-label: docs ranked by the 6dp-rounded score "
-    "(doc_id tiebreak makes NTILE exactly deterministic), per-decile "
-    "response rate, and cumulative lift = cumulative positive share / "
-    "cumulative document share — every number an unrounded ratio of "
-    "exact integers. 100 TB shape: map-only scoring, one global "
-    "NTILE (at scale: rank the bounded 1e-6 score grid), then a "
-    "10-row rollup and windows over 10 rows.",
+    "(doc_id tiebreak makes the assignment exactly deterministic), "
+    "per-decile response rate, and cumulative lift = cumulative "
+    "positive share / cumulative document share — every number an "
+    "unrounded ratio of exact integers. 100 TB shape (implemented, "
+    "r11): no corpus-global NTILE — each doc's global position is "
+    "reconstructed as (docs with a strictly higher score, from the "
+    "bounded 1e-6 score grid's cumulative counts, broadcast) + "
+    "(row_number over doc_id WITHIN its score group, a keyed window "
+    "that shuffles by score instead of collapsing to one partition), "
+    "then mapped to its decile with NTILE's exact bucket arithmetic "
+    "(first n%10 buckets get one extra row). Bit-identical to "
+    "NTILE(10) OVER (ORDER BY score DESC, doc_id) by construction — "
+    "the oracle keeps the NTILE form as the independent derivation. "
+    "The only remaining ordered window is over the bounded grid.",
 )
 def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    deciled = docs.select(
+    scored = docs.select(
+        "doc_id",
         (F.col("lang") == "en").alias("pos"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc(_qc_score_col()), F.asc("doc_id")))
-        .alias("decile"),
+        _qc_score_col().alias("score"),
+    )
+    grid = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    w_before = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grid.select(
+        "score", F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("n_before")
+    )
+    w_tie = Window.partitionBy("score").orderBy("doc_id")
+    placed = (
+        scored.withColumn("r_in", F.row_number().over(w_tie))
+        .join(F.broadcast(offsets), "score")
+        .select("pos", (F.col("n_before") + F.col("r_in")).alias("p"))
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("n"))
+    # NTILE(10) over n rows: the first n%10 buckets hold n div 10 + 1
+    # rows, the rest n div 10. greatest(,1) keeps the never-taken ELSE
+    # branch safe under ANSI when n < 10.
+    deciled = placed.crossJoin(F.broadcast(total)).select(
+        "pos",
+        F.expr(
+            """
+            CAST(CASE
+              WHEN p <= (n % 10) * (n div 10 + 1)
+              THEN (p - 1) div (n div 10 + 1) + 1
+              ELSE (n % 10)
+                   + (p - 1 - (n % 10) * (n div 10 + 1)) div greatest(n div 10, 1)
+                   + 1
+            END AS INT)
+            """
+        ).alias("decile"),
     )
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -66,14 +66,23 @@ def is_remote_uri(path: str) -> bool:
     return bool(_URI_SCHEME_RE.match(path))
 
 
-def _matched_paths(spark: SparkSession, path: str) -> list[str]:
-    """Paths matched by ``path`` (literal or glob), empty list if none.
+def _matched_paths(spark: SparkSession, path: str) -> list[str] | None:
+    """Paths matched by ``path`` (literal or glob), empty list if none,
+    ``None`` when the probe CANNOT run.
 
     Scheme-qualified URIs resolve through Hadoop's FileSystem — the
     identical resolution the parquet/JSON scan performs, so whatever
     connector serves the scan (s3a, abfss, gs, hdfs, file) serves the
-    probe; bare paths use the local filesystem directly."""
+    probe; bare paths use the local filesystem directly.
+
+    Under Spark Connect the session has no ``_jvm``/``_jsc`` (py4j is
+    classic-Spark only); remote URIs then return ``None`` so the caller
+    attempts the scan directly and maps Spark's own PATH_NOT_FOUND to
+    the empty frame (r10 ADVICE: previously this crashed with
+    AttributeError)."""
     if is_remote_uri(path):
+        if not hasattr(spark, "_jvm") or spark._jvm is None:
+            return None
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -106,11 +115,16 @@ def read_form(
     ``try/except`` swallow (pipeline.py:12,29-30): failures are
     *quarantinable*, not silent. Split with ``quarantine_corrupt``.
     """
+    probe_unavailable = False
     if allow_empty:
         # A glob matching zero files raises PATH_NOT_FOUND; an arrival
         # directory that's currently empty is a normal state for the
         # ingest loop, not an error — return an empty typed DataFrame.
-        if not _matched_paths(spark, path):
+        # (None = the probe cannot run here, e.g. Spark Connect with a
+        # remote URI: attempt the scan and catch PATH_NOT_FOUND below.)
+        matched = _matched_paths(spark, path)
+        probe_unavailable = matched is None
+        if matched == []:
             empty = spark.createDataFrame([], schema)
             if with_sf_id:
                 empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
@@ -121,7 +135,16 @@ def read_form(
 
         schema = StructType(schema.fields[:]).add(corrupt_col, StringType())
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
-    df = reader.schema(schema).json(path)
+    try:
+        df = reader.schema(schema).json(path)
+    except Exception as ex:
+        if probe_unavailable and "PATH_NOT_FOUND" in str(ex):
+            # Connect-mode twin of the probe's empty-list branch.
+            empty = spark.createDataFrame([], schema)
+            if with_sf_id:
+                empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
+            return empty
+        raise
     if corrupt_col is not None:
         # Stamped at scan time: input_file_name() is only defined while
         # the file scan runs — evaluated later over a cached relation

@@ -225,9 +225,11 @@ def run_cdc_to_scd2_stream(
     otherwise close a newer version with an older effective time,
     yielding negative-duration intervals and resurrecting stale values
     as current), and the survivors are merged into the persisted
-    version history with ``operators/scd.py::scd2_merge`` at
-    batch-grain effective time (the surviving rows' max change
-    timestamp — the standard warehouse contract for intra-batch grain).
+    version history with ``operators/scd.py::scd2_merge`` at PER-KEY
+    effective time (each key's own latest change timestamp, r11 — the
+    earlier batch-grain max inflated every key's valid_from to the
+    batch maximum, so a later batch's genuinely newer change whose ts
+    fell inside that inflation window was silently dropped as stale).
     The merged history is persisted with
     ``sources/sinks.py::swap_parquet_dir``: restore-on-failure, and a
     LOUD error (never a silent re-init) if a previous swap crashed
@@ -281,12 +283,17 @@ def run_cdc_to_scd2_stream(
             )
             if latest.isEmpty():
                 return
-        effective = str(latest.agg(F.max(ts_col)).head()[0])
-        updates = latest.drop(ts_col)
+        # Per-key effective time (r10 ADVICE): each key's valid_from /
+        # valid_to is ITS OWN latest change ts, not the batch max — with
+        # the batch-grain form, a later batch's change whose ts fell
+        # between a key's own last change and an earlier batch's max was
+        # silently dropped by the stale filter above.
         if history is not None:
-            merged = scd2_merge(history, updates, key, tracked, effective)
+            merged = scd2_merge(
+                history, latest, key, tracked, effective_col=ts_col
+            )
         else:
-            merged = scd2_init(updates, effective)
+            merged = scd2_init(latest, effective_col=ts_col)
         tmp = f"{dim_path}__merge_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         swap_parquet_dir(tmp, dim_path)

@@ -66,30 +66,32 @@ def test_bloom_plus_exact_join_equals_exact_join(spark, sf_dir):
 
 def test_probe_adds_zero_shuffle_exchanges(spark, sf_dir):
     """The probe side must stay map-side AND the bitmap build must run
-    ONCE: bloom_probe caches the bitmap, so the probed plan reads it
-    through InMemoryTableScans (zero shuffle Exchanges of its own) and
-    reaches the fact side exclusively through BroadcastHashJoins."""
+    ONCE: bloom_probe materializes the bitmap into a LOCAL relation
+    (r11, replacing the r10 cache that leaked a session-lifetime
+    InMemoryRelation per invocation), so the probed plan contains ZERO
+    shuffle Exchanges and reaches the fact side exclusively through
+    BroadcastHashJoins over LocalTableScans."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     bitmap = bloom_build(customer, "c_custkey", NUM_BITS, NUM_HASHES)
     pruned = bloom_probe(orders, "o_custkey", bitmap, NUM_BITS, NUM_HASHES)
-    try:
-        probe_plan = _plan(pruned)
-        # Every broadcast reads the CACHED bitmap (InMemoryTableScan);
-        # simple-mode explain echoes the cached relation's internal plan
-        # (incl. its one groupBy Exchange) under each scan, so the right
-        # structural assertion is exchange-text == cached-relation count:
-        # zero exchanges live on the probe side itself, and the build
-        # executes once at first materialization.
-        assert probe_plan.count("InMemoryTableScan") == NUM_HASHES
-        assert probe_plan.count("Exchange hashpartitioning") == probe_plan.count(
-            "InMemoryRelation"
-        ), "probe-side shuffle Exchange crept in outside the cached build"
-        assert probe_plan.count("BroadcastHashJoin") == NUM_HASHES
-        assert "SortMergeJoin" not in probe_plan
-        assert "CartesianProduct" not in probe_plan
-    finally:
-        bitmap.unpersist()
+    probe_plan = _plan(pruned)
+    # The build's groupBy Exchange ran eagerly inside bloom_probe; the
+    # returned plan must carry none of it — and no cache either, so a
+    # sweep of N invocations retains zero session state.
+    assert "Exchange hashpartitioning" not in probe_plan
+    assert "InMemoryRelation" not in probe_plan
+    # the materialized bitmap plans as a local/parallelized scan
+    assert (
+        probe_plan.count("LocalTableScan") + probe_plan.count("Scan ExistingRDD")
+        == NUM_HASHES
+    )
+    assert probe_plan.count("BroadcastHashJoin") == NUM_HASHES
+    assert "SortMergeJoin" not in probe_plan
+    assert "CartesianProduct" not in probe_plan
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0, (
+        "bloom_probe retained cached state"
+    )
 
 
 def test_no_false_negatives_adversarial_and_string_keys(spark):

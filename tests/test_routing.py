@@ -128,3 +128,41 @@ def test_read_form_accepts_file_scheme_uri(spark, mixed_dir, tmp_path):
     )
     assert empty.count() == 0
     assert "sf_id" in empty.columns
+
+
+def test_read_form_remote_uri_degrades_without_py4j(spark, mixed_dir, tmp_path, monkeypatch):
+    """Spark Connect sessions have no _jvm/_jsc (r10 ADVICE): the probe
+    must return None (not crash with AttributeError), and read_form must
+    then attempt the scan — success for an existing path, typed-empty
+    for PATH_NOT_FOUND under allow_empty."""
+    import etl_sample_spark.sources.documents as docs_mod
+    from etl_sample_spark.sources.documents import _matched_paths
+
+    class _NoJvmSession:
+        """Duck-typed Connect stand-in: everything forwards to the real
+        session EXCEPT the py4j attributes, which don't exist."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            if name in ("_jvm", "_jsc"):
+                raise AttributeError(name)
+            return getattr(self._real, name)
+
+    shim = _NoJvmSession(spark)
+    assert _matched_paths(shim, f"file://{mixed_dir}/*_bank_scrape.json") is None
+
+    # existing path: the attempted scan succeeds
+    df = docs_mod.read_form(
+        shim, f"file://{mixed_dir}/*_bank_scrape.json",
+        schemas.BANK_SCRAPE_SCHEMA, allow_empty=True,
+    )
+    assert df.count() > 0
+    # missing path: PATH_NOT_FOUND maps to the typed-empty frame
+    empty = docs_mod.read_form(
+        shim, f"file://{tmp_path}/nothing_here/*.json",
+        schemas.BANK_SCRAPE_SCHEMA, allow_empty=True,
+    )
+    assert empty.count() == 0
+    assert "sf_id" in empty.columns

@@ -1314,6 +1314,70 @@ def test_cdc_to_scd2_stream_versions_and_replay_idempotence(spark, tmp_path):
     assert after == before
 
 
+def test_cdc_to_scd2_per_key_effective_time_no_cross_batch_loss(spark, tmp_path):
+    """r10 ADVICE regression: with BATCH-grain effective time (max ts over
+    all surviving keys), batch 1 containing key A @10:00 and key B @23:00
+    inflated A's valid_from to 23:00, so batch 2's genuinely newer change
+    for A @15:00 was silently dropped by the stale filter. Per-key grain
+    must version it — and stamp each key's own ts, not the batch max."""
+    import json
+    import os
+
+    from etl_sample_spark.streaming.ingest import run_cdc_to_scd2_stream
+
+    src = str(tmp_path / "cdc_src2")
+    dim = str(tmp_path / "dim_customer2")
+    os.makedirs(src, exist_ok=True)
+    schema = "custkey BIGINT, tier STRING, region STRING, change_ts TIMESTAMP"
+
+    def write_batch(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run(ckpt):
+        changes = spark.readStream.schema(schema).json(src)
+        run_cdc_to_scd2_stream(
+            changes, dim, ckpt, key="custkey", tracked=["tier", "region"]
+        )
+
+    write_batch(
+        "b1.json",
+        [
+            {"custkey": 1, "tier": "gold", "region": "EU", "change_ts": "2024-01-01 10:00:00"},
+            {"custkey": 2, "tier": "basic", "region": "US", "change_ts": "2024-01-01 23:00:00"},
+        ],
+    )
+    run(str(tmp_path / "ck1"))
+    h1 = spark.read.parquet(dim)
+    # per-key valid_from: each key's OWN change ts, not the batch max
+    assert str(h1.where("custkey = 1").head().valid_from) == "2024-01-01 10:00:00"
+    assert str(h1.where("custkey = 2").head().valid_from) == "2024-01-01 23:00:00"
+
+    # A's change at 15:00 is newer than A's last change (10:00) but older
+    # than batch 1's max (23:00) — the exact loss window.
+    write_batch(
+        "b2.json",
+        [{"custkey": 1, "tier": "silver", "region": "EU", "change_ts": "2024-01-01 15:00:00"}],
+    )
+    run(str(tmp_path / "ck1"))
+    h2 = spark.read.parquet(dim)
+    v1 = sorted(h2.where("custkey = 1").collect(), key=lambda r: str(r.valid_from))
+    assert len(v1) == 2, "the 15:00 change was dropped as stale"
+    assert v1[0].tier == "gold" and v1[0].is_current is False
+    assert str(v1[0].valid_to) == "2024-01-01 15:00:00"
+    assert v1[1].tier == "silver" and v1[1].is_current is True
+    assert str(v1[1].valid_from) == "2024-01-01 15:00:00"
+    # no corrupted interval (valid_to always >= valid_from)
+    assert h2.where("valid_to IS NOT NULL AND valid_to < valid_from").count() == 0
+
+    # replay stays a no-op under per-key grain
+    before = sorted(map(tuple, h2.collect()))
+    run(str(tmp_path / "ck_replay"))
+    after = sorted(map(tuple, spark.read.parquet(dim).collect()))
+    assert after == before
+
+
 def test_progress_summary_reports_rows_and_state(spark, tmp_path):
     """progress_summary must report the batch's input rows and non-zero
     state for a stateful query, and all-zero defaults before any
