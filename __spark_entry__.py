@@ -74,9 +74,10 @@ _FRONT_PINS = [
 ]
 # r10 pins (bloom join, variant shred, the Spark 4 SQL-surface batch,
 # the batch 5-13 registrations, and the four minhash re-pins) all landed
-# green driver rows in CORRECTNESS_r10.json — cleared for rotation;
-# with only 4 pins the 50-query window retires every remaining r5/r6 row
-# this round (r10 VERDICT item 3).
+# green driver rows in CORRECTNESS_r10.json — cleared for rotation.
+# With 6 pins the window's 44 rotation slots retire all 9 remaining r5
+# rows and 35 of the 37 r6 rows this round; the oldest surviving row is
+# then r6 (2 queries), satisfying r10 VERDICT item 3's "oldest ≥ r6".
 
 
 def _last_checked_rounds() -> dict[str, int]:

@@ -80,7 +80,11 @@ def scd2_merge(
     - ``effective``: one batch-grain timestamp stamps every close/open.
     - ``effective_col``: a column of ``updates`` holding each KEY'S OWN
       change timestamp; the close/open for a key uses that key's value
-      (and the column is dropped from the opened attributes). This is
+      (and the column is dropped from the opened attributes). CALLER
+      CONTRACT: the column must be non-null on every row — a NULL would
+      write a closed version with ``valid_to`` NULL, which
+      ``scd2_as_of`` reads as still open (duplicate as-of rows); the
+      streaming caller filters such rows before merging. This is
       the grain the streaming CDC path needs: with the batch-grain form
       every key's valid_from inflates to the batch MAXIMUM, so a later
       batch's genuinely newer change whose ts falls between a key's own

@@ -1962,11 +1962,21 @@ def hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = btop.join(
         q_all.select(F.col("qd").alias("doc_id"), F.col("q").alias("sq")), "doc_id"
     )
+    # "Strictly ahead" must reproduce ROW_NUMBER(ORDER BY q DESC, doc_id)
+    # under BOTH engines' nulls-LAST default for DESC: a null-q doc is
+    # behind every non-null doc, and null-q docs order among themselves
+    # by doc_id. The naive (q > sq) predicate is NULL (never true) when
+    # either side is null, which would hand a null-q survivor rank 1.
+    ahead_of_nonnull = (F.col("q") > F.col("sq")) | (
+        (F.col("q") == F.col("sq")) & (F.col("qd") < F.col("sid"))
+    )
+    ahead_of_null = F.col("q").isNotNull() | (F.col("qd") < F.col("sid"))
     ahead = (
         q_all.join(
             F.broadcast(surv.select(F.col("doc_id").alias("sid"), "sq")),
-            (F.col("q") > F.col("sq"))
-            | ((F.col("q") == F.col("sq")) & (F.col("qd") < F.col("sid"))),
+            F.when(F.col("sq").isNotNull(), ahead_of_nonnull).otherwise(
+                ahead_of_null
+            ),
             "inner",
         )
         .groupBy("sid")
@@ -4163,9 +4173,15 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score", F.coalesce(F.sum("cnt").over(w_before), F.lit(0)).alias("n_before")
     )
     w_tie = Window.partitionBy("score").orderBy("doc_id")
+    # eqNullSafe: the grid carries a NULL-score group (groupBy keeps the
+    # null key, DESC orders it last on both engines, matching NTILE);
+    # a plain equi-join would silently drop those docs from the deciles.
+    off = F.broadcast(offsets).select(
+        F.col("score").alias("__gscore"), "n_before"
+    )
     placed = (
         scored.withColumn("r_in", F.row_number().over(w_tie))
-        .join(F.broadcast(offsets), "score")
+        .join(off, F.col("score").eqNullSafe(F.col("__gscore")))
         .select("pos", (F.col("n_before") + F.col("r_in")).alias("p"))
     )
     total = scored.agg(F.count(F.lit(1)).alias("n"))

@@ -129,6 +129,7 @@ def read_form(
             if with_sf_id:
                 empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
             return empty
+    base_schema = schema  # pre-mutation: what the empty branches emit
     reader = spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
     if corrupt_col is not None:
         from pyspark.sql.types import StringType
@@ -137,10 +138,20 @@ def read_form(
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     try:
         df = reader.schema(schema).json(path)
+        if probe_unavailable:
+            # Classic Spark resolves the path inside .json() above, but
+            # Spark Connect builds a lazy proto plan and raises nothing
+            # until the first server round-trip — touching df.schema
+            # forces an AnalyzePlan RPC NOW, so a missing path lands in
+            # this except block instead of escaping to the caller's
+            # first action.
+            df.schema
     except Exception as ex:
         if probe_unavailable and "PATH_NOT_FOUND" in str(ex):
-            # Connect-mode twin of the probe's empty-list branch.
-            empty = spark.createDataFrame([], schema)
+            # Connect-mode twin of the probe's empty-list branch: built
+            # from the PRE-corrupt-col schema so both branches return
+            # the identical shape (no corrupt_col, no source_file).
+            empty = spark.createDataFrame([], base_schema)
             if with_sf_id:
                 empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
             return empty

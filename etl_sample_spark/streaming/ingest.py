@@ -256,6 +256,13 @@ def run_cdc_to_scd2_stream(
     from etl_sample_spark.sources.sinks import swap_parquet_dir
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # A CDC row without a change timestamp is malformed: under the
+        # per-key grain it would stamp valid_from/valid_to NULL — and a
+        # closed version with valid_to NULL reads as STILL OPEN to
+        # scd2_as_of, duplicating as-of results. Drop such rows here
+        # (the quarantine path is the right place to route them if a
+        # source ever produces them).
+        batch_df = batch_df.where(F.col(ts_col).isNotNull())
         if batch_df.isEmpty():
             return
         w = Window.partitionBy(key).orderBy(
