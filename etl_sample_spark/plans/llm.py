@@ -4096,7 +4096,13 @@ def classifier_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("pos_cnt"),
     )
-    w_before = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    # asc_nulls_last: Spark's bare ASC is nulls-FIRST while DuckDB's is
+    # nulls-LAST — a null score (only possible with null text) would
+    # shift every cum count by one. Unreachable in the driver data, but
+    # the ordering is pinned explicitly to the oracle's semantics.
+    w_before = Window.orderBy(F.asc_nulls_last("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     g = grid.select(
         "cnt",
         "pos_cnt",
