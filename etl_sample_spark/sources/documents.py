@@ -114,7 +114,28 @@ def read_form(
     of being dropped — the principled version of the reference's bare
     ``try/except`` swallow (pipeline.py:12,29-30): failures are
     *quarantinable*, not silent. Split with ``quarantine_corrupt``.
+
+    Shape invariant: the returned schema is a function of the FLAGS
+    only, never of whether the path had data — an empty arrival dir
+    yields a typed-empty frame with the same columns (incl.
+    ``corrupt_col``/``source_file``/``sf_id`` when enabled) the
+    non-empty scan would produce, so downstream unions and
+    ``quarantine_corrupt`` never hit data-dependent UNRESOLVED_COLUMN.
     """
+
+    def _typed_empty() -> DataFrame:
+        from pyspark.sql.types import StringType
+
+        s = StructType(schema.fields[:])
+        if corrupt_col is not None:
+            s = s.add(corrupt_col, StringType())
+        empty = spark.createDataFrame([], s)
+        if corrupt_col is not None:
+            empty = empty.withColumn("source_file", F.lit(None).cast("string"))
+        if with_sf_id:
+            empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
+        return empty
+
     probe_unavailable = False
     if allow_empty:
         # A glob matching zero files raises PATH_NOT_FOUND; an arrival
@@ -125,19 +146,16 @@ def read_form(
         matched = _matched_paths(spark, path)
         probe_unavailable = matched is None
         if matched == []:
-            empty = spark.createDataFrame([], schema)
-            if with_sf_id:
-                empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
-            return empty
-    base_schema = schema  # pre-mutation: what the empty branches emit
+            return _typed_empty()
     reader = spark.read.option("multiLine", "true").option("mode", "PERMISSIVE")
+    scan_schema = schema
     if corrupt_col is not None:
         from pyspark.sql.types import StringType
 
-        schema = StructType(schema.fields[:]).add(corrupt_col, StringType())
+        scan_schema = StructType(schema.fields[:]).add(corrupt_col, StringType())
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     try:
-        df = reader.schema(schema).json(path)
+        df = reader.schema(scan_schema).json(path)
         if probe_unavailable:
             # Classic Spark resolves the path inside .json() above, but
             # Spark Connect builds a lazy proto plan and raises nothing
@@ -148,13 +166,7 @@ def read_form(
             df.schema
     except Exception as ex:
         if probe_unavailable and "PATH_NOT_FOUND" in str(ex):
-            # Connect-mode twin of the probe's empty-list branch: built
-            # from the PRE-corrupt-col schema so both branches return
-            # the identical shape (no corrupt_col, no source_file).
-            empty = spark.createDataFrame([], base_schema)
-            if with_sf_id:
-                empty = empty.withColumn("sf_id", F.lit(None).cast("string"))
-            return empty
+            return _typed_empty()  # Connect-mode twin of the probe branch
         raise
     if corrupt_col is not None:
         # Stamped at scan time: input_file_name() is only defined while

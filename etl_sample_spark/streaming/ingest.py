@@ -259,10 +259,23 @@ def run_cdc_to_scd2_stream(
         # A CDC row without a change timestamp is malformed: under the
         # per-key grain it would stamp valid_from/valid_to NULL — and a
         # closed version with valid_to NULL reads as STILL OPEN to
-        # scd2_as_of, duplicating as-of results. Drop such rows here
-        # (the quarantine path is the right place to route them if a
-        # source ever produces them).
-        batch_df = batch_df.where(F.col(ts_col).isNotNull())
+        # scd2_as_of, duplicating as-of results. Drop such rows, but
+        # NEVER silently: a source bug emitting null timestamps would
+        # otherwise vanish keys from the dimension with zero signal
+        # (r11 review). The count is one cheap ts-column job per batch.
+        n_null_ts = batch_df.where(F.col(ts_col).isNull()).count()
+        if n_null_ts:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scd2 batch %s: dropping %d row(s) with NULL %s "
+                "(malformed CDC input; route upstream through a "
+                "quarantine if the source can produce these)",
+                batch_id,
+                n_null_ts,
+                ts_col,
+            )
+            batch_df = batch_df.where(F.col(ts_col).isNotNull())
         if batch_df.isEmpty():
             return
         w = Window.partitionBy(key).orderBy(

@@ -73,11 +73,12 @@ def test_probe_adds_zero_shuffle_exchanges(spark, sf_dir):
     BroadcastHashJoins over LocalTableScans."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    bitmap = bloom_build(customer, "c_custkey", NUM_BITS, NUM_HASHES)
     # DELTA, not absolute: the session is shared across test modules and
     # other tests legitimately cache (quarantine_corrupt, operator
-    # tests) — only bloom_probe's own contribution must be zero.
+    # tests) — but sample BEFORE bloom_build so a cache regression in
+    # EITHER the build or the probe shows up in the delta.
     cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    bitmap = bloom_build(customer, "c_custkey", NUM_BITS, NUM_HASHES)
     pruned = bloom_probe(orders, "o_custkey", bitmap, NUM_BITS, NUM_HASHES)
     probe_plan = _plan(pruned)
     # The build's groupBy Exchange ran eagerly inside bloom_probe; the

@@ -924,7 +924,11 @@ def test_decile_and_rrf_null_edges_match_oracle(spark, tmp_path):
         if i % 5 == 0:
             txt += " join filter spark"  # BM25 query terms
         rows.append((i, txt, "en" if i % 3 else "fr", "s", len(txt)))
-    rows[0] = (0, None, "en", "s", 10)  # null text -> null score
+    # TWO null-text docs (-> null scores): a single one would leave the
+    # null-group tie-break lanes (row_number over the NULL score
+    # partition; ahead_of_null's qd < sid term) trivially satisfied.
+    rows[0] = (0, None, "en", "s", 10)
+    rows[2] = (2, None, "fr", "s", 25)
     # BM25 survivor with NULL n_chars: quality_score stays NON-null
     # (LEAST ignores NULL on both engines), but the doc exercises the
     # null-input lane of the count-greater predicate end-to-end.

@@ -130,6 +130,25 @@ def test_read_form_accepts_file_scheme_uri(spark, mixed_dir, tmp_path):
     assert "sf_id" in empty.columns
 
 
+def test_read_form_empty_shape_matches_nonempty(spark, mixed_dir, tmp_path):
+    """Shape invariance (r11 review): the typed-empty frame must carry
+    the SAME columns the non-empty scan would produce for the same
+    flags — incl. corrupt_col and source_file — so unions and
+    quarantine_corrupt never hit data-dependent UNRESOLVED_COLUMN."""
+    nonempty = read_form(
+        spark, f"{mixed_dir}/*_bank_scrape.json", schemas.BANK_SCRAPE_SCHEMA,
+        corrupt_col="_corrupt_record", allow_empty=True,
+    )
+    empty = read_form(
+        spark, f"{tmp_path}/nothing/*.json", schemas.BANK_SCRAPE_SCHEMA,
+        corrupt_col="_corrupt_record", allow_empty=True,
+    )
+    assert empty.columns == nonempty.columns
+    assert empty.count() == 0
+    # the union a multi-day ingest loop performs must resolve
+    assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
 def test_read_form_remote_uri_degrades_without_py4j(spark, mixed_dir, tmp_path, monkeypatch):
     """Spark Connect sessions have no _jvm/_jsc (r10 ADVICE): the probe
     must return None (not crash with AttributeError), and read_form must
