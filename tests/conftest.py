@@ -242,6 +242,15 @@ def assert_matches_oracle(spark_df, duck_con, sql):
         f"raw decimal output column(s) {decs}: banned driver-facing — "
         "cast to DOUBLE on the Spark side and via VARCHAR on the oracle side"
     )
+    # Width-exact integer ban (r10's ks_two_sample red row): DuckDB SUMs
+    # of ints widen to HUGEINT, which the driver hash distinguishes from
+    # Spark's BIGINT even when values and type CATEGORIES agree.
+    wide = [c for c, t in zip(duck_cols, rel.types)
+            if str(t).upper() in ("HUGEINT", "UBIGINT")]
+    assert not wide, (
+        f"oracle emits 128-bit/unsigned int column(s) {wide}: "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
     cat_mismatch = {
         c: (s_cats[c], d_cats[c]) for c in s_cats if s_cats[c] != d_cats.get(c)
     }
