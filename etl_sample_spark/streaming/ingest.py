@@ -75,12 +75,32 @@ def foreach_batch_normalize(
 
     ``dead_letter_dir``: when the stream was built with a
     ``corrupt_col``, malformed documents are split out of the batch and
-    appended (raw text + batch id) under this directory for replay after
+    written (raw text + batch id) under this directory for replay after
     a parser/schema fix, and only CLEAN rows are normalized — without
     this, PERMISSIVE-mode failures land in every output table as
-    all-null records."""
+    all-null records.
+
+    Exactly-once, not just checkpointed: foreachBatch is at-least-once
+    (a batch that fails after SOME table writes re-runs whole), so a
+    blind ``mode("append")`` would duplicate the already-written tables
+    on replay — the exact reference bug this module exists to fix. Every
+    write here is a DYNAMIC PARTITION OVERWRITE of the batch's own
+    ``__batch_id=N`` partition: a replayed batch rewrites its partition
+    in place instead of appending next to its first attempt. This is
+    O(batch) per batch — no read of the existing table, unlike an
+    anti-join dedup — and the per-batch directories are the standard
+    small-file tradeoff ``compact_parquet_table`` exists for."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        def _write_batch_partition(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+
         batch_df.cache()
         try:
             clean = batch_df
@@ -88,12 +108,11 @@ def foreach_batch_normalize(
                 corrupt = batch_df.where(F.col(corrupt_col).isNotNull()).select(
                     F.col(corrupt_col).alias("raw"),
                     F.col("sf_id"),
-                    F.lit(batch_id).alias("batch_id"),
                 )
-                corrupt.write.mode("append").parquet(dead_letter_dir)
+                _write_batch_partition(corrupt, dead_letter_dir)
                 clean = batch_df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
             for name, table in normalize(clean, specs).items():
-                table.write.mode("append").parquet(os.path.join(out_dir, name))
+                _write_batch_partition(table, os.path.join(out_dir, name))
         finally:
             batch_df.unpersist()
 
@@ -115,8 +134,22 @@ def with_row_identity(table: DataFrame, keys: list[str], col: str = "SF_ROW_ID")
     """
     from pyspark.sql import Window
 
+    # Microsecond timestampFormat: to_json's default truncates to
+    # milliseconds, so rows identical except sub-millisecond timestamps
+    # would collide into one hash and the ordinal assignment across a
+    # retry could swap which physical row is "already written" —
+    # duplicating one value and losing the other (r11 review). Spark
+    # timestamps are microsecond-grained, so SSSSSS makes the hash a
+    # true function of the row.
     content = F.sha2(
-        F.to_json(F.struct(*[F.col(c) for c in sorted(table.columns)])), 256
+        F.to_json(
+            F.struct(*[F.col(c) for c in sorted(table.columns)]),
+            {
+                "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                "timeZone": "UTC",
+            },
+        ),
+        256,
     )
     tagged = table.withColumn("__row_hash", content)
     # Ordinal among byte-identical rows: ordering within the group is
@@ -136,6 +169,8 @@ def foreach_batch_normalize_jdbc(
     db_schema: str,
     keys: list[str],
     options: dict[str, str] | None = None,
+    dead_letter_dir: str | None = None,
+    corrupt_col: str = "_corrupt_record",
 ) -> Callable[[DataFrame, int], None]:
     """T6 fan-out into a JDBC database — the reference's actual
     production sink (stream of documents → 15+ SQL-server tables,
@@ -147,13 +182,35 @@ def foreach_batch_normalize_jdbc(
     (``with_row_identity``: document key + content hash + duplicate
     ordinal): a redelivered batch anti-joins to exactly the rows already
     committed — including after a partial per-partition JDBC commit —
-    and the pipeline is exactly-once end-to-end."""
+    and the pipeline is exactly-once end-to-end.
+
+    ``dead_letter_dir``: the JDBC twin of the parquet fan-out's
+    quarantine (r11 review — previously this path had none, so a
+    corrupt-col stream would write malformed docs into every SQL table
+    as all-null rows WITH the raw corrupt text as a column): corrupt
+    rows land raw in an idempotent per-batch parquet partition, and
+    only clean rows are normalized; the corrupt column never reaches
+    the database."""
     from etl_sample_spark.sources.sinks import jdbc_idempotent_append
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.cache()
         try:
-            for name, table in normalize(batch_df, specs).items():
+            clean = batch_df
+            if dead_letter_dir is not None and corrupt_col in batch_df.columns:
+                corrupt = batch_df.where(F.col(corrupt_col).isNotNull()).select(
+                    F.col(corrupt_col).alias("raw"),
+                    F.col("sf_id"),
+                )
+                (
+                    corrupt.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(dead_letter_dir)
+                )
+                clean = batch_df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+            for name, table in normalize(clean, specs).items():
                 table = with_row_identity(table, keys)
                 jdbc_idempotent_append(
                     table, url, f"{db_schema}.{name}", keys=["SF_ROW_ID"], options=options
@@ -193,14 +250,20 @@ def run_ingest_available_now_jdbc(
     keys: list[str],
     checkpoint_dir: str,
     options: dict[str, str] | None = None,
+    dead_letter_dir: str | None = None,
 ) -> StreamingQuery:
     """Drain the source into a JDBC database exactly-once: checkpointed
     file tracking (no re-reads across runs) + idempotent keyed appends
     (no duplicates within a redelivered batch) — the reference's
-    stream→SQL-server production shape, made convergent."""
+    stream→SQL-server production shape, made convergent. Pass
+    ``dead_letter_dir`` (with a corrupt-col stream) to quarantine
+    malformed documents instead of writing all-null rows to SQL."""
     writer: DataStreamWriter = (
         docs_stream.writeStream.foreachBatch(
-            foreach_batch_normalize_jdbc(specs, url, db_schema, keys, options)
+            foreach_batch_normalize_jdbc(
+                specs, url, db_schema, keys, options,
+                dead_letter_dir=dead_letter_dir,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -247,7 +310,6 @@ def run_cdc_to_scd2_stream(
     the scd2_merge joins, all keyed on the dimension key; per-batch cost
     is O(batch + dimension), independent of stream history length.
     """
-    import os as _os
     import uuid
 
     from pyspark.sql import Window
@@ -262,22 +324,30 @@ def run_cdc_to_scd2_stream(
         # scd2_as_of, duplicating as-of results. Drop such rows, but
         # NEVER silently: a source bug emitting null timestamps would
         # otherwise vanish keys from the dimension with zero signal
-        # (r11 review). The count is one cheap ts-column job per batch.
-        n_null_ts = batch_df.where(F.col(ts_col).isNull()).count()
-        if n_null_ts:
-            import logging
+        # (r11 review). The batch is cached: the null count, isEmpty,
+        # and the merge below are three actions over one micro-batch.
+        batch_df = batch_df.cache()
+        try:
+            n_null_ts = batch_df.where(F.col(ts_col).isNull()).count()
+            if n_null_ts:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "scd2 batch %s: dropping %d row(s) with NULL %s "
-                "(malformed CDC input; route upstream through a "
-                "quarantine if the source can produce these)",
-                batch_id,
-                n_null_ts,
-                ts_col,
-            )
-            batch_df = batch_df.where(F.col(ts_col).isNotNull())
-        if batch_df.isEmpty():
-            return
+                logging.getLogger(__name__).warning(
+                    "scd2 batch %s: dropping %d row(s) with NULL %s "
+                    "(malformed CDC input; route upstream through a "
+                    "quarantine if the source can produce these)",
+                    batch_id,
+                    n_null_ts,
+                    ts_col,
+                )
+                batch_df = batch_df.where(F.col(ts_col).isNotNull())
+            if batch_df.isEmpty():
+                return
+            _merge_batch(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    def _merge_batch(batch_df: DataFrame) -> None:
         w = Window.partitionBy(key).orderBy(
             F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in tracked]
         )
@@ -287,9 +357,19 @@ def run_cdc_to_scd2_stream(
             .drop("__rn")
         )
         spark = batch_df.sparkSession
+        # History existence is decided by ATTEMPTING the read, not by a
+        # local-filesystem _SUCCESS probe (r11 review): dim_path may be
+        # a scheme-qualified URI the local probe cannot see, and a false
+        # "absent" here would swap the real history away for one batch's
+        # init. Only PATH_NOT_FOUND may fall through to first-write; an
+        # empty/corrupt directory raises LOUDLY instead.
         history = None
-        if _os.path.exists(_os.path.join(dim_path, "_SUCCESS")):
+        try:
             history = spark.read.parquet(dim_path)
+        except Exception as ex:
+            if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+                raise
+        if history is not None:
             current = history.where(F.col("is_current")).select(
                 key, F.col("valid_from").alias("__cur_from")
             )
@@ -315,7 +395,17 @@ def run_cdc_to_scd2_stream(
         else:
             merged = scd2_init(latest, effective_col=ts_col)
         tmp = f"{dim_path}__merge_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            # A failed WRITE leaves nothing worth keeping — clean the
+            # partial tmp so __merge_* dirs can't accumulate across
+            # retries. (A failed SWAP deliberately keeps tmp: its error
+            # message points at it for manual recovery.)
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         swap_parquet_dir(tmp, dim_path)
 
     (

@@ -286,6 +286,15 @@ def running_user_totals_tws(
     = RocksDBStateStoreProvider, and a working ``google.protobuf`` (the
     TWS Python driver worker speaks protobuf to the JVM; the test is
     env-gated on it).
+
+    TTL caveat (r11, measured): Spark REQUIRES timeMode=ProcessingTime
+    for TTL state (under "None" the JVM rejects it and the TWS driver
+    worker crashes), so setting ``state_ttl_ms`` switches this operator
+    to ProcessingTime mode. In at least one local-mode environment
+    (PySpark 4.1.2 + vendored-protobuf worker) ANY ProcessingTime-mode
+    TWS query hangs — even a minimal no-TTL one — so the TTL path is
+    plan-pinned in tests rather than run e2e; without a TTL the
+    operator keeps the timer-free "None" mode, which runs everywhere.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -322,7 +331,10 @@ def running_user_totals_tws(
             statefulProcessor=RunningTotals(),
             outputStructType=out_schema,
             outputMode="Update",
-            timeMode="None",
+            # TTL state REQUIRES ProcessingTime mode (Spark raises
+            # STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL under
+            # "None"); without TTL the mode stays timer-free.
+            timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
         )
     )
 
@@ -437,8 +449,10 @@ def rolling_zscore_tws(
 
     Emits only the anomalies (event_id, event_type, value, zscore).
     State is bounded at ``frame`` bigints per key by construction; TTL
-    evicts idle keys. Same runtime requirements as
-    :func:`running_user_totals_tws` (RocksDB state store, protobuf).
+    evicts idle keys. Same runtime requirements AND the same TTL/
+    ProcessingTime caveat as :func:`running_user_totals_tws` (RocksDB
+    state store, protobuf; ``state_ttl_ms`` switches to ProcessingTime
+    mode, which hangs in some local environments — plan-pinned there).
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -457,7 +471,7 @@ def rolling_zscore_tws(
             import pandas as pd
 
             pdfs = [pdf for pdf in rows]
-            batch = pd.concat(pdfs).sort_values(["ts", "event_id"], kind="mergesort")
+            batch = pd.concat(pdfs).sort_values([ts_col, "event_id"], kind="mergesort")
             # ListState.get() yields plain tuples (not Rows) in PySpark 4.1
             vals = [int(r[0]) for r in self._frame.get()]
             anomalies, vals = _score_rolling_frame(
@@ -485,7 +499,8 @@ def rolling_zscore_tws(
             statefulProcessor=RollingZ(),
             outputStructType=out_schema,
             outputMode="Append",
-            timeMode="None",
+            # see running_user_totals_tws: TTL forces ProcessingTime.
+            timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
         )
     )
 
@@ -633,7 +648,15 @@ def per_type_user_totals_tws(
 
             touched: dict[str, tuple[int, float]] = {}
             for pdf in rows:
-                for etype, grp in pdf.groupby("event_type"):
+                # dropna=False: pandas groupby silently EXCLUDES null
+                # keys by default, which would vanish null-event_type
+                # rows from the totals — the Spark-side operators
+                # (watermarked_window_counts etc.) keep a NULL group, so
+                # this one does too (NaN normalized to None for the
+                # state key and the emitted column).
+                for etype, grp in pdf.groupby("event_type", dropna=False):
+                    if etype != etype:  # NaN -> None
+                        etype = None
                     n, total = touched.get(etype) or (
                         self._by_type.getValue((etype,))
                         if self._by_type.exists() and self._by_type.containsKey((etype,))
