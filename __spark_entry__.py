@@ -71,6 +71,12 @@ _FRONT_PINS = [
     # cache leaked a session-lifetime InMemoryRelation per invocation).
     # Result-invariant (same bits, same joins), reachable code changed.
     "bloom_semi_join_orders_customers",
+    # r11 mechanical re-pin: cdc_apply gained a deterministic tie-break
+    # beyond the sequence column (review finding — seq ties were picked
+    # by partition order). The registry query's seq is o_orderkey,
+    # which is UNIQUE, so the result is invariant; reachable code
+    # changed, so it re-earns its driver row.
+    "cdc_upsert_apply_customers",
 ]
 # r10 pins (bloom join, variant shred, the Spark 4 SQL-surface batch,
 # the batch 5-13 registrations, and the four minhash re-pins) all landed

@@ -84,8 +84,21 @@ def update_rollup_table(
     from etl_sample_spark.sources.sinks import swap_parquet_dir
 
     delta = rollup_batch(batch, keys, measures)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        merged = merge_rollups(spark.read.parquet(path), delta, keys)
+    # Existence is decided by ATTEMPTING the read, never a driver-local
+    # _SUCCESS probe (r11 review): `path` may be a scheme-qualified URI
+    # the local filesystem cannot see, or the cluster may not write
+    # _SUCCESS markers — and a false "absent" here runs the OVERWRITE
+    # branch, silently replacing the whole accumulated rollup with one
+    # batch's partials. Only PATH_NOT_FOUND may create; anything else
+    # (empty dir, corrupt footer, permissions) raises loudly.
+    existing = None
+    try:
+        existing = spark.read.parquet(path)
+    except Exception as ex:
+        if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+            raise
+    if existing is not None:
+        merged = merge_rollups(existing, delta, keys)
         tmp = f"{path}__merge_{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         swap_parquet_dir(tmp, path)
@@ -126,7 +139,17 @@ def cdc_apply(
 
     if payload_cols is None:  # [] is a legal explicit "no payload" choice
         payload_cols = [c for c in changelog.columns if c not in (key, seq, op_col)]
-    w = Window.partitionBy(key).orderBy(F.desc(seq))
+    # Deterministic tie-break beyond seq (r11 review): two ops sharing a
+    # key's max seq (e.g. one transaction's binlog events given a single
+    # commit sequence) would otherwise be picked by partition order —
+    # the same inputs could delete the key on one run and upsert it on
+    # the next. Same convention as the streaming latest-wins dedup:
+    # op + payload columns, descending, nulls last.
+    w = Window.partitionBy(key).orderBy(
+        F.desc(seq),
+        F.col(op_col).desc_nulls_last(),
+        *[F.col(c).desc_nulls_last() for c in payload_cols],
+    )
     last = (
         changelog.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n_ops", F.count(F.lit(1)).over(Window.partitionBy(key)))

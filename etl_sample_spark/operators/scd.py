@@ -94,6 +94,15 @@ def scd2_merge(
     The result is the full new history table (append-only semantics:
     no version row is ever mutated after it closes, so the output can
     be written with partition overwrite or into any warehouse table).
+
+    ORDERING PRECONDITION (r11 review): the effective time must be >=
+    every changed key's current ``valid_from`` — merging a LATE batch
+    with an older effective time writes a closed row whose valid_to
+    precedes its valid_from and an is_current row predating the version
+    it replaced, corrupting as-of reconstruction. The streaming caller
+    (``run_cdc_to_scd2_stream``) enforces this with its stale filter;
+    direct batch callers must order their merges (or pre-filter the
+    same way).
     """
     if (effective is None) == (effective_col is None):
         raise ValueError("give exactly one of effective / effective_col")
@@ -110,7 +119,14 @@ def scd2_merge(
     )
     new_keys = upd.join(history.select(key).distinct(), key, "left_anti").select(key)
 
-    carried = history.join(changed_keys, key, "left_anti")
+    # Carried = everything except the CURRENT row of each changed key
+    # (that row is re-emitted closed below). Anti-joining the WHOLE
+    # history on changed keys — the r1-r10 form — silently deleted every
+    # OLDER closed version the second time a key changed (r11 review):
+    # closed rows are immutable history and must always carry through.
+    carried = history.where(~F.col("is_current")).unionByName(
+        history.where(F.col("is_current")).join(changed_keys, key, "left_anti")
+    )
     if effective_col is not None:
         # Per-key effective time: one row per key in `updates` (the
         # caller's latest-wins dedup guarantees this), joined in so each

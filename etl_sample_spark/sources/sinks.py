@@ -97,6 +97,13 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
     from pyspark.errors import AnalysisException
 
     spark = df.sparkSession
+    # Key uniqueness is the sink's invariant, so it is enforced on the
+    # batch itself too (r11 review): a batch carrying two rows with one
+    # key would append both on a clean first run — and later retries
+    # could never repair it, because the key then "exists". One row per
+    # key is kept (arbitrary among byte-different duplicates — feed
+    # pre-deduped, e.g. latest-wins, input when that choice matters).
+    df = df.dropDuplicates(keys)
     try:
         existing = spark.read.parquet(path).select(*keys).distinct()
     except AnalysisException as ex:
@@ -109,7 +116,15 @@ def idempotent_append(df: DataFrame, path: str, keys: list[str]) -> None:
             raise
         df.write.mode("append").parquet(path)
         return
-    fresh = df.join(existing, on=keys, how="left_anti")
+    # eqNullSafe (r11 review): a plain `on=keys` anti-join never matches
+    # NULL keys (NULL = NULL is NULL), so a null-key row would be
+    # re-appended on EVERY retry — the exact bug this sink prevents.
+    ex_a = existing.select(*[F.col(k).alias(f"__ex_{k}") for k in keys])
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__ex_{k}"))
+        cond = c if cond is None else cond & c
+    fresh = df.join(ex_a, cond, "left_anti")
     fresh.write.mode("append").parquet(path)
 
 
@@ -178,10 +193,17 @@ def jdbc_idempotent_append(
         return writer_or_reader
 
     spark = df.sparkSession
-    out = stringify_complex_columns(df)
+    # Same in-batch key-uniqueness and null-safe-join discipline as
+    # idempotent_append (r11 review) — see the comments there.
+    out = stringify_complex_columns(df).dropDuplicates(keys)
     try:
         existing = _opt(spark.read.format("jdbc")).load().select(*keys).distinct()
-        out = out.join(existing, on=keys, how="left_anti")
+        ex_a = existing.select(*[F.col(k).alias(f"__ex_{k}") for k in keys])
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__ex_{k}"))
+            cond = c if cond is None else cond & c
+        out = out.join(ex_a, cond, "left_anti")
     except Exception as ex:  # noqa: BLE001 — classified below
         # ONLY "table does not exist yet" may fall through to a
         # create-on-first-append. Classified by SQLState (dialect-neutral)
@@ -445,8 +467,6 @@ def erase_rows_by_key(
     guarantee that bytes are gone (tombstones would leave the data
     readable).
     """
-    import math
-    import os
     import uuid
 
     df = spark.read.parquet(path)

@@ -840,6 +840,56 @@ def test_scd2_merge_semantics_and_idempotence(spark):
     assert after == {(1, "A"), (2, "B2"), (3, "C"), (4, "D")}
 
 
+def test_scd2_merge_preserves_closed_versions_on_second_change(spark):
+    """r11 review regression: the r1-r10 carried-branch anti-joined the
+    WHOLE history on changed keys, silently deleting every OLDER closed
+    version the SECOND time a key changed (no prior test changed a key
+    twice). Three successive changes must leave the full 3-version
+    chain, as-of-queryable at every epoch."""
+    from etl_sample_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
+
+    hist = scd2_init(
+        spark.createDataFrame([(1, "v1")], "k INT, attr STRING"), "2020-01-01"
+    )
+    hist = scd2_merge(
+        hist, spark.createDataFrame([(1, "v2")], "k INT, attr STRING"),
+        "k", ["attr"], "2021-01-01",
+    )
+    hist = scd2_merge(
+        hist, spark.createDataFrame([(1, "v3")], "k INT, attr STRING"),
+        "k", ["attr"], "2022-01-01",
+    )
+    rows = sorted(
+        ((r["attr"], r["is_current"], str(r["valid_from"])[:10], str(r["valid_to"])[:10] if r["valid_to"] else None)
+         for r in hist.collect())
+    )
+    assert rows == [
+        ("v1", False, "2020-01-01", "2021-01-01"),
+        ("v2", False, "2021-01-01", "2022-01-01"),
+        ("v3", True, "2022-01-01", None),
+    ], rows
+    # every epoch reconstructs
+    assert scd2_as_of(hist, "2020-06-01").head()["attr"] == "v1"
+    assert scd2_as_of(hist, "2021-06-01").head()["attr"] == "v2"
+    assert scd2_as_of(hist, "2022-06-01").head()["attr"] == "v3"
+    # same chain through the per-key effective grain
+    hist2 = scd2_init(
+        spark.createDataFrame(
+            [(1, "v1", "2020-01-01 00:00:00")], "k INT, attr STRING, ts STRING"
+        ).selectExpr("k", "attr", "CAST(ts AS TIMESTAMP) ts"),
+        effective_col="ts",
+    )
+    for i, (attr, ts) in enumerate(
+        [("v2", "2021-01-01 00:00:00"), ("v3", "2022-01-01 00:00:00")]
+    ):
+        upd = spark.createDataFrame(
+            [(1, attr, ts)], "k INT, attr STRING, ts STRING"
+        ).selectExpr("k", "attr", "CAST(ts AS TIMESTAMP) ts")
+        hist2 = scd2_merge(hist2, upd, "k", ["attr"], effective_col="ts")
+    assert hist2.count() == 3
+    assert scd2_as_of(hist2, "2021-06-01").head()["attr"] == "v2"
+
+
 def test_incremental_rollup_equals_full(spark, sf_dir, tmp_path):
     """The persisted incremental path: applying batches one at a time
     through update_rollup_table (write -> swap per batch) converges to
@@ -1420,6 +1470,25 @@ def test_cdc_apply_carries_non_payload_base_columns(spark):
     assert rows[1]["balance"] == 10.0 and rows[1]["tier"] == "gold"      # carried
     assert rows[2]["balance"] == 25.0 and rows[2]["tier"] == "silver"    # partial update
     assert rows[9]["balance"] == 99.0 and rows[9]["tier"] is None        # insert
+
+
+def test_cdc_apply_seq_ties_resolve_deterministically(spark):
+    """r11 review regression: two ops sharing a key's max seq (one
+    transaction's events under a single commit sequence) used to be
+    picked by partition order — the same inputs could delete the key on
+    one run and upsert it on the next. The tie-break is now op+payload
+    descending, so 'U' beats 'D' on a seq tie, every run."""
+    from etl_sample_spark.operators.incremental import cdc_apply
+
+    base = spark.createDataFrame([(1, 10.0)], "k bigint, balance double")
+    log = spark.createDataFrame(
+        [(1, 5, "D", None), (1, 5, "U", 42.0)],
+        "k bigint, seq int, op string, balance double",
+    )
+    for _ in range(3):  # repeated runs must agree
+        rows = {r["k"]: r for r in cdc_apply(base, log, key="k", seq="seq").collect()}
+        assert set(rows) == {1}
+        assert rows[1]["balance"] == 42.0
 
 
 # ------------------------------------------------- incremental dedup (r10)

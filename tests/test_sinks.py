@@ -241,3 +241,45 @@ def test_writers_accept_compression_codec(spark, sf_dir, tmp_path):
     write_partitioned(li, p1, ["l_returnflag"], compression="zstd")
     write_partitioned(li, p2, ["l_returnflag"], compression="uncompressed")
     assert size(p1) < size(p2)
+
+
+def test_idempotent_append_null_keys_and_batch_duplicates(spark, tmp_path):
+    """r11 review regression: (a) a NULL-key row must not be re-appended
+    on retry — the plain `on=keys` anti-join never matches NULL = NULL,
+    so the r1-r10 sink duplicated it on every redelivery; (b) a batch
+    carrying two rows with one key must land as one row — key uniqueness
+    is the sink's invariant, and retries can never repair an in-batch
+    duplicate once the key 'exists'."""
+    from etl_sample_spark.sources.sinks import idempotent_append
+
+    path = str(tmp_path / "nulls")
+    batch = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (1, "b-dup")], "k INT, v STRING"
+    )
+    idempotent_append(batch, path, keys=["k"])
+    assert spark.read.parquet(path).count() == 2  # null-key + one k=1 row
+    # redelivery of the SAME batch: fully converged, including NULL key
+    idempotent_append(batch, path, keys=["k"])
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    assert got.where(F.col("k").isNull()).count() == 1
+
+
+def test_jdbc_idempotent_append_null_keys_and_batch_duplicates(spark):
+    """JDBC twin of the null-key / in-batch-duplicate regression."""
+    from etl_sample_spark.sources.sinks import jdbc_idempotent_append
+
+    url = "jdbc:derby:memory:nullkeydb;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    batch = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (1, "b-dup")], "k INT, v STRING"
+    )
+    jdbc_idempotent_append(batch, url, "APP.NULLKEYS", keys=["k"], options=opts)
+    jdbc_idempotent_append(batch, url, "APP.NULLKEYS", keys=["k"], options=opts)
+    got = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "APP.NULLKEYS")
+        .option("driver", opts["driver"]).load()
+    )
+    assert got.count() == 2
+    assert got.where(F.col("k").isNull()).count() == 1
