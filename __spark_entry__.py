@@ -77,13 +77,23 @@ _FRONT_PINS = [
     # which is UNIQUE, so the result is invariant; reachable code
     # changed, so it re-earns its driver row.
     "cdc_upsert_apply_customers",
+    # r11 mechanical re-pins from the layout-tier review: salted_join's
+    # salt is now positional (whole-row-hash salting degenerated to one
+    # reducer on byte-identical hot-key rows) plus n_salts/_salt guards
+    # — join results invariant, the salt never survives the join;
+    # pagerank gained empty-graph and stale-edge guards around the
+    # unchanged iteration math.
+    "skewjoin_revenue_by_priority",
+    "pagerank_trade_network",
 ]
 # r10 pins (bloom join, variant shred, the Spark 4 SQL-surface batch,
 # the batch 5-13 registrations, and the four minhash re-pins) all landed
 # green driver rows in CORRECTNESS_r10.json — cleared for rotation.
-# With 6 pins the window's 44 rotation slots retire all 9 remaining r5
-# rows and 35 of the 37 r6 rows this round; the oldest surviving row is
-# then r6 (2 queries), satisfying r10 VERDICT item 3's "oldest ≥ r6".
+# With 9 pins (one of which itself sits on an r6 row) the 50-slot
+# window covers ALL remaining r5 and r6 rows this round — verified by
+# recomputing _ordered() against the CORRECTNESS artifacts: the window
+# holds 9 r5 + 33 r6 + the pins, and the oldest row left OUTSIDE is r7,
+# exceeding r10 VERDICT item 3's "oldest ≥ r6".
 
 
 def _last_checked_rounds() -> dict[str, int]:

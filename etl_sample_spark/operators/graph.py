@@ -43,11 +43,17 @@ def pagerank_fixed_point(
     Every update is integer multiply // divide on the ``scale`` grid, so
     the output is exactly the unrolled-CTE SQL twin's, term for term.
     Dangling mass (nodes with no out-edges) is dropped, matching the
-    LEFT-JOIN-on-outdeg convention of the SQL oracle.
+    LEFT-JOIN-on-outdeg convention of the SQL oracle. Edges whose src
+    (or dst) is not in ``nodes`` are IGNORED — the same inner-join-on-
+    nodes semantics the distributed tier gets for free (r11 review: the
+    pure tier used to raise KeyError on a stale edge list while the
+    distributed tier silently dropped it; both now drop).
     """
     n = len(nodes)
     if n == 0:
         return {}
+    node_set = set(nodes)
+    edges = [(s, d) for s, d in edges if s in node_set and d in node_set]
     base = ((100 - damping_pct) * scale) // (100 * n)
     outdeg: dict[int, int] = {}
     for s, _ in edges:
@@ -78,6 +84,10 @@ def pagerank_distributed(
     every iteration's subtree.
     """
     n_nodes = nodes.count()  # bounded: one scalar per call
+    if n_nodes == 0:
+        # match pagerank_fixed_point's {} on the empty graph instead of
+        # ZeroDivisionError (r11 review)
+        return nodes.withColumn("rank", F.lit(0).cast("bigint")).limit(0)
     base = ((100 - damping_pct) * scale) // (100 * n_nodes)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("bigint"))

@@ -140,6 +140,10 @@ def write_zordered(
         for c in cluster_cols
     ]
     zval = interleave_bits(scaled, bits)
+    if "__z" in df.columns:
+        # withColumn would overwrite it and the drop below would delete
+        # it from the written table — silent data loss (r11 review).
+        raise ValueError("input already has a '__z' column; rename it first")
     writer = (
         df.withColumn("__z", zval)
         .repartitionByRange(target_files, "__z")

@@ -29,11 +29,17 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with key salting: ``big`` rows get a deterministic salt
-    in [0, n_salts) hashed from the whole row (xxhash64 — cheap,
-    JVM-side, no rand() so re-runs and retried tasks agree); ``small`` is
-    exploded into one copy per salt value. The shuffle then distributes
-    each hot key over ``n_salts`` reducers instead of one.
+    """Equi-join with key salting: ``big`` rows get a salt in
+    [0, n_salts) from their position (``monotonically_increasing_id mod
+    n_salts`` — cycles within every input partition, so even a hot key
+    whose rows are BYTE-IDENTICAL spreads across all salts; the r1-r10
+    whole-row xxhash64 salt degenerated to ONE reducer exactly in that
+    pathological case, r11 review); ``small`` is exploded into one copy
+    per salt value. The shuffle then distributes each hot key over
+    ``n_salts`` reducers instead of one. The salt is execution-plumbing
+    that never survives the join (dropped before returning), so its
+    run-to-run nondeterminism is invisible: join RESULTS are invariant,
+    only the row→reducer assignment varies.
 
     Use when a key's row count exceeds what one task should own
     (~shuffle-partition-size / row-width). For dims that fit in memory,
@@ -42,7 +48,17 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    if n_salts < 1:
+        # n_salts=0 would silently return zero rows (pmod by zero is
+        # NULL, which matches nothing) — fail fast like the `how` guard.
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    for side, name in ((big, "big"), (small, "small")):
+        if "_salt" in side.columns:
+            raise ValueError(
+                f"{name} side already has a '_salt' column — salted_join "
+                "would overwrite it and drop it from the output"
+            )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     salted_big = big.withColumn("_salt", salt)
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

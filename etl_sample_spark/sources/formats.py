@@ -91,8 +91,36 @@ def validate_schema_contract(df: DataFrame, contract: StructType) -> None:
     100 TB a schema drift caught at the boundary costs an error
     message; caught downstream it costs a backfill.
     """
-    actual = {f.name: f.dataType for f in df.schema.fields}
-    expected = {f.name: f.dataType for f in contract.fields}
+    # Duplicate column names would collapse in the name-keyed dicts
+    # below and let a non-conforming frame (e.g. a post-join frame with
+    # two 'id' columns) slide through the exactness gate (r11 review).
+    names = [f.name for f in df.schema.fields]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise SchemaContractError(
+            f"schema contract violated — duplicate column name(s): {dupes}"
+        )
+
+    def _denull(dt):
+        """Canonicalize nullability RECURSIVELY: the docstring's
+        'nullability is ignored' must hold for nested flags too
+        (ArrayType.containsNull, MapType.valueContainsNull, struct
+        field nullable) — a containsNull=false array produced by
+        F.array over non-null inputs satisfies a containsNull=true
+        contract (r11 review: plain DataType equality rejected it)."""
+        from pyspark.sql.types import ArrayType, MapType, StructField
+        from pyspark.sql.types import StructType as _ST
+
+        if isinstance(dt, ArrayType):
+            return ArrayType(_denull(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(_denull(dt.keyType), _denull(dt.valueType), True)
+        if isinstance(dt, _ST):
+            return _ST([StructField(f.name, _denull(f.dataType), True) for f in dt.fields])
+        return dt
+
+    actual = {f.name: _denull(f.dataType) for f in df.schema.fields}
+    expected = {f.name: _denull(f.dataType) for f in contract.fields}
     missing = sorted(set(expected) - set(actual))
     unexpected = sorted(set(actual) - set(expected))
     mistyped = sorted(
