@@ -85,6 +85,39 @@ _FRONT_PINS = [
     # unchanged iteration math.
     "skewjoin_revenue_by_priority",
     "pagerank_trade_network",
+    # r11 semantic-core review re-pins (21 queries, all strict-sim
+    # green at sf0.01 + sf0.1 before pinning): ANSI-crash hardening
+    # made reachable code change under them — try_to_timestamp in the
+    # compact reassembly (ts_reassemble + normalize consumers),
+    # bigint-safe fingerprint arithmetic (doc_fingerprints + every
+    # fingerprint-gated split/sample/pack query), the zero-vector
+    # cosine guard (all similarity/semantic-dedup queries), the
+    # 10-digit phone redaction pattern (pii queries — the PATTERN
+    # constant feeds Spark and oracle alike, so both sides moved
+    # together), and the [0]→try_element_at spec compilation
+    # (normalize_star_rebuild). All result-invariant on the driver
+    # data except the pii pair, where both engines changed identically.
+    "ts_reassemble_compact",
+    "text_stats",
+    "text_quality_and_lang",
+    "doc_fingerprints",
+    "similarity_bruteforce_top10",
+    "similarity_lsh_top10",
+    "embedding_neardup_pairs",
+    "similarity_ivf_top10",
+    "similarity_ivf_indexed_top10",
+    "similarity_batch_top5",
+    "embedding_neardup_clusters",
+    "semantic_dedup_keep_best",
+    "corpus_curation_pipeline",
+    "train_val_test_split",
+    "hash_stratified_sample_by_lang",
+    "sequence_packing_512",
+    "text_scrub_pii",
+    "corpus_prep_end_to_end",
+    "decontaminated_split_audit",
+    "lang_confusion_matrix",
+    "normalize_star_rebuild",
 ]
 # r10 pins (bloom join, variant shred, the Spark 4 SQL-surface batch,
 # the batch 5-13 registrations, and the four minhash re-pins) all landed

@@ -92,8 +92,12 @@ def bank_form_specs() -> list[TableSpec]:
 
 def credit_form_specs() -> list[TableSpec]:
     """Form C → base_credit + 13 child tables (creditpipe :154-366)."""
-    # :162 — compact Date+Time reassembly, normalized to TimestampType
-    report_date = "to_timestamp(concat(Date, Time), 'yyyyMMddHHmmss')"
+    # :162 — compact Date+Time reassembly, normalized to TimestampType.
+    # try_to_timestamp: under default ANSI mode a malformed (schema-
+    # valid, so unquarantined) Date/Time string would otherwise throw
+    # CANNOT_PARSE_TIMESTAMP and crash the corpus pass — the reference's
+    # try/except tolerated it (r11 review); null is the faithful result.
+    report_date = "try_to_timestamp(concat(Date, Time), 'yyyyMMddHHmmss')"
     member = "CAST(MemberCode AS STRING)"
     specs = [
         # :165-184
@@ -143,7 +147,15 @@ def combined_form_specs() -> list[TableSpec]:
         "'Not specified')"
     )
     member = "coalesce(CreditReportData.MemberCode, 'Not found')"  # :399-402
-    mask = "concat('XXXX', substring(account.account, 4))"
+    # Shared-table type contract (r11 review): base_credit /
+    # credit_summary / the credit children are written by BOTH forms
+    # into the same sinks, and credit_form_specs emits Report_Date as
+    # TimestampType — so this form must too, or a mixed-form batch
+    # appends INT64 and BYTE_ARRAY into one parquet column and every
+    # later read fails. (The bank-side tables' lowercase Report_date
+    # stays a raw string: they are not shared with the credit form and
+    # keep the reference's shape.)
+    report_date = "try_to_timestamp(CreatedOnDate)"
     specs = [
         # :391-404
         TableSpec(
@@ -183,7 +195,7 @@ def combined_form_specs() -> list[TableSpec]:
             extra={
                 "mean_close": "account.statistics.mean_closing_balance",
                 "mean_close_30": "account.statistics.mean_closing_balance_30",
-                "mask_id": mask,
+                "mask_id": _MASK,
                 "SF_ID": "SalesforceID",
                 "Report_date": "CreatedOnDate",
             },
@@ -195,7 +207,7 @@ def combined_form_specs() -> list[TableSpec]:
             extra={
                 "account_id": "CAST(account.account AS STRING)",
                 "Report_Date": "CAST(CreatedOnDate AS STRING)",
-                "mask_id": mask,
+                "mask_id": _MASK,
                 "sf_id": "CAST(SalesforceID AS STRING)",
             },
         ),
@@ -209,7 +221,7 @@ def combined_form_specs() -> list[TableSpec]:
                 "SF_ID": "SalesforceID",
                 "Credit_Member_ID": member,
                 "TU_FFR_HIT": f"{rep}[0].Hit",
-                "Report_Date": "CreatedOnDate",
+                "Report_Date": report_date,
                 "FFR_filedate": f"{rep}[0].OnFileDate",
             },
         ),
@@ -217,7 +229,7 @@ def combined_form_specs() -> list[TableSpec]:
         TableSpec(
             name="credit_summary",
             flatten=f"{rep}[0].CreditSummary",
-            extra={"SF_ID": "SalesforceID", "Report_Date": "CreatedOnDate"},
+            extra={"SF_ID": "SalesforceID", "Report_Date": report_date},
         ),
         # :648-655
         TableSpec(
@@ -236,7 +248,7 @@ def combined_form_specs() -> list[TableSpec]:
             TableSpec(
                 name=table,
                 explode=((f"{rep}[0].{section}", "item"),),
-                extra={"SF_ID": "SalesforceID", "Report_Date": "CreatedOnDate"},
+                extra={"SF_ID": "SalesforceID", "Report_Date": report_date},
             )
         )
     return specs

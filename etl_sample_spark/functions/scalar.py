@@ -30,9 +30,12 @@ def reassemble_compact_timestamp(date_part: Column, time_part: Column) -> Column
 
     Reference does this with six string slices into the odd format
     ``'YYYY-MM-DD HH:MM.SS'`` (pipeline.py:162); the engine normalizes to
-    TimestampType so downstream date logic is native.
+    TimestampType so downstream date logic is native. try_to_timestamp:
+    a malformed (schema-valid) input yields NULL instead of throwing
+    CANNOT_PARSE_TIMESTAMP under default ANSI mode — the reference's
+    try/except tolerance (r11 review).
     """
-    return F.to_timestamp(F.concat(date_part, time_part), "yyyyMMddHHmmss")
+    return F.try_to_timestamp(F.concat(date_part, time_part), F.lit("yyyyMMddHHmmss"))
 
 
 def coalesce_chain(*sources: Column, default: str = "Not specified") -> Column:

@@ -19,7 +19,14 @@ FINGERPRINT_MOD = 1_000_000_007
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization → array<string>."""
+    """SINGLE-SPACE tokenization → array<string> — deliberately the
+    literal ' ' split, not a \\s+ regex: this is the corpus's canonical
+    tokenizer and every DuckDB oracle twin splits with the identical
+    STRING_SPLIT(text, ' '), so the two engines must agree token-for-
+    token (runs of spaces yield empty tokens on BOTH sides). Changing
+    to regex-whitespace would require changing every oracle in the
+    same commit (r11 review: the old docstring claimed 'whitespace',
+    which this is not)."""
     return F.split(text, " ")
 
 
@@ -93,7 +100,11 @@ def doc_fingerprint(text: Column) -> Column:
     toks = tokens(text)
     terms = F.transform(
         toks,
-        lambda t, i: (i + F.lit(1)).cast("bigint") * (F.length(t) * 131 + F.ascii(t)).cast("bigint"),
+        # length cast to bigint BEFORE the multiply: a single giant
+        # token (minified/no-space text) over ~16.4M chars overflows
+        # the int32 product — ANSI throws, non-ANSI silently wraps
+        # (r11 review)
+        lambda t, i: (i + F.lit(1)).cast("bigint") * (F.length(t).cast("bigint") * 131 + F.ascii(t)),
     )
     total = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return (total % FINGERPRINT_MOD).alias("fingerprint")
@@ -104,7 +115,10 @@ def doc_fingerprint(text: Column) -> Column:
 # lookaround, so the cross-engine oracle can reproduce the redaction
 # exactly.
 EMAIL_PATTERN = r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z][a-zA-Z]+"
-PHONE_PATTERN = r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+# optional area-code prefix (r11 review: the bare ddd-dddd form left
+# '555-' of a 10-digit number unredacted); (?:...) is in the shared
+# Java/RE2 subset.
+PHONE_PATTERN = r"(?:[0-9][0-9][0-9]-)?[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
 
 
 def redact_pii(text: Column) -> Column:

@@ -71,7 +71,12 @@ def zscore_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame
     single group fits an executor (here: one user's events). JVM twin:
     (value - avg over W) / stddev over W with a partitionBy window.
     """
-    schema = f"{group_col} BIGINT, {value_col} DOUBLE, zscore DOUBLE"
+    # derive the pass-through column types from the input (r11 review:
+    # hardcoded BIGINT/DOUBLE broke any string group key or decimal
+    # value at Arrow conversion time)
+    g_t = df.schema[group_col].dataType.simpleString()
+    v_t = df.schema[value_col].dataType.simpleString()
+    schema = f"{group_col} {g_t}, {value_col} {v_t}, zscore DOUBLE"
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf[value_col].std(ddof=1)

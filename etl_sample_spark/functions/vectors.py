@@ -28,4 +28,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for a zero-magnitude (or empty) vector: under default ANSI
+    mode the bare division throws DIVIDE_BY_ZERO, so one all-zeros
+    embedding row would abort a whole similarity job (r11 review);
+    cosine is genuinely undefined there and null propagates correctly
+    through top-k (descending sort puts nulls last)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)

@@ -29,12 +29,27 @@ output table (share the scan via ``cache()`` or ``foreachBatch``; see
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+# `path[0].Field` spec syntax compiles to a null-safe try_element_at:
+# under Spark 4's default ANSI mode a bare `arr[0]` THROWS
+# INVALID_ARRAY_INDEX on an EMPTY (non-null) array — one document with
+# "TU_FFR_Report": [] would crash the whole corpus pass, where the
+# reference's try/except skipped the document (r11 review). The raw
+# [n] syntax stays in the specs (schema navigation strips it); only
+# the compiled expressions are rewritten.
+_INDEX_RE = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\[(\d+)\]")
+
+
+def _ansi_safe(expr: str) -> str:
+    """Rewrite every `path[n]` into `try_element_at(path, n+1)`."""
+    return _INDEX_RE.sub(lambda m: f"try_element_at({m.group(1)}, {int(m.group(2)) + 1})", expr)
 
 
 @dataclass(frozen=True)
@@ -89,15 +104,15 @@ def _struct_fields(schema: StructType, path: str) -> list[str]:
 def compile_table(docs: DataFrame, spec: TableSpec) -> DataFrame:
     df = docs
     if spec.required:
-        df = df.where(F.expr(spec.required))
+        df = df.where(F.expr(_ansi_safe(spec.required)))
 
     grain_path = None
     for i, (path, alias) in enumerate(spec.explode):
         src = path if i == 0 else f"{spec.explode[i - 1][1]}.{path}"
-        df = df.withColumn(alias, F.explode(F.expr(src)))
+        df = df.withColumn(alias, F.explode(F.expr(_ansi_safe(src))))
         grain_path = alias
 
-    extra_cols = [F.expr(e).alias(n) for n, e in spec.extra.items()]
+    extra_cols = [F.expr(_ansi_safe(e)).alias(n) for n, e in spec.extra.items()]
 
     if spec.explode:
         fields = [f.name for f in df.schema[grain_path].dataType.fields]  # type: ignore[union-attr]
@@ -108,13 +123,16 @@ def compile_table(docs: DataFrame, spec: TableSpec) -> DataFrame:
         ]
     elif spec.flatten:
         fields = _struct_fields(docs.schema, spec.flatten)
+        flat = _ansi_safe(spec.flatten)
         body = [
-            F.expr(f"{spec.flatten}.{f}").alias(f)
+            F.expr(f"{flat}.{f}").alias(f)
             for f in fields
             if f not in spec.drop and f not in spec.extra
         ]
         # mirror the reference's "section absent → table skipped"
-        df = df.where(F.expr(spec.flatten).isNotNull())
+        # (try_element_at on an empty indexed section gives null here,
+        # so `[]` skips the table exactly like a missing struct)
+        df = df.where(F.expr(flat).isNotNull())
     elif spec.root:
         body = [
             F.col(c)
@@ -126,7 +144,7 @@ def compile_table(docs: DataFrame, spec: TableSpec) -> DataFrame:
 
     out = df.select(*body, *extra_cols)
     for name, expr in spec.post.items():
-        out = out.withColumn(name, F.expr(expr))
+        out = out.withColumn(name, F.expr(_ansi_safe(expr)))
     return out
 
 

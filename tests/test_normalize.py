@@ -282,3 +282,80 @@ def test_run_batch_pipeline_end_to_end(spark, tmp_path):
     assert dead.count() == 1 and dead.head()["form"] == "bank_scrape"
     # credit + combined forms produced the shared TU_FFR child tables
     assert counts.get("trades", 0) > 0
+
+
+def test_empty_tu_ffr_array_skips_instead_of_crashing(spark, tmp_path_factory):
+    """r11 review regression: a document with "TU_FFR_Report": [] (valid
+    JSON, passes the IS-NOT-NULL required guard) used to crash the WHOLE
+    corpus pass under default ANSI mode with INVALID_ARRAY_INDEX — the
+    reference's try/except skipped the doc. With [0] compiled to
+    try_element_at, the base row survives with null report extras, and
+    the flatten/explode children skip the doc like an absent section."""
+    docs_dict = dict(CREDIT_DOCS)
+    docs_dict["MEM099_credit_report.json"] = {
+        "Date": "20191009",
+        "Time": "080000",
+        "MemberCode": "MC99",
+        "ReportType": "EMPTY",
+        "TU_FFR_Report": [],
+    }
+    d = write_docs(str(tmp_path_factory.mktemp("credit_empty")), docs_dict)
+    docs = read_form(spark, d, schemas.CREDIT_REPORT_SCHEMA)
+    tables = {k: v.collect() for k, v in normalize(docs, credit_form_specs()).items()}
+    base = {r["Credit_Member_ID"]: r for r in tables["base_credit"]}
+    assert "MC99" in base  # the array is non-null, so the base row stays
+    assert base["MC99"]["TU_FFR_HIT"] is None
+    assert base["MC99"]["FFR_filedate"] is None
+    # struct-flatten child: empty array == absent section == no rows
+    assert all(r["Credit_Member_ID"] != "MC99" for r in tables["credit_summary"])
+    # exploded children: likewise no rows, and no crash anywhere
+    assert all(r["Credit_Member_ID"] != "MC99" for r in tables["trades"])
+
+
+def test_malformed_compact_timestamp_nulls_not_crashes(spark, tmp_path_factory):
+    """r11 review regression: a schema-valid but malformed Date/Time
+    string (dashed date) used to throw CANNOT_PARSE_TIMESTAMP under ANSI
+    and fail the batch; try_to_timestamp nulls it, like the reference's
+    try/except."""
+    docs_dict = dict(CREDIT_DOCS)
+    docs_dict["MEM098_credit_report.json"] = {
+        "Date": "2019-10-03",  # dashed: does not match yyyyMMdd
+        "Time": "14:30:00",
+        "MemberCode": "MC98",
+        "ReportType": "FULL",
+        "TU_FFR_Report": [],
+    }
+    d = write_docs(str(tmp_path_factory.mktemp("credit_badts")), docs_dict)
+    docs = read_form(spark, d, schemas.CREDIT_REPORT_SCHEMA)
+    base = {
+        r["Credit_Member_ID"]: r
+        for r in normalize(docs, credit_form_specs())["base_credit"].collect()
+    }
+    assert base["MC98"]["Report_Date"] is None
+    assert base["MC01"]["Report_Date"] is not None  # good docs unaffected
+
+
+def test_mixed_forms_share_consistent_report_date_type(spark, tmp_path_factory):
+    """r11 review regression: the credit form emits Report_Date as
+    TimestampType while the combined form emitted the raw CreatedOnDate
+    STRING into the SAME shared tables (base_credit, credit_summary,
+    trades, ...) — a mixed-form batch appended conflicting parquet
+    column types and later reads failed. Both forms must agree."""
+    cd = write_docs(str(tmp_path_factory.mktemp("mf_credit")), CREDIT_DOCS)
+    xd = write_docs(str(tmp_path_factory.mktemp("mf_combined")), COMBINED_DOCS)
+    credit = normalize(
+        read_form(spark, cd, schemas.CREDIT_REPORT_SCHEMA), credit_form_specs()
+    )
+    combined = normalize(
+        read_form(spark, xd, schemas.COMBINED_SCHEMA), combined_form_specs()
+    )
+    for shared in ("base_credit", "credit_summary", "trades", "collections"):
+        if shared not in credit or shared not in combined:
+            continue
+        ct = dict(credit[shared].dtypes)["Report_Date"]
+        xt = dict(combined[shared].dtypes)["Report_Date"]
+        assert ct == xt == "timestamp", (shared, ct, xt)
+    # and the combined values parse (not all-null)
+    assert (
+        combined["credit_summary"].where(F.col("Report_Date").isNotNull()).count() > 0
+    )

@@ -89,3 +89,47 @@ def test_udtf_tokenize_matches_posexplode_twin(spark, sf_dir):
     a = sorted((r["doc_id"], r["pos"], r["token"]) for r in py.collect())
     b = sorted((r["doc_id"], r["pos"], r["token"]) for r in jvm.collect())
     assert a and a == b
+
+
+def test_zscore_per_group_derives_types_from_input(spark):
+    """r11 review regression: the applyInPandas result schema hardcoded
+    BIGINT/DOUBLE, so a string group key failed at Arrow conversion. The
+    types now follow the input."""
+    from etl_sample_spark.functions.udfs import zscore_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "grp STRING, v DOUBLE"
+    )
+    rows = zscore_per_group(df, "grp", "v").collect()
+    assert {r.grp for r in rows} == {"a", "b"}
+    a = sorted(r.zscore for r in rows if r.grp == "a")
+    assert a[0] < 0 < a[1]
+
+
+def test_cosine_similarity_zero_vector_is_null_not_crash(spark):
+    """r11 review regression: a zero-magnitude embedding made the cosine
+    denominator 0.0, which throws DIVIDE_BY_ZERO under default ANSI mode
+    and aborts the whole similarity job; cosine is undefined there and
+    must yield NULL."""
+    from etl_sample_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([0.0, 0.0], [1.0, 0.0]), ([], [1.0])],
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    got = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(got[0].c - 1.0) < 1e-12
+    assert got[1].c is None
+    assert got[2].c is None
+
+
+def test_redact_pii_full_ten_digit_phone(spark):
+    """r11 review regression: the bare ddd-dddd pattern left the area
+    code of a standard 10-digit number unredacted ('555-<PHONE>')."""
+    from etl_sample_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("call 555-123-4567 or 123-4567 at j@example.com",)], "t STRING"
+    )
+    out = df.select(redact_pii(F.col("t")).alias("r")).head().r
+    assert out == "call <PHONE> or <PHONE> at <EMAIL>"
