@@ -44,12 +44,25 @@ FORMS = {
 }
 
 
-def route_files(in_dir: str) -> dict[str, list[str]]:
+def route_files(in_dir: str, spark: SparkSession | None = None) -> dict[str, list[str]]:
     """Partition ``in_dir``'s JSON files by form, in the reference's
     dispatch order (first matching pattern wins; bare ``.json`` falls
-    through to the combined/jsonpipe form)."""
+    through to the combined/jsonpipe form).
+
+    With a ``spark`` session the listing goes through the same
+    scheme-aware probe the scans use (``_matched_paths``) — r11 review:
+    the local ``glob.glob`` treats an ``s3a://``/``abfss://`` in_dir as
+    a literal relative path, silently matching zero files and turning
+    the whole batch run into a no-op."""
+    if spark is not None:
+        from etl_sample_spark.sources.documents import _matched_paths
+
+        matched = _matched_paths(spark, os.path.join(in_dir, "*.json")) or []
+        paths = sorted(matched)
+    else:
+        paths = sorted(glob.glob(os.path.join(in_dir, "*.json")))
     routed: dict[str, list[str]] = {name: [] for name, _ in ROUTE_PATTERNS}
-    for path in sorted(glob.glob(os.path.join(in_dir, "*.json"))):
+    for path in paths:
         for name, pattern in ROUTE_PATTERNS:
             if re.search(pattern, path):
                 routed[name].append(path)
@@ -80,7 +93,7 @@ def run_batch_pipeline(
 
     from etl_sample_spark.sources.sinks import write_jdbc_tables
 
-    routed = route_files(in_dir)
+    routed = route_files(in_dir, spark)
     counts: dict[str, int] = {}
     n_quarantined = 0
     for form, files in routed.items():
@@ -89,18 +102,34 @@ def run_batch_pipeline(
         schema, specs_fn = FORMS[form]
         raw = read_form(spark, files, schema, corrupt_col="_corrupt_record")
         clean, corrupt = quarantine_corrupt(raw)
-        if dead_letter_dir is not None:
-            corrupt = corrupt.withColumn("form", F.lit(form))
-            corrupt.write.mode("append").parquet(dead_letter_dir)
-            n_quarantined += corrupt.count()  # this run's rows (source is cached)
-        tables = normalize(clean, specs_fn())
-        if parquet_out is not None:
-            for name, table in tables.items():
-                table.write.mode("append").parquet(os.path.join(parquet_out, name))
-        if jdbc_url is not None:
-            write_jdbc_tables(tables, jdbc_url, db_schema, options=jdbc_options)
-        for name, table in tables.items():
-            counts[name] = counts.get(name, 0) + table.count()
+        try:
+            if dead_letter_dir is not None:
+                corrupt = corrupt.withColumn("form", F.lit(form))
+                corrupt.write.mode("append").parquet(dead_letter_dir)
+                n_quarantined += corrupt.count()  # this run's rows (source is cached)
+            tables = normalize(clean, specs_fn())
+            # Each table's plan runs up to three times (parquet write,
+            # JDBC write, count) from the cached RAW parse; caching the
+            # narrow normalized output shares the explode/projection
+            # work across the fan-out (r11 review).
+            for table in tables.values():
+                table.cache()
+            try:
+                if parquet_out is not None:
+                    for name, table in tables.items():
+                        table.write.mode("append").parquet(os.path.join(parquet_out, name))
+                if jdbc_url is not None:
+                    write_jdbc_tables(tables, jdbc_url, db_schema, options=jdbc_options)
+                for name, table in tables.items():
+                    counts[name] = counts.get(name, 0) + table.count()
+            finally:
+                for table in tables.values():
+                    table.unpersist()
+        finally:
+            # quarantine_corrupt cached the raw parse; without this the
+            # per-form corpora pin executor memory for the session
+            # lifetime (r11 review).
+            raw.unpersist()
     if dead_letter_dir is not None:
         counts["__quarantined"] = n_quarantined
     return counts

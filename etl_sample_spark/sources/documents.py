@@ -35,8 +35,14 @@ _SF_ID_RE = r"([^/]+?)(?:_bank_scrape|_credit_report|_action)?\.json$"
 
 
 def sf_id_column() -> Column:
-    """Salesforce id = filename minus route suffix (R2, :35,:156)."""
-    return F.regexp_extract(F.input_file_name(), _SF_ID_RE, 1)
+    """Salesforce id = filename minus route suffix (R2, :35,:156).
+
+    input_file_name() returns a percent-ENCODED URI, so a filename with
+    a space would otherwise yield '001A%207xyz' (r11 review); try_url_-
+    decode restores the raw name and null-falls-back to the undecoded
+    match on a malformed %-sequence instead of throwing under ANSI."""
+    raw = F.regexp_extract(F.input_file_name(), _SF_ID_RE, 1)
+    return F.coalesce(F.try_url_decode(raw), raw)
 
 
 def route_column() -> Column:
@@ -66,23 +72,35 @@ def is_remote_uri(path: str) -> bool:
     return bool(_URI_SCHEME_RE.match(path))
 
 
-def _matched_paths(spark: SparkSession, path: str) -> list[str] | None:
-    """Paths matched by ``path`` (literal or glob), empty list if none,
-    ``None`` when the probe CANNOT run.
+def _matched_paths(spark: SparkSession, path: str | list[str]) -> list[str] | None:
+    """Paths matched by ``path`` (literal, glob, or a list of either),
+    empty list if none, ``None`` when the probe CANNOT run.
 
-    Scheme-qualified URIs resolve through Hadoop's FileSystem — the
-    identical resolution the parquet/JSON scan performs, so whatever
-    connector serves the scan (s3a, abfss, gs, hdfs, file) serves the
-    probe; bare paths use the local filesystem directly.
+    Every path resolves through Hadoop's FileSystem when py4j is
+    available — the identical resolution the parquet/JSON scan performs,
+    so whatever connector serves the scan (s3a, abfss, gs, hdfs, file —
+    and for SCHEMELESS paths, fs.defaultFS, which on a real cluster is
+    usually NOT the driver's local disk) serves the probe, and Hadoop's
+    glob grammar applies (including ``{a,b}`` braces, which Python's
+    glob treats as literals — r11 review: both cases used to be probed
+    locally and wrongly reported empty).
 
     Under Spark Connect the session has no ``_jvm``/``_jsc`` (py4j is
-    classic-Spark only); remote URIs then return ``None`` so the caller
+    classic-Spark only): remote URIs return ``None`` so the caller
     attempts the scan directly and maps Spark's own PATH_NOT_FOUND to
-    the empty frame (r10 ADVICE: previously this crashed with
-    AttributeError)."""
-    if is_remote_uri(path):
-        if not hasattr(spark, "_jvm") or spark._jvm is None:
-            return None
+    the empty frame (r10 ADVICE); bare paths fall back to the local
+    filesystem (best effort — correct wherever Connect's server shares
+    the client's view of local files)."""
+    if isinstance(path, (list, tuple)):
+        out: list[str] = []
+        for p in path:
+            m = _matched_paths(spark, p)
+            if m is None:
+                return None
+            out.extend(m)
+        return out
+    has_py4j = hasattr(spark, "_jvm") and spark._jvm is not None
+    if has_py4j:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -90,9 +108,11 @@ def _matched_paths(spark: SparkSession, path: str) -> list[str] | None:
         # matches; a plain existing path returns its own status).
         matched = fs.globStatus(hpath)
         return [] if matched is None else [str(m.getPath()) for m in matched]
+    if is_remote_uri(path):
+        return None
     import glob as _glob
 
-    if any(ch in path for ch in "*?["):
+    if any(ch in path for ch in "*?[{"):
         return _glob.glob(path)
     return [path] if os.path.exists(path) else []
 
@@ -165,8 +185,11 @@ def read_form(
             # first action.
             df.schema
     except Exception as ex:
-        if probe_unavailable and "PATH_NOT_FOUND" in str(ex):
-            return _typed_empty()  # Connect-mode twin of the probe branch
+        # allow_empty covers the probe-to-scan race too (a concurrent
+        # archiver can delete the matched file before the reader
+        # resolves it — r11 review), not just the no-probe Connect case.
+        if allow_empty and "PATH_NOT_FOUND" in str(ex):
+            return _typed_empty()
         raise
     if corrupt_col is not None:
         # Stamped at scan time: input_file_name() is only defined while

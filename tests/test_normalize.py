@@ -280,8 +280,25 @@ def test_run_batch_pipeline_end_to_end(spark, tmp_path):
     assert info.count() == len(BANK_DOCS) + n_combined_bank
     dead = spark.read.parquet(dlq)
     assert dead.count() == 1 and dead.head()["form"] == "bank_scrape"
-    # credit + combined forms produced the shared TU_FFR child tables
+    # credit + combined forms produced the shared TU_FFR child tables —
+    # and the SHARED tables must read back after BOTH forms appended
+    # (r11 review: the combined form used to append Report_Date as a
+    # string next to the credit form's timestamp, so exactly this read
+    # failed on a parquet type conflict)
     assert counts.get("trades", 0) > 0
+    trades = spark.read.parquet(os.path.join(out, "trades"))
+    assert dict(trades.dtypes)["Report_Date"] == "timestamp"
+    assert trades.count() == counts["trades"]
+    base = spark.read.parquet(os.path.join(out, "base_credit"))
+    assert base.where(F.col("Report_Date").isNotNull()).count() > 0
+
+    # route_files through the scheme-aware probe (r11 review: a remote
+    # in_dir used to silently match zero files via the local glob) —
+    # file:// exercises the identical Hadoop-FS resolution s3a takes
+    routed_fs = route_files(f"file://{src}", spark)
+    assert {k: len(v) for k, v in routed_fs.items()} == {
+        k: len(v) for k, v in routed.items()
+    }
 
 
 def test_empty_tu_ffr_array_skips_instead_of_crashing(spark, tmp_path_factory):
