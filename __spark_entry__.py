@@ -44,89 +44,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r11 fix of the r10 round's one red driver row: the KS oracle left
-    # n1/n2 as DuckDB HUGEINT and widened the ECDF division through
-    # DECIMAL(38,1) — equal values, driver-hash divergence. Both sides
-    # now CAST BIGINT + explicit DOUBLE division + ROUND(,6); must
-    # re-earn a green rows+schema+hash row.
-    "ks_two_sample_click_vs_purchase",
-    # r11 scale-shaping of the three corpus-global windows the r10
-    # verdict flagged (result-invariant by construction — exact .5-grid
-    # rank sums / identical NTILE bucket arithmetic / identical
-    # count-greater rank — but reachable code changed, so they go back
-    # through the driver): AUC rank-sum now built from the bounded
-    # 1e-6 score grid; decile lift reconstructs positions from grid
-    # offsets + per-score tiebreak rank; RRF ranks via TakeOrdered
-    # top-50 + broadcast count-greater instead of two corpus windows.
-    "classifier_auc_mann_whitney",
-    "classifier_decile_lift",
-    "hybrid_rrf_rerank",
-    # r11 mechanical re-pin: operators/scd.py grew the per-key
-    # effective_col grain (r10 ADVICE fix for the streaming CDC path);
-    # this batch query still uses the scalar grain and is
-    # result-invariant, but its reachable code changed.
-    "scd2_customer_segment_migration",
-    # r11 mechanical re-pin: bloom_probe now materializes the bitmap
-    # into a local relation instead of caching it (r10 ADVICE — the
-    # cache leaked a session-lifetime InMemoryRelation per invocation).
-    # Result-invariant (same bits, same joins), reachable code changed.
-    "bloom_semi_join_orders_customers",
-    # r11 mechanical re-pin: cdc_apply gained a deterministic tie-break
-    # beyond the sequence column (review finding — seq ties were picked
-    # by partition order). The registry query's seq is o_orderkey,
-    # which is UNIQUE, so the result is invariant; reachable code
-    # changed, so it re-earns its driver row.
-    "cdc_upsert_apply_customers",
-    # r11 mechanical re-pins from the layout-tier review: salted_join's
-    # salt is now positional (whole-row-hash salting degenerated to one
-    # reducer on byte-identical hot-key rows) plus n_salts/_salt guards
-    # — join results invariant, the salt never survives the join;
-    # pagerank gained empty-graph and stale-edge guards around the
-    # unchanged iteration math.
-    "skewjoin_revenue_by_priority",
-    "pagerank_trade_network",
-    # r11 semantic-core review re-pins (21 queries, all strict-sim
-    # green at sf0.01 + sf0.1 before pinning): ANSI-crash hardening
-    # made reachable code change under them — try_to_timestamp in the
-    # compact reassembly (ts_reassemble + normalize consumers),
-    # bigint-safe fingerprint arithmetic (doc_fingerprints + every
-    # fingerprint-gated split/sample/pack query), the zero-vector
-    # cosine guard (all similarity/semantic-dedup queries), the
-    # 10-digit phone redaction pattern (pii queries — the PATTERN
-    # constant feeds Spark and oracle alike, so both sides moved
-    # together), and the [0]→try_element_at spec compilation
-    # (normalize_star_rebuild). All result-invariant on the driver
-    # data except the pii pair, where both engines changed identically.
-    "ts_reassemble_compact",
-    "text_stats",
-    "text_quality_and_lang",
-    "doc_fingerprints",
-    "similarity_bruteforce_top10",
-    "similarity_lsh_top10",
-    "embedding_neardup_pairs",
-    "similarity_ivf_top10",
-    "similarity_ivf_indexed_top10",
-    "similarity_batch_top5",
-    "embedding_neardup_clusters",
-    "semantic_dedup_keep_best",
-    "corpus_curation_pipeline",
-    "train_val_test_split",
-    "hash_stratified_sample_by_lang",
-    "sequence_packing_512",
-    "text_scrub_pii",
-    "corpus_prep_end_to_end",
-    "decontaminated_split_audit",
-    "lang_confusion_matrix",
-    "normalize_star_rebuild",
+    # r12 scale-shaping of the three DIMENSION-global windows (r11
+    # VERDICT item 1): RFM's three NTILEs, the Gini rank pass, and the
+    # Pareto running share now go through operators/ranks.py's
+    # deterministic bucketed global rank (partitioned windows only; the
+    # customer/part dimension never sorts on one task). Result-invariant
+    # by construction — exact ranks with the same tie-breaks, NTILE via
+    # the SQL-standard formula pinned against F.ntile in test_ranks.py;
+    # strict-sim green at sf0.01 + sf0.1 before pinning — but reachable
+    # code changed, so they re-earn driver rows.
+    "rfm_customer_scores",
+    "gini_revenue_concentration",
+    "abc_pareto_classification",
 ]
-# r10 pins (bloom join, variant shred, the Spark 4 SQL-surface batch,
-# the batch 5-13 registrations, and the four minhash re-pins) all landed
-# green driver rows in CORRECTNESS_r10.json — cleared for rotation.
-# With 9 pins (one of which itself sits on an r6 row) the 50-slot
-# window covers ALL remaining r5 and r6 rows this round — verified by
-# recomputing _ordered() against the CORRECTNESS artifacts: the window
-# holds 9 r5 + 33 r6 + the pins, and the oldest row left OUTSIDE is r7,
-# exceeding r10 VERDICT item 3's "oldest ≥ r6".
+# r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
+# for rotation. Window math at this HEAD, recomputed from _ordered() +
+# the CORRECTNESS artifacts (the r11 verdict's item 3 asked that this
+# comment always match a recomputation): latest driver rows are
+# 25×r6 / 31×r7 / 40×r8 / 46×r9 / 46×r10 / 50×r11. One of the 25 r6
+# rows is rfm_customer_scores (pinned above), so a ≤10-pin window
+# retires ALL 25 r6 rows this round and the oldest row left OUTSIDE the
+# r12 window is r7 — meeting r11 VERDICT item 2's "oldest ≥ r7".
+# tools/update_pin_manifest.py enforces that every further r12 code
+# change either lands here or leaves its queries' fingerprints alone.
 
 
 def _last_checked_rounds() -> dict[str, int]:

@@ -694,15 +694,21 @@ def quantile_binning_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame
     "interpolation to disagree on; monetary ranks on the DECIMAL sum, "
     "so ordering is exact), concatenated into the classic 555-style "
     "segment label. The standard marketing-feature materialization. "
-    "100 TB shape: one groupBy(custkey) + three global windows — at "
-    "scale the NTILEs would switch to percent_rank within hash buckets "
-    "or a two-pass histogram cutoff; the semantics here are the "
-    "checkable core.",
+    "100 TB shape (r12, the r11 verdict's remaining scale-killer "
+    "class): the three NTILEs are exact bucketed global ranks "
+    "(operators/ranks.py) fed through the SQL-standard NTILE formula — "
+    "recency buckets on its own bounded day grid (~2.5k values), "
+    "frequency (a ~25-value key whose tie groups are dimension-sized) "
+    "on the (frequency, custkey div 2^21) two-level grid, monetary on "
+    "a fixed 4096-wide value grid (per-customer totals are "
+    "SF-independent in TPC-H: ~33k..7.4M at every SF). Every window "
+    "in the plan is partitioned; the customer dimension never lands "
+    "on one task. Bit-identical to the NTILE oracle by construction "
+    "(test_ranks.py pins the formula against F.ntile).",
 )
 def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from etl_sample_spark.functions.money import dec2
+    from etl_sample_spark.operators.ranks import bucketed_global_rank, ntile_from_rank
 
     orders = _t(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -712,17 +718,46 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec2("o_totalprice")).alias("monetary_dec"),
     )
-    r_w = Window.orderBy(F.desc("recency_days"), "c_custkey")
-    f_w = Window.orderBy(F.asc("frequency"), "c_custkey")
-    m_w = Window.orderBy(F.asc("monetary_dec"), "c_custkey")
-    scored = base.select(
+    # Recency DESC → negate for a monotone bucket; the day grid is
+    # bounded by the fixed date range (~2.5k buckets at any SF).
+    ranked = bucketed_global_rank(
+        base.withColumn("__b", -F.col("recency_days")),
+        ["__b"],
+        [F.desc("recency_days"), F.col("c_custkey")],
+        F.floor(F.col("__b") / 64),
+        rank_name="__r_rank",
+    ).drop("__b")
+    # Frequency has ~25 distinct values → its tie groups are the whole
+    # dimension; chunk the custkey tie-break (monotone within equal
+    # frequency) so per-bucket groups stay ≤ 2^21 rows at any scale.
+    ranked = bucketed_global_rank(
+        ranked.withColumn("__b2", F.floor(F.col("c_custkey") / F.lit(2097152))),
+        ["frequency", "__b2"],
+        [F.asc("frequency"), F.col("c_custkey")],
+        F.col("frequency"),
+        rank_name="__f_rank",
+    ).drop("__b2")
+    # Monetary: fixed 4096-wide grid over the SF-independent per-customer
+    # total (floor of a monotone double bridge keeps bucket order).
+    ranked = bucketed_global_rank(
+        ranked.withColumn(
+            "__b", F.floor(F.col("monetary_dec").cast("double") / F.lit(4096.0)).cast("bigint")
+        ),
+        ["__b"],
+        [F.asc("monetary_dec"), F.col("c_custkey")],
+        F.floor(F.col("__b") / 64),
+        rank_name="__m_rank",
+        with_totals=True,
+    ).drop("__b")
+    n = F.col("n_total")
+    scored = ranked.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary_dec",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        ntile_from_rank(F.col("__r_rank"), n, 5).alias("r_score"),
+        ntile_from_rank(F.col("__f_rank"), n, 5).alias("f_score"),
+        ntile_from_rank(F.col("__m_rank"), n, 5).alias("m_score"),
     )
     return scored.select(
         F.col("c_custkey").cast("bigint").alias("c_custkey"),
@@ -1288,26 +1323,30 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer cross-multiplication, no division), so the class "
     "boundary cannot flip cross-engine, and the running sum is exact "
     "regardless of partition order. The inventory-prioritization "
-    "classic. Shape: one grouped agg + one ordered window (global "
-    "order over the PART dimension, which is dimension- not "
-    "fact-sized) + one 3-row rollup.",
+    "classic. Shape (r12): one grouped agg + an exact bucketed running "
+    "sum (operators/ranks.py) over a fixed 4096-wide revenue grid "
+    "(per-part revenue is SF-independent in TPC-H, ~0.45M..2.9M → "
+    "~700 buckets; DESC → negated bucket), grand total via the "
+    "broadcast 1-row scalar — no unpartitioned window over the part "
+    "dimension — then one 3-row rollup.",
 )
 def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from etl_sample_spark.functions.money import revenue_dec
+    from etl_sample_spark.operators.ranks import bucketed_global_rank
 
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(F.sum(revenue_dec()).alias("r"))
-    w_cum = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "r",
-        F.sum("r").over(w_cum).alias("cum"),
-        F.sum("r").over(w_all).alias("total"),
-    )
+    ranked = bucketed_global_rank(
+        rev.withColumn(
+            "__b", F.floor((-F.col("r")).cast("double") / F.lit(4096.0)).cast("bigint")
+        ),
+        ["__b"],
+        [F.desc("r"), F.col("l_partkey")],
+        F.floor(F.col("__b") / 64),
+        rank_name="__rk",
+        cum_sums={"cum": F.col("r")},
+        with_totals=True,
+    ).select("r", "cum", F.col("cum_total").alias("total"))
     cls = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
@@ -1998,23 +2037,32 @@ def ols_price_on_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     "ascending-sorted exact decimal revenues with integer ranks, so "
     "numerator and denominator are EXACT decimals and the single final "
     "division is deterministic (ROUND(,6) for the division ulp only; "
-    "deterministic (y, custkey) tie-break). The rank pass is one "
-    "global-ordering window (the registry's Pareto/RFM tier); the "
+    "deterministic (y, custkey) tie-break). The rank pass is an exact "
+    "bucketed global rank (operators/ranks.py, r12): per-customer "
+    "revenue on a fixed 4096-wide value grid (SF-independent range, "
+    "~1.8k buckets), so no window in the plan is unpartitioned and the "
+    "customer dimension never sorts on one task; the "
     "mergeable-histogram query is the sketch path when a sorted pass "
     "is too dear. Reference analog: none ([EXT] concentration "
     "metrics).",
 )
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from etl_sample_spark.operators.ranks import bucketed_global_rank
 
     rev = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
     )
-    ranked = rev.select(
-        "y", F.row_number().over(Window.orderBy("y", "o_custkey")).alias("i")
-    )
+    ranked = bucketed_global_rank(
+        rev.withColumn(
+            "__b", F.floor(F.col("y").cast("double") / F.lit(4096.0)).cast("bigint")
+        ),
+        ["__b"],
+        [F.asc("y"), F.col("o_custkey")],
+        F.floor(F.col("__b") / 64),
+        rank_name="i",
+    ).select("y", "i")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("sy"),

@@ -117,12 +117,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "hybrid_rrf_rerank": "row_number over the TakeOrdered BM25 top-50",
     "classifier_auc_mann_whitney": "running count over the bounded 1e-6 score grid",
     "classifier_decile_lift": "score-grid offsets + two windows over the 10 decile rows",
-    "rfm_customer_scores": "NTILE over the customer dimension (docstring: range-partitioned at 100 TB)",
-    "abc_pareto_classification": "revenue rank over the part dimension (same range-partition note)",
     "wow_revenue_growth": "lag over the bounded weekly calendar grid",
     "largest_remainder_allocation": "remainder rank over the group rollup (one row per group)",
     "ks_two_sample_click_vs_purchase": "ECDF running sum over the distinct-value jump points",
-    "gini_revenue_concentration": "row_number over the customer dimension (range-partition note)",
     "acf_daily_revenue": "lag over the bounded daily calendar grid",
     "cusum_changepoint_daily_revenue": "running stats over the daily grid",
     "time_to_convert_distribution": "cumulative share over the duration-bucket rollup",
