@@ -56,6 +56,16 @@ _FRONT_PINS = [
     "rfm_customer_scores",
     "gini_revenue_concentration",
     "abc_pareto_classification",
+    # r12 mechanical re-pins (r11 ADVICE fixes, result-invariant):
+    # salted_join's salt is now a deterministic function of the row
+    # (pmod(xxhash64(salt_from), n) — the positional salt could re-deal
+    # rows across a shuffle-fetch retry and lose/duplicate join rows);
+    # the registry query salts on the (l_orderkey, l_linenumber) unique
+    # key. normalize's spec compiler (_ansi_safe) became string-literal
+    # aware — no current spec contains a quoted bracket, so compiled SQL
+    # is unchanged, but reachable code moved.
+    "skewjoin_revenue_by_priority",
+    "normalize_star_rebuild",
 ]
 # r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
 # for rotation. Window math at this HEAD, recomputed from _ordered() +

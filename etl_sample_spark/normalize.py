@@ -46,10 +46,26 @@ from pyspark.sql.types import StructType
 # the compiled expressions are rewritten.
 _INDEX_RE = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\[(\d+)\]")
 
+# SQL single-quoted string literal, '' as the escaped quote — captured so
+# re.split keeps literals at odd indices.
+_SQL_STRING_RE = re.compile(r"('(?:[^']|'')*')")
+
 
 def _ansi_safe(expr: str) -> str:
-    """Rewrite every `path[n]` into `try_element_at(path, n+1)`."""
-    return _INDEX_RE.sub(lambda m: f"try_element_at({m.group(1)}, {int(m.group(2)) + 1})", expr)
+    """Rewrite every `path[n]` into `try_element_at(path, n+1)` —
+    OUTSIDE string literals only: a quoted pattern like `rlike 'x[0]'`
+    must pass through untouched (r11 ADVICE — the unguarded rewrite
+    would corrupt the literal; no current spec hits it, but TableSpec
+    accepts arbitrary SQL)."""
+    parts = _SQL_STRING_RE.split(expr)
+    return "".join(
+        part
+        if i % 2
+        else _INDEX_RE.sub(
+            lambda m: f"try_element_at({m.group(1)}, {int(m.group(2)) + 1})", part
+        )
+        for i, part in enumerate(parts)
+    )
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,9 @@ infrastructure for the star schema its FK-stamping prepares.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -28,18 +30,32 @@ def salted_join(
     small_key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_from: Sequence[str | Column] | None = None,
 ) -> DataFrame:
-    """Equi-join with key salting: ``big`` rows get a salt in
-    [0, n_salts) from their position (``monotonically_increasing_id mod
-    n_salts`` — cycles within every input partition, so even a hot key
-    whose rows are BYTE-IDENTICAL spreads across all salts; the r1-r10
-    whole-row xxhash64 salt degenerated to ONE reducer exactly in that
-    pathological case, r11 review); ``small`` is exploded into one copy
-    per salt value. The shuffle then distributes each hot key over
-    ``n_salts`` reducers instead of one. The salt is execution-plumbing
-    that never survives the join (dropped before returning), so its
-    run-to-run nondeterminism is invisible: join RESULTS are invariant,
-    only the row→reducer assignment varies.
+    """Equi-join with key salting: ``big`` rows get a DETERMINISTIC salt
+    in [0, n_salts) — ``pmod(xxhash64(salt_from...), n_salts)`` when the
+    caller names salt columns, else the whole-row hash — and ``small``
+    is exploded into one copy per salt value. The shuffle then
+    distributes each hot key over ``n_salts`` reducers instead of one.
+    The salt never survives the join (dropped before returning).
+
+    The salt MUST be a pure function of the row (r12, was
+    ``monotonically_increasing_id mod n_salts`` in r11): the salt is
+    part of the shuffle/join key, and on a shuffle-fetch failure Spark
+    recomputes only the lost map tasks — a positional salt can assign
+    different salts on the retry than the already-fetched reducer
+    outputs saw, silently losing or duplicating join rows (the
+    SPARK-23207 hazard class; Spark's indeterminate-stage rollback
+    covers round-robin repartition, not nondeterministic join keys).
+
+    ``salt_from``: columns (or Column exprs) that VARY WITHIN a hot key
+    — a line number, an event id, any near-unique attribute. Pass them
+    whenever the source has one; that is the robust spread. The
+    whole-row fallback spreads every hot key whose rows differ anywhere,
+    but rows that are BYTE-IDENTICAL duplicates hash to ONE salt and
+    re-degenerate to a single reducer — if your fact table can hold
+    byte-identical duplicate rows, you must pass ``salt_from`` (or
+    dedup/add a key first).
 
     Use when a key's row count exceeds what one task should own
     (~shuffle-partition-size / row-width). For dims that fit in memory,
@@ -58,7 +74,11 @@ def salted_join(
                 f"{name} side already has a '_salt' column — salted_join "
                 "would overwrite it and drop it from the output"
             )
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    if salt_from:
+        hash_cols = [F.col(c) if isinstance(c, str) else c for c in salt_from]
+    else:
+        hash_cols = [F.col(c) for c in big.columns]
+    salt = F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
     salted_big = big.withColumn("_salt", salt)
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

@@ -57,7 +57,19 @@ def route_files(in_dir: str, spark: SparkSession | None = None) -> dict[str, lis
     if spark is not None:
         from etl_sample_spark.sources.documents import _matched_paths
 
-        matched = _matched_paths(spark, os.path.join(in_dir, "*.json")) or []
+        matched = _matched_paths(spark, os.path.join(in_dir, "*.json"))
+        if matched is None:
+            # _matched_paths distinguishes "listed, empty" ([]) from
+            # "the probe CANNOT run here" (None — e.g. Spark Connect,
+            # where the JVM filesystem isn't reachable). Collapsing None
+            # to [] would silently process zero files — the exact
+            # silent-no-op this router exists to prevent (r11 ADVICE).
+            raise RuntimeError(
+                f"cannot list {in_dir!r}: the Hadoop-FileSystem probe is "
+                "unavailable in this session (Spark Connect / no JVM "
+                "gateway). Run the batch pipeline on a classic session, "
+                "or pass explicit file lists."
+            )
         paths = sorted(matched)
     else:
         paths = sorted(glob.glob(os.path.join(in_dir, "*.json")))

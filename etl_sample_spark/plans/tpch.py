@@ -591,15 +591,25 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="skew path: the fact-fact join executed through salted_join "
     "(operators/skew.py) — semantics identical to the plain join the "
-    "oracle runs; the salt spreads hot keys over n_salts reducers",
+    "oracle runs; the salt spreads hot keys over n_salts reducers. "
+    "Salted on the (l_orderkey, l_linenumber) unique key (r12): a "
+    "deterministic per-row salt survives shuffle-fetch retries, where "
+    "the r11 positional salt could re-deal rows mid-recovery.",
 )
 def skewjoin_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     return (
-        salted_join(lineitem, orders, "l_orderkey", "o_orderkey", n_salts=4)
+        salted_join(
+            lineitem,
+            orders,
+            "l_orderkey",
+            "o_orderkey",
+            n_salts=4,
+            salt_from=["l_orderkey", "l_linenumber"],
+        )
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -40,9 +40,15 @@ def sf_id_column() -> Column:
     input_file_name() returns a percent-ENCODED URI, so a filename with
     a space would otherwise yield '001A%207xyz' (r11 review); try_url_-
     decode restores the raw name and null-falls-back to the undecoded
-    match on a malformed %-sequence instead of throwing under ANSI."""
+    match on a malformed %-sequence instead of throwing under ANSI.
+    url_decode uses x-www-form-urlencoded semantics, so a literal '+'
+    in a filename — which input_file_name leaves unencoded in the URI —
+    would decode to a space and silently corrupt the id (r11 ADVICE);
+    r12 pre-escapes '+' as '%2B' so the decode restores it verbatim
+    while still decoding real %XX sequences in the same name."""
     raw = F.regexp_extract(F.input_file_name(), _SF_ID_RE, 1)
-    return F.coalesce(F.try_url_decode(raw), raw)
+    esc = F.replace(raw, F.lit("+"), F.lit("%2B"))
+    return F.coalesce(F.try_url_decode(esc), raw)
 
 
 def route_column() -> Column:

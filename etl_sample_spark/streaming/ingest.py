@@ -131,6 +131,15 @@ def with_row_identity(table: DataFrame, keys: list[str], col: str = "SF_ROW_ID")
     would anti-join the whole document away and permanently lose the
     unwritten sibling rows; keyed on row identity, only the rows that
     actually landed are skipped and the siblings are appended.
+
+    BREAKING CHANGE (r11 → r12 boundary, r11 ADVICE): the hash's
+    timestampFormat moved from to_json's millisecond default to
+    microseconds, so rows already committed to a sink table under the
+    old format re-hash DIFFERENTLY — the idempotent anti-join will not
+    match them, and a redelivered batch spanning the upgrade appends
+    those rows once more. Upgrading an EXISTING sink table requires a
+    fresh checkpoint + table (or a one-time re-key migration); see
+    MIGRATION.md "Upgrade notes".
     """
     from pyspark.sql import Window
 

@@ -376,3 +376,21 @@ def test_mixed_forms_share_consistent_report_date_type(spark, tmp_path_factory):
     assert (
         combined["credit_summary"].where(F.col("Report_Date").isNotNull()).count() > 0
     )
+
+
+def test_ansi_safe_rewrites_indexes_but_not_string_literals():
+    """`path[n]` compiles to try_element_at OUTSIDE string literals only:
+    a quoted regex like 'x[0]' (or an escaped-quote literal containing
+    brackets) must pass through untouched (r11 ADVICE — the unguarded
+    textual rewrite would corrupt the SQL literal)."""
+    from etl_sample_spark.normalize import _ansi_safe
+
+    assert _ansi_safe("a.b[0].c") == "try_element_at(a.b, 1).c"
+    assert (
+        _ansi_safe("col rlike 'x[0]' AND arr[2]")
+        == "col rlike 'x[0]' AND try_element_at(arr, 3)"
+    )
+    # SQL '' escape keeps the literal open across the doubled quote
+    assert _ansi_safe("c = 'it''s [0]'") == "c = 'it''s [0]'"
+    # untouched expressions come back verbatim
+    assert _ansi_safe("concat(a, 'b')") == "concat(a, 'b')"

@@ -189,6 +189,36 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     assert joined.count() == plain
 
 
+def test_salted_join_salt_is_deterministic(spark):
+    """The salt participates in the shuffle/join key, so it must be a
+    pure function of the row: a positional salt
+    (monotonically_increasing_id, rand) can re-deal rows when a lost map
+    task recomputes after a shuffle-fetch failure while already-fetched
+    reducer output is kept — silently dropping/duplicating join rows
+    (r11 ADVICE, SPARK-23207 class). Pin: no nondeterministic salt in
+    the plan, and duplicate-row inputs still join exactly."""
+    from pyspark.sql import Row
+
+    from etl_sample_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [Row(k=1, ln=i, v="hot") for i in range(20)]
+        + [Row(k=2, ln=i, v="cold") for i in range(3)]
+    )
+    dup = big.drop("ln").union(big.drop("ln"))  # byte-identical duplicates
+    small = spark.createDataFrame([Row(sk=1, tag="a"), Row(sk=2, tag="b")])
+
+    for joined, want in (
+        (salted_join(big, small, "k", "sk", n_salts=4, salt_from=["k", "ln"]), 23),
+        (salted_join(dup, small, "k", "sk", n_salts=4), 46),  # whole-row fallback
+    ):
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert "monotonically_increasing_id" not in plan
+        assert "rand(" not in plan
+        assert "xxhash64" in plan
+        assert joined.count() == want
+
+
 def test_percentile_approx_within_rank_error(spark, sf_dir):
     """The sketch-based percentile (the 100 TB path) must land within a
     small value tolerance of the exact percentile twin on every group."""

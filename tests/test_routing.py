@@ -46,6 +46,42 @@ def test_sf_id_strips_route_suffixes(spark, mixed_dir):
     assert ids == ["ACCT001", "ACCT002", "ACCT003"]
 
 
+def test_sf_id_decodes_uri_but_preserves_literal_plus(spark, tmp_path_factory):
+    """input_file_name() returns a percent-ENCODED URI: a space in the
+    filename must decode back ('%20' → ' '), but a literal '+' — which
+    the URI leaves unencoded — must survive verbatim (r11 ADVICE:
+    url_decode's form-urlencoded semantics would turn it into a space),
+    including when the same name ALSO carries a real %XX sequence."""
+    import json
+    import os
+
+    base = str(tmp_path_factory.mktemp("oddnames"))
+    doc = json.dumps({"SalesforceID": "x"})
+    names = ["with space_action.json", "a+b_action.json", "c+d e_action.json"]
+    for n in names:
+        with open(os.path.join(base, n), "w") as f:
+            f.write(doc)
+    ids = {
+        r["sf_id"]
+        for r in spark.read.text(f"{base}/*.json")
+        .select(sf_id_column().alias("sf_id"))
+        .collect()
+    }
+    assert ids == {"with space", "a+b", "c+d e"}
+
+
+def test_route_files_raises_when_listing_probe_unavailable(monkeypatch):
+    """route_files must not collapse 'the probe CANNOT run' (None, e.g.
+    Spark Connect) into 'the directory is empty' ([]) — that is the
+    silent-no-op batch run the router exists to prevent (r11 ADVICE)."""
+    import etl_sample_spark.sources.documents as docs_mod
+    from etl_sample_spark.pipeline import route_files
+
+    monkeypatch.setattr(docs_mod, "_matched_paths", lambda s, g: None)
+    with pytest.raises(RuntimeError, match="cannot list"):
+        route_files("s3a://bucket/in", spark=object())
+
+
 def test_per_form_glob_reads_only_its_route(spark, mixed_dir):
     credit = read_form(spark, f"{mixed_dir}/*_credit_report.json", schemas.CREDIT_REPORT_SCHEMA)
     assert credit.count() == len(CREDIT_DOCS)
