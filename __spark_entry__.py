@@ -66,6 +66,12 @@ _FRONT_PINS = [
     # is unchanged, but reachable code moved.
     "skewjoin_revenue_by_priority",
     "normalize_star_rebuild",
+    # r12 mechanical re-pin: bloom_probe learned to reuse an
+    # already-local bitmap (bloom_build_local amortized path, r11
+    # VERDICT item 4). The registry query still demonstrates the honest
+    # per-invocation build — same bits, same joins, result-invariant —
+    # but its reachable code changed.
+    "bloom_semi_join_orders_customers",
 ]
 # r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
 # for rotation. Window math at this HEAD, recomputed from _ordered() +

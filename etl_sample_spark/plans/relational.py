@@ -826,7 +826,11 @@ def histogram_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast joins before the exact semi join removes the false "
     "positives — result-invariant vs the plain EXISTS oracle. At 100 TB "
     "the bloom probe shrinks the fact side's shuffle into the real join "
-    "by the filter's selectivity at the cost of zero added Exchanges.",
+    "by the filter's selectivity at the cost of zero added Exchanges. "
+    "Cost demonstrated here: the HONEST single-shot path — each "
+    "invocation pays the ~0.23 s (sf0.1) bitmap build; a caller reusing "
+    "the filter across probes builds once with bloom_build_local "
+    "(r12 amortized API; SCALE.md 'Bloom build amortization').",
 )
 def bloom_semi_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.bloom import bloom_build, bloom_probe

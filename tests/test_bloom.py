@@ -115,3 +115,32 @@ def test_no_false_negatives_adversarial_and_string_keys(spark):
     sdf = spark.createDataFrame(strs, "k STRING")
     sbm = bloom_build(sdf, "k", NUM_BITS, NUM_HASHES)
     assert bloom_probe(sdf, "k", sbm, NUM_BITS, NUM_HASHES).count() == len(strs)
+
+
+def test_build_local_amortizes_across_probes(spark):
+    """bloom_build_local returns a driver-local bitmap; bloom_probe must
+    detect it and reuse it AS-IS (no re-collect, no re-build), while a
+    lazy bitmap still materializes per call. Results identical either
+    way."""
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark.operators.bloom import (
+        _is_local_relation,
+        bloom_build,
+        bloom_build_local,
+        bloom_probe,
+    )
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    lazy = bloom_build(keys, "k", 1 << 12)
+    local = bloom_build_local(keys, "k", 1 << 12)
+    assert not _is_local_relation(lazy)
+    assert _is_local_relation(local)
+    got_lazy = sorted(r["k"] for r in bloom_probe(probe, "k", lazy, 1 << 12).collect())
+    got_local = sorted(r["k"] for r in bloom_probe(probe, "k", local, 1 << 12).collect())
+    assert got_lazy == got_local
+    assert set(range(100)) <= set(got_local)  # no false negatives
+    # the reuse path must not fall back to collect(): poison it
+    local.collect = lambda *a, **kw: (_ for _ in ()).throw(AssertionError("re-collected"))
+    assert bloom_probe(probe, "k", local, 1 << 12).count() == len(got_local)
