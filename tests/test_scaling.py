@@ -80,6 +80,12 @@ FLAGSHIP = (
     # stream + three model-table equi-joins + per-doc agg; the model
     # tables grow sub-linearly (vocabulary), the stream linearly.
     "bigram_lm_interpolated_score",
+    # r12 additions: the three ex-dimension-global-window queries, now
+    # on bucketed_global_rank — the whole point of the rewrite is that
+    # they scale, so they join the evidence suite.
+    "rfm_customer_scores",
+    "gini_revenue_concentration",
+    "abc_pareto_classification",
 )
 RATIO_BOUND = 12.0
 FLOOR_S = 0.5
@@ -265,3 +271,54 @@ def test_flagship_shuffle_bytes_scale_linearly(spark):
             f"{name}: shuffle bytes {base} -> {scaled} at 10x data — "
             "a previously-pruned relation is being shuffled"
         )
+
+
+def test_bucketed_rank_grids_stay_bounded_at_10x(spark):
+    """The r12 rank rewrites' scale contract, measured not asserted:
+    for each bucket choice, the occupied-bucket GRID must stay
+    broadcast-sized and the max single-bucket occupancy (= worst
+    per-task window input) must stay far below dimension size. Bounds
+    chosen ~5× above observed 10× values — a regression to a
+    dimension-global sort would blow them by orders of magnitude."""
+    orders = catalog.table(spark, SYNTH_DIR, "orders")
+    li = catalog.table(spark, SYNTH_DIR, "lineitem")
+
+    cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency"),
+    )
+    n_cust = cust.count()
+    parts = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("r")
+    )
+
+    def grid_stats(df, bucket):
+        g = df.groupBy(bucket.alias("b")).count().agg(
+            F.count(F.lit(1)).alias("n_buckets"), F.max("count").alias("max_occ")
+        ).collect()[0]
+        return g["n_buckets"], g["max_occ"]
+
+    checks = {
+        "recency-day-grid": grid_stats(cust, -F.col("recency")),
+        "freq-chunk-grid": grid_stats(
+            cust,
+            F.struct(F.col("frequency"), F.floor(F.col("o_custkey") / 2097152)),
+        ),
+        "monetary-4096-grid": grid_stats(
+            cust, F.floor(F.col("monetary").cast("double") / 4096.0)
+        ),
+        "partrev-4096-grid": grid_stats(
+            parts, F.floor((-F.col("r")).cast("double") / 4096.0)
+        ),
+    }
+    for label, (n_buckets, max_occ) in checks.items():
+        # grid must broadcast (≤ ~100k rows even at 100× this dataset)
+        assert n_buckets <= 100_000, (label, n_buckets)
+        # no bucket may approach the dimension size (single-task sort)
+        assert max_occ <= max(2_097_152, n_cust // 10), (label, max_occ, n_cust)
