@@ -59,6 +59,7 @@ def bucketed_global_rank(
     rank_name: str = "rank",
     cum_sums: Mapping[str, Column] | None = None,
     with_totals: bool = False,
+    grid_from: DataFrame | None = None,
 ) -> DataFrame:
     """Exact global ``row_number`` (and optional inclusive running sums)
     over the total order ``order_cols``, with no unpartitioned window.
@@ -91,6 +92,17 @@ def bucketed_global_rank(
       ``{name}_total`` grand totals, attached via a broadcast 1-row
       cross join (the registry's sanctioned scalar pattern).
 
+    ``grid_from``: optional CHEAPER DataFrame to compute the grid (and
+    totals) from instead of ``df``. It must contain exactly the same
+    multiset of rows w.r.t. the bucket columns and ``cum_sums`` value
+    expressions — the natural case is chained rank passes, where pass
+    N's input is pass N−1's output (base + rank columns): computing
+    pass N's grid from the BASE avoids re-executing every earlier
+    pass's join/window tree inside the grid branch (measured 2-3×
+    DAG-overhead reduction on a 3-pass RFM at sf0.1). Results are
+    identical by construction; the equivalence is pinned in
+    test_ranks.py.
+
     Every stage is deterministic (no sampling, no partition ids, no
     nondeterministic expressions), so results are invariant under task
     retry and stage recompute — the property Spark's range-partitioned
@@ -99,12 +111,17 @@ def bucketed_global_rank(
     cum_sums = dict(cum_sums or {})
     buckets = [F.col(c) for c in bucket_cols]
 
-    work = df.withColumn("__sb", super_bucket)
-    for k, expr in cum_sums.items():
-        work = work.withColumn(f"__v_{k}", expr)
+    def _prep(frame: DataFrame) -> DataFrame:
+        out = frame.withColumn("__sb", super_bucket)
+        for k, expr in cum_sums.items():
+            out = out.withColumn(f"__v_{k}", expr)
+        return out
+
+    work = _prep(df)
+    grid_src = work if grid_from is None else _prep(grid_from)
 
     # 1. Grid: one row per occupied bucket — counts + value sums.
-    grid = work.groupBy("__sb", *bucket_cols).agg(
+    grid = grid_src.groupBy("__sb", *bucket_cols).agg(
         F.count(F.lit(1)).alias("__cnt"),
         *[F.sum(f"__v_{k}").alias(f"__s_{k}") for k in cum_sums],
     )

@@ -720,6 +720,10 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Recency DESC → negate for a monotone bucket; the day grid is
     # bounded by the fixed date range (~2.5k buckets at any SF).
+    # Passes 2-3 compute their GRIDS from `base` (grid_from): the grid
+    # only depends on the bucket-column multiset, which rank columns
+    # don't change, and grid branches re-executing the earlier passes'
+    # join trees was 2-3× pure DAG overhead.
     ranked = bucketed_global_rank(
         base.withColumn("__b", -F.col("recency_days")),
         ["__b"],
@@ -730,24 +734,26 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frequency has ~25 distinct values → its tie groups are the whole
     # dimension; chunk the custkey tie-break (monotone within equal
     # frequency) so per-bucket groups stay ≤ 2^21 rows at any scale.
+    chunk = F.floor(F.col("c_custkey") / F.lit(2097152))
     ranked = bucketed_global_rank(
-        ranked.withColumn("__b2", F.floor(F.col("c_custkey") / F.lit(2097152))),
+        ranked.withColumn("__b2", chunk),
         ["frequency", "__b2"],
         [F.asc("frequency"), F.col("c_custkey")],
         F.col("frequency"),
         rank_name="__f_rank",
+        grid_from=base.withColumn("__b2", chunk),
     ).drop("__b2")
     # Monetary: fixed 4096-wide grid over the SF-independent per-customer
     # total (floor of a monotone double bridge keeps bucket order).
+    mbucket = F.floor(F.col("monetary_dec").cast("double") / F.lit(4096.0)).cast("bigint")
     ranked = bucketed_global_rank(
-        ranked.withColumn(
-            "__b", F.floor(F.col("monetary_dec").cast("double") / F.lit(4096.0)).cast("bigint")
-        ),
+        ranked.withColumn("__b", mbucket),
         ["__b"],
         [F.asc("monetary_dec"), F.col("c_custkey")],
         F.floor(F.col("__b") / 64),
         rank_name="__m_rank",
         with_totals=True,
+        grid_from=base.withColumn("__b", mbucket),
     ).drop("__b")
     n = F.col("n_total")
     scored = ranked.select(

@@ -110,6 +110,30 @@ def test_ntile_formula_matches_spark_ntile(spark, n, k):
     assert got.exceptAll(want).count() == 0
 
 
+def test_grid_from_is_result_identical(spark):
+    """grid_from only short-circuits WHERE the grid is computed from; a
+    chained pass using the pre-rank base as grid source must produce
+    bit-identical ranks/cumsums to the default."""
+    df = _sample(spark)
+    base = df.withColumn("__b", F.col("v"))
+    pass1 = bucketed_global_rank(
+        base, ["__b"], [F.col("v"), F.col("id")], F.floor(F.col("__b") / 8), rank_name="r1"
+    )
+    kwargs = dict(
+        rank_name="r2", cum_sums={"cm": F.col("m")}, with_totals=True
+    )
+    order2 = [F.col("v"), F.desc("m"), F.col("id")]  # bucket v stays monotone
+    default = bucketed_global_rank(
+        pass1, ["__b"], order2, F.floor(F.col("__b") / 8), **kwargs
+    )
+    shortcut = bucketed_global_rank(
+        pass1, ["__b"], order2, F.floor(F.col("__b") / 8), grid_from=base, **kwargs
+    )
+    cols = ["id", "r1", "r2", "cm", "n_total", "cm_total"]
+    assert shortcut.select(cols).exceptAll(default.select(cols)).count() == 0
+    assert shortcut.count() == default.count()
+
+
 def test_no_unpartitioned_window_in_operator_plan(spark):
     from tests.test_plans import _unpartitioned_windows
 
