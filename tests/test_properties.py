@@ -710,3 +710,62 @@ def test_incremental_dedup_verdict_invariants(spark, corpus_texts, new_texts):
             assert r.verdict != "exact_dup", (text, r.verdict)  # (2) <=
             if len(text.split(" ")) < 3:
                 assert r.verdict == "kept", (text, r.verdict)  # (3)
+
+
+# ---------------------------------------------------------------------------
+# bucketed_global_rank (operators/ranks.py): for ANY data and ANY valid
+# monotone bucketing, ranks/cumsums must equal the global-window truth.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=120,
+    ),
+    width=st.sampled_from([1, 3, 8, 1000]),  # 1000 → everything in one bucket
+    sb_div=st.sampled_from([1, 4, 64]),
+)
+def test_bucketed_rank_equals_global_window_for_any_input(spark, vals, width, sb_div):
+    """Property: for any (value, weight) rows — duplicates and negatives
+    included — any floor(v/width) bucketing and any super-bucket
+    divisor, bucketed_global_rank == ROW_NUMBER/SUM OVER (ORDER BY v, id)
+    bit-for-bit. Covers the degenerate single-bucket and
+    bucket-per-value extremes the fixed tests don't."""
+    from pyspark.sql import Window
+
+    from etl_sample_spark.operators.ranks import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(vals)], "id long, v long, w long"
+    )
+    got = bucketed_global_rank(
+        df.withColumn("__b", F.floor(F.col("v") / width)),
+        ["__b"],
+        [F.col("v"), F.col("id")],
+        F.floor(F.col("__b") / sb_div),
+        rank_name="rk",
+        cum_sums={"cw": F.col("w")},
+        with_totals=True,
+    )
+    win = Window.orderBy("v", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(win).cast("bigint").alias("rk"),
+        F.sum("w")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cw"),
+    )
+    assert (
+        got.select("id", "rk", "cw").exceptAll(want).count() == 0
+        and got.count() == len(vals)
+    )
+    tot = got.select("n_total", "cw_total").head()
+    assert tot["n_total"] == len(vals)
+    assert tot["cw_total"] == sum(w for _, w in vals)
