@@ -72,6 +72,14 @@ _FRONT_PINS = [
     # per-invocation build — same bits, same joins, result-invariant —
     # but its reachable code changed.
     "bloom_semi_join_orders_customers",
+    # r12 scale-shaping, self-found: the KS ECDF window ran over the
+    # DISTINCT values of a CONTINUOUS double — jump points grow ~with
+    # the event count, i.e. the corpus-global-window class mislabeled
+    # as bounded. Both ECDFs now come from bucketed_global_rank
+    # cumulative sums over the fixed 0.25-wide value grid.
+    # Result-invariant (identical exact-integer cums, identical final
+    # division); strict-sim green at sf0.01 + sf0.1 before pinning.
+    "ks_two_sample_click_vs_purchase",
 ]
 # r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
 # for rotation. Window math at this HEAD, recomputed from _ordered() +

@@ -1890,17 +1890,20 @@ def revenue_bridge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST-to-DOUBLE before dividing — DuckDB's `* 1.0` idiom widens "
     "to DECIMAL(38,1) instead, the r10 hash-divergence cause), and "
     "ROUND(,6) on the emitted statistic absorbs the final-ulp seam "
-    "per the OLS/Gini discipline. Scale note: the ordered running "
-    "sum here is one "
-    "global window over the DISTINCT-value points (same tier as the "
-    "registry's Pareto/RFM global rankings); the 100 TB form "
-    "range-partitions by value and adds per-partition offsets in a "
-    "second pass — and the mergeable-histogram query is the sketch "
-    "path when jump-point exactness isn't required. Reference analog: "
+    "per the OLS/Gini discipline. Scale note (r12): `value` is a "
+    "CONTINUOUS double, so the distinct-value jump points grow ~with "
+    "the event count — the former global ECDF window was the "
+    "dimension-global-window scale-killer class in disguise. Both "
+    "running ECDFs now come from bucketed_global_rank cumulative sums "
+    "over a fixed 0.25-wide value grid (~2.2k buckets on the bounded "
+    "[0, 560] value domain) — every window partitioned, group counts "
+    "per bucket ~n/2000. Values are non-null in this domain (both "
+    "engines' window forms already disagreed on null placement, so "
+    "nulls were never supported here). Reference analog: "
     "none ([EXT] KS drift test).",
 )
 def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from etl_sample_spark.operators.ranks import bucketed_global_rank
 
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
@@ -1914,14 +1917,22 @@ def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("v")
         .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
     )
-    tot = pts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = pts.select(
-        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    ecdf = bucketed_global_rank(
+        pts.withColumn("__b", F.floor(F.col("v") * 4).cast("bigint")),
+        ["__b"],
+        [F.col("v")],
+        F.floor(F.col("__b") / 64),
+        rank_name="__rk",
+        cum_sums={"cum1": F.col("c1"), "cum2": F.col("c2")},
+        with_totals=True,
+    ).select(
+        "cum1",
+        "cum2",
+        F.col("cum1_total").alias("n1"),
+        F.col("cum2_total").alias("n2"),
     )
     return (
-        ecdf.crossJoin(F.broadcast(tot))
-        .groupBy("n1", "n2")
+        ecdf.groupBy("n1", "n2")
         .agg(
             F.round(
                 F.max(

@@ -119,7 +119,6 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "classifier_decile_lift": "score-grid offsets + two windows over the 10 decile rows",
     "wow_revenue_growth": "lag over the bounded weekly calendar grid",
     "largest_remainder_allocation": "remainder rank over the group rollup (one row per group)",
-    "ks_two_sample_click_vs_purchase": "ECDF running sum over the distinct-value jump points",
     "acf_daily_revenue": "lag over the bounded daily calendar grid",
     "cusum_changepoint_daily_revenue": "running stats over the daily grid",
     "time_to_convert_distribution": "cumulative share over the duration-bucket rollup",
