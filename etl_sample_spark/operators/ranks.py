@@ -67,7 +67,9 @@ def bucketed_global_rank(
     Contract the caller must hold (each call site documents how):
 
     - ``order_cols`` is a TOTAL order: a deterministic tie-break column
-      (a key) is last, and every ordering column is non-null.
+      (a key) is last, and every ordering column is non-null. Bucket
+      columns must be non-null too (they are equi-join keys back to the
+      rows — a null bucket would silently drop its rows).
     - ``bucket_cols`` are columns ALREADY ON ``df``, and their
       lexicographic order is monotone non-decreasing along
       ``order_cols`` (e.g. ``floor(value / W)`` for an ascending value
@@ -110,6 +112,17 @@ def bucketed_global_rank(
     """
     cum_sums = dict(cum_sums or {})
     buckets = [F.col(c) for c in bucket_cols]
+
+    reserved = {"__sb", "__cnt", "__rank_off", rank_name} | {
+        c for k in cum_sums for c in (f"__v_{k}", f"__s_{k}", f"__cum_off_{k}", k)
+    }
+    if with_totals:
+        reserved |= {"n_total", *(f"{k}_total" for k in cum_sums)}
+    clash = reserved.intersection(df.columns) - set(bucket_cols)
+    if clash:
+        # A silent overwrite here would corrupt offsets or shadow user
+        # data (the salted_join `_salt` guard, generalized).
+        raise ValueError(f"bucketed_global_rank reserved columns already on df: {sorted(clash)}")
 
     def _prep(frame: DataFrame) -> DataFrame:
         out = frame.withColumn("__sb", super_bucket)

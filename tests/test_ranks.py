@@ -148,3 +148,18 @@ def test_no_unpartitioned_window_in_operator_plan(spark):
         with_totals=True,
     )
     assert _unpartitioned_windows(got) == 0
+
+
+def test_reserved_column_clash_raises(spark):
+    df = _sample(spark).withColumn("__b", F.col("v")).withColumn("rk", F.lit(1))
+    with pytest.raises(ValueError, match="reserved columns"):
+        bucketed_global_rank(
+            df, ["__b"], [F.col("v"), F.col("id")], F.floor(F.col("__b") / 8),
+            rank_name="rk",
+        )
+    with pytest.raises(ValueError, match="reserved columns"):
+        bucketed_global_rank(
+            df.drop("rk").withColumn("n_total", F.lit(0)),
+            ["__b"], [F.col("v"), F.col("id")], F.floor(F.col("__b") / 8),
+            with_totals=True,
+        )
