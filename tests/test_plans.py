@@ -278,7 +278,18 @@ _SCALAR_SUBQUERY = {
     "heavy_hitters_tokens",  # one-row total-token-count broadcast
     "unigram_logprob_score",  # same one-row totals broadcast
     "largest_remainder_allocation",  # one-row grand-total broadcast
-    "ks_two_sample_click_vs_purchase",  # one-row (n1, n2) totals broadcast
+    # bucketed_global_rank's across-super-bucket count-greater offsets
+    # (operators/ranks.py): a broadcast inequality self-join on the
+    # super-bucket relation, bounded at |super_buckets|² ≤ ~hundreds²
+    # and CONSTANT in data size (the r12 scale-shape of the former
+    # dimension-global windows); rfm/abc also carry the one-row
+    # grand-total broadcast (with_totals).
+    "rfm_customer_scores",
+    "gini_revenue_concentration",
+    "abc_pareto_classification",
+    # one-row (n1, n2) totals broadcast; r12 adds the bucketed-rank
+    # count-greater join above for the ECDF offsets
+    "ks_two_sample_click_vs_purchase",
     "kaplan_meier_customer_lifetime",  # one-row horizon + total broadcasts
     "chi2_event_type_by_user_band",  # one-row grand-total broadcast
     "cusum_changepoint_daily_revenue",  # one-row (n, Σy) totals broadcast
