@@ -80,15 +80,41 @@ _FRONT_PINS = [
     # Result-invariant (identical exact-integer cums, identical final
     # division); strict-sim green at sf0.01 + sf0.1 before pinning.
     "ks_two_sample_click_vs_purchase",
+    # r12 broadcast audit (self-found, SCALE.md "forced hints" note):
+    # F.broadcast hints are kept ONLY on relations whose size is
+    # constant in SF (nation/region, 1-row scalars, fixed grids,
+    # bounded shortlists). These 15 queries force-broadcast relations
+    # that GROW with the data — part/supplier/customer(-derived)
+    # dims, per-part aggregates, per-doc signature frames, candidate
+    # pairs, name-cluster maps — i.e. guaranteed driver OOMs at the
+    # 100 TB design point. The hints are removed; size statistics/AQE
+    # still pick broadcast-hash joins at bench SF (plan tests pin it),
+    # so join RESULTS and bench-scale plans are unchanged.
+    "q2_min_cost_supplier_per_part",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping_pairs",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue_ratio",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_count_by_part_attrs",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_suppliers_with_excess_stock",
+    "q21_suppliers_kept_waiting",
+    "join_theta_customer_outbalances_supplier",
+    "minhash_jaccard_estimate_audit",
+    "entity_resolution_part_names",
 ]
 # r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
 # for rotation. Window math at this HEAD, recomputed from _ordered() +
 # the CORRECTNESS artifacts (the r11 verdict's item 3 asked that this
 # comment always match a recomputation): latest driver rows are
-# 25×r6 / 31×r7 / 40×r8 / 46×r9 / 46×r10 / 50×r11. One of the 25 r6
-# rows is rfm_customer_scores (pinned above), so a ≤10-pin window
-# retires ALL 25 r6 rows this round and the oldest row left OUTSIDE the
-# r12 window is r7 — meeting r11 VERDICT item 2's "oldest ≥ r7".
+# 25×r6 / 31×r7 / 40×r8 / 46×r9 / 46×r10 / 50×r11. With the 22 pins
+# above (one of which, rfm_customer_scores, itself sits on an r6 row),
+# the 28 rotation slots retire the remaining 24 r6 rows plus 4 r7 rows:
+# ALL 25 r6 rows get fresh r12 evidence and the oldest row left OUTSIDE
+# the r12 window is r7 — meeting r11 VERDICT item 2's "oldest ≥ r7".
 # tools/update_pin_manifest.py enforces that every further r12 code
 # change either lands here or leaves its queries' fingerprints alone.
 

@@ -2103,7 +2103,11 @@ def _minhash_audit_oracle() -> str:
     "exact integer ratios (quarters and |A∩B|/|A∪B|), emitted "
     "unrounded. 100 TB shape: pairs come from the banded join (never "
     "n²); the true-Jaccard join touches only candidate pairs' shingle "
-    "sets, with the pair list broadcast.",
+    "sets via plain equi-joins — the r11 form FORCE-broadcast the "
+    "per-doc signature/shingle-count frames and the pair list, all of "
+    "which grow with the corpus (r12 broadcast audit); at bench SF "
+    "Spark still picks broadcast joins by size, at 100 TB these "
+    "degrade to shuffles instead of driver OOMs.",
 )
 def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.dedup import (
@@ -2119,9 +2123,8 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
     )
     nsh = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    bp = F.broadcast(pairs)
     inter = (
-        bp.join(dsh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        pairs.join(dsh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
         .join(
             dsh.alias("sb"),
             (F.col("b_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
@@ -2140,10 +2143,10 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
         union_n > 0, F.coalesce(F.col("i.i"), F.lit(0)) * 1.0 / union_n
     )
     return (
-        pairs.join(F.broadcast(sig.alias("fa")), F.col("a_id") == F.col("fa.doc_id"))
-        .join(F.broadcast(sig.alias("fb")), F.col("b_id") == F.col("fb.doc_id"))
-        .join(F.broadcast(nsh.alias("na")), F.col("a_id") == F.col("na.doc_id"))
-        .join(F.broadcast(nsh.alias("nb")), F.col("b_id") == F.col("nb.doc_id"))
+        pairs.join(sig.alias("fa"), F.col("a_id") == F.col("fa.doc_id"))
+        .join(sig.alias("fb"), F.col("b_id") == F.col("fb.doc_id"))
+        .join(nsh.alias("na"), F.col("a_id") == F.col("na.doc_id"))
+        .join(nsh.alias("nb"), F.col("b_id") == F.col("nb.doc_id"))
         .join(inter.alias("i"), ["a_id", "b_id"], "left")
         .select("a_id", "b_id", est.alias("est_jaccard"), truth.alias("true_jaccard"))
         .orderBy("a_id", "b_id")
@@ -3053,7 +3056,7 @@ def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("name"), F.col("cluster_id").alias("canonical")
     )
     return (
-        part.join(F.broadcast(canon), part["p_name"] == canon["name"], "left")
+        part.join(canon, part["p_name"] == canon["name"], "left")
         .groupBy(
             F.col("p_name").alias("name"),
             F.coalesce("canonical", "p_name").alias("canonical"),

@@ -172,7 +172,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     ORDER BY revenue DESC, n_name
     """,
-    doc="star join; region/nation/supplier broadcast, fact-fact shuffle join",
+    doc="star join; constant dims broadcast, the supplier dim pruned to a "
+    "LEAF scan (pushed IN-filter from the ≤25-row nation⋈region collect) "
+    "so SIZE-based planning broadcasts it at bench scale and degrades to "
+    "a shuffle join at 100 TB — no forced hint on a growing relation",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -181,30 +184,42 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    # Dims reduced first, then broadcast: the fact tables never shuffle on
-    # dim keys, only on the join keys between facts.
-    dim = (
-        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("s_suppkey", "s_nationkey", "n_name")
+    # The region's nation keys are CONSTANT (≤25 rows regardless of SF):
+    # collect them once (the registry's sanctioned bounded-driver-state
+    # pattern) and push the IN-list INTO the supplier scan. That keeps
+    # the supplier dim a LEAF with real size statistics, so the planner
+    # broadcasts it at bench scale ON SIZE (plan-pinned by
+    # test_q5_broadcasts_dims) and falls back to a shuffle join at
+    # 100 TB, where the region's suppliers are ~200 M rows and the r11
+    # forced-broadcast form would OOM the driver (r12 broadcast audit —
+    # a JOIN-OUTPUT dim has no usable stats and planned as a shuffle
+    # even at bench scale, costing q5 a 10.9 MB lineitem exchange).
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    asia_keys = [r["n_nationkey"] for r in nr.select("n_nationkey").collect()]
+    dim = supplier.where(F.col("s_nationkey").isin(asia_keys)).select(
+        "s_suppkey", "s_nationkey"
     )
-    # Broadcast SEMI-filter on the widest fact BEFORE any shuffle: only
+    # SEMI-filter on the widest fact BEFORE any shuffle: only
     # region-supplied lineitems enter the orderkey/custkey exchanges,
     # cutting the dominant shuffle volume by the region's selectivity
     # (~1/|regions|) — a derived filter Catalyst cannot infer on
-    # non-partitioned parquet. The same broadcast subtree serves the semi
-    # and the final join (identical subtrees → one BroadcastExchange +
-    # ReusedExchange). Measured at sf0.1: ~20% faster than the unfiltered
-    # plan; at 100 TB the saving scales with the lineitem shuffle itself.
-    bdim = F.broadcast(dim)
-    li_local = lineitem.join(bdim, lineitem.l_suppkey == dim.s_suppkey, "left_semi")
+    # non-partitioned parquet. Measured at sf0.1: ~20% faster than the
+    # unfiltered plan; at 100 TB the saving scales with the lineitem
+    # shuffle itself. (Spark's own runtime bloom filter injects this
+    # same pruning automatically once the application side crosses its
+    # 10 GB scan threshold — the explicit semi keeps it at bench scale.)
+    li_local = lineitem.join(dim, lineitem.l_suppkey == dim.s_suppkey, "left_semi")
+    n_names = F.broadcast(
+        nr.select(F.col("n_nationkey").alias("__nk"), "n_name")
+    )
     return (
         li_local.join(orders, li_local.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            bdim,
+            dim,
             (F.col("l_suppkey") == dim.s_suppkey) & (customer.c_nationkey == dim.s_nationkey),
         )
+        .join(n_names, F.col("s_nationkey") == F.col("__nk"))
         .groupBy("n_name")
         .agg(sum_money(revenue_dec()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -373,13 +388,16 @@ def join_cross_region_nation_grid(spark: SparkSession, sf_dir: str) -> DataFrame
       ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
     ORDER BY c.c_custkey, s.s_suppkey
     """,
-    doc="mixed equi + non-equi predicate: hash join on nationkey, theta filter after",
+    doc="mixed equi + non-equi predicate: hash join on nationkey, theta "
+    "filter after. No forced broadcast (r12 audit): supplier grows with "
+    "SF, so the hint is left to the size-based planner — broadcast-hash "
+    "at bench scale, shuffle-hash on nationkey beyond the threshold.",
 )
 def join_theta_customer_outbalances_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     return (
-        c.join(F.broadcast(s), (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal))
+        c.join(s, (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal))
         .select("c_custkey", "s_suppkey", F.round(F.col("c_acctbal") - F.col("s_acctbal"), 2).alias("balance_gap"))
         .orderBy("c_custkey", "s_suppkey")
     )

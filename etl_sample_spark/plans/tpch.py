@@ -8,10 +8,17 @@ classic TPC-H shapes, adapted because the driver schema omits partsupp,
 l_shipmode / l_commitdate / l_receiptdate, c_phone, and p_container.
 
 Scale notes (100 TB):
-- every dim side (part, supplier, nation, region, and reduced
-  aggregates like per-supplier revenue) is explicitly broadcast; the
-  only shuffles left are fact⋈fact on the join key plus the final agg,
-  which is what a 1000-executor plan should look like.
+- broadcast hints are FORCED only on relations whose size is constant
+  in SF (nation/region, 1-row scalar aggregates like q15's max or
+  q22's threshold). Relations that GROW with the data — part,
+  supplier, customer, and part-/supplier-keyed aggregates — carry NO
+  hint (r12 broadcast audit): at bench SF Spark's size statistics and
+  AQE still pick broadcast-hash joins (plan-pinned), while at 100 TB
+  (part ≈ 2 B rows) the same code degrades to a shuffle join instead
+  of a guaranteed driver OOM. A forced hint overrides the size check
+  at EVERY scale, which is exactly wrong for a growing relation.
+- the only shuffles left are fact⋈fact on the join key plus the final
+  agg, which is what a 1000-executor plan should look like.
 - correlated subqueries (q17 avg-per-part, q22 NOT EXISTS) are written
   as aggregate-then-broadcast-join / anti-join — the decorrelated plan
   Catalyst would produce, stated explicitly so intent survives refactors.
@@ -146,7 +153,7 @@ def q7_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), supplier.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), customer.c_nationkey == n2.c_nk)
         .where(pair)
@@ -205,10 +212,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SUM, so the ratio is computed from bit-identical operands on any engine.
     volume_dec = revenue_dec()
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(cust_in_region, orders.o_custkey == cust_in_region.c_custkey, "left_semi")
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n2), supplier.s_nationkey == n2.s_nk)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -263,9 +270,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount = (revenue_dec() - cost).cast("decimal(25,6)")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(sum_money(amount).alias("sum_profit"))
@@ -378,7 +385,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,6)")
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * sum_money(promo_dec) / sum_money(revenue_dec())).alias(
                 "promo_revenue"
@@ -421,7 +428,7 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_dec == max_rev.max_dec, "left_semi")
-        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
         .select(
             "s_suppkey", "s_name", F.col("total_dec").cast("double").alias("total_revenue")
         )
@@ -451,8 +458,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), lineitem.l_partkey == per_part_avg.avg_pk)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(per_part_avg, lineitem.l_partkey == per_part_avg.avg_pk)
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((sum_money(dec2("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -534,7 +541,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Brand#15", 35, 20, 30
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .where(cond)
         .agg(sum_money(revenue_dec()).alias("revenue"))
     )
@@ -697,12 +704,12 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
         "s_suppkey"
     )
     lineitem = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(bad_suppliers),
+        bad_suppliers,
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_anti",
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -734,7 +741,7 @@ def q20_suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     movers = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 100)
@@ -742,7 +749,7 @@ def q20_suppliers_with_excess_stock(spark: SparkSession, sf_dir: str) -> DataFra
     supplier = _t(spark, sf_dir, "supplier")
     return (
         supplier.join(
-            F.broadcast(movers), supplier.s_suppkey == movers.l_suppkey, "left_semi"
+            movers, supplier.s_suppkey == movers.l_suppkey, "left_semi"
         )
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
@@ -806,7 +813,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lo.where(late)
         .join(qualifying.select("l_orderkey"), "l_orderkey")
-        .join(F.broadcast(nation_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation_suppliers, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -851,7 +858,7 @@ def q2_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         costs.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("l_partkey") <= 200))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
