@@ -370,8 +370,9 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate >= TIMESTAMP '1996-03-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
     """,
-    doc="TPC-H Q14 shape: promo revenue share in one month; part dim "
-    "broadcast so the fact side never shuffles. Both sums accumulate in "
+    doc="TPC-H Q14 shape: promo revenue share in one month; the part dim "
+    "broadcasts by SIZE at bench scale (no forced hint — it grows with "
+    "SF, r12 audit) so the fact side never shuffles there. Both sums accumulate in "
     "exact decimal and bridge to double before the ratio, so the division "
     "operates on bit-identical operands in both engines — no post-bridge "
     "ROUND (functions/money.py)",
@@ -447,7 +448,8 @@ def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
     doc="TPC-H Q17 shape: correlated per-part AVG decorrelated into a "
-    "grouped aggregate broadcast-joined back to the fact. The price sum "
+    "grouped aggregate joined back to the fact (size-based broadcast at "
+    "bench scale; part-keyed, so no forced hint — r12 audit). The price sum "
     "accumulates in exact decimal; the AVG threshold is safe in double "
     "because quantities are small integers (exact at any sum order)",
 )
@@ -692,7 +694,8 @@ def agg_hll_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q16 shape (lineitem as the partsupp surrogate): distinct "
     "supplier counts per part attribute with a NOT-IN anti-join exclusion "
-    "list (broadcast anti join on the filtered supplier set)",
+    "list (anti join on the filtered supplier set; size-based broadcast "
+    "at bench scale, no forced hint — r12 audit)",
 )
 def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(
