@@ -7,7 +7,12 @@ ISO strings). Everything is computed in ONE scan — the per-column
 aggregates land in one wide row (Catalyst plans the multi-countDistinct
 via Expand, still a single pass over the data) which is then unpivoted
 to the long report with ``stack`` — so profiling a 100 TB table costs
-one read, not one read per column.
+one read, not one read per column. Scale caveat (r12 review): the
+Expand duplicates each input row once per distinct-aggregate, so the
+shuffle INTO the aggregation is ~n_cols× the scan — exact NDV is the
+point of this report, but for routine monitoring of very wide tables
+swap ``countDistinct`` for ``approx_count_distinct`` (HLL, no Expand)
+and keep the exact form for audits.
 
 [EXT] engine utility; the reference has no profiling surface.
 """
