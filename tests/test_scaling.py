@@ -304,7 +304,13 @@ def test_bucketed_rank_grids_stay_bounded_at_10x(spark):
         ).collect()[0]
         return g["n_buckets"], g["max_occ"]
 
+    events = catalog.table(spark, SYNTH_DIR, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ks_pts = events.groupBy(F.col("value").alias("v")).count().select("v")
+
     checks = {
+        "ks-value-0.25-grid": grid_stats(ks_pts, F.floor(F.col("v") * 4)),
         "recency-day-grid": grid_stats(cust, -F.col("recency")),
         "freq-chunk-grid": grid_stats(
             cust,
