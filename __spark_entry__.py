@@ -105,14 +105,19 @@ _FRONT_PINS = [
     "join_theta_customer_outbalances_supplier",
     "minhash_jaccard_estimate_audit",
     "entity_resolution_part_names",
+    # r12 review re-pin: asof_join gained a deterministic tie-break for
+    # right rows sharing (key, ts) — partition-order pick before, the
+    # cdc_apply seq-tie class. The registry query's event timestamps
+    # are tie-free, so the result is invariant; reachable code changed.
+    "asof_join_purchase_to_click",
 ]
 # r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
 # for rotation. Window math at this HEAD, recomputed from _ordered() +
 # the CORRECTNESS artifacts (the r11 verdict's item 3 asked that this
 # comment always match a recomputation): latest driver rows are
-# 25×r6 / 31×r7 / 40×r8 / 46×r9 / 46×r10 / 50×r11. With the 22 pins
+# 25×r6 / 31×r7 / 40×r8 / 46×r9 / 46×r10 / 50×r11. With the 23 pins
 # above (one of which, rfm_customer_scores, itself sits on an r6 row),
-# the 28 rotation slots retire the remaining 24 r6 rows plus 4 r7 rows:
+# the 27 rotation slots retire the remaining 24 r6 rows plus 3 r7 rows:
 # ALL 25 r6 rows get fresh r12 evidence and the oldest row left OUTSIDE
 # the r12 window is r7 — meeting r11 VERDICT item 2's "oldest ≥ r7".
 # tools/update_pin_manifest.py enforces that every further r12 code

@@ -57,10 +57,20 @@ def asof_join(
     )
 
     # Right rows sort before left rows at the same timestamp so an exact-ts
-    # match is visible to the left row (inclusive as-of).
+    # match is visible to the left row (inclusive as-of). Among RIGHT rows
+    # sharing (key, ts) the carried tuple itself is the final tie-break
+    # (ascending, nulls first → ``last`` picks the lexicographically
+    # GREATEST tuple): without it the pick is partition-order-dependent —
+    # the same silent nondeterminism class as the r11 cdc_apply seq-tie
+    # finding (r12 review). Order among LEFT ties is irrelevant: their
+    # carried columns are all-null and ignorenulls skips them.
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            *[F.col(cc).asc_nulls_first() for cc in carried],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lhs.unionByName(rhs).select(

@@ -1585,3 +1585,22 @@ def test_incremental_dedup_short_docs_never_sentinel_collide(spark):
     )
     got = {r.doc_id: r.verdict for r in incremental_dedup_verdicts(new, corpus).collect()}
     assert got == {1: "kept", 2: "exact_dup"}
+
+
+def test_asof_join_right_ts_ties_are_deterministic(spark):
+    """Two right rows sharing (key, ts): the carried tuple itself breaks
+    the tie (greatest tuple wins), so the result is identical under any
+    input partitioning — without the tie-break, last() picked whichever
+    row the partition sort happened to place later (r12 review, the
+    cdc_apply seq-tie class)."""
+    from pyspark.sql import Row
+
+    from etl_sample_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k=1, lts=10, tag="L")])
+    rows = [Row(k=1, rts=5, v=a) for a in ("b", "c", "a")]
+    for nparts in (1, 2, 3):
+        right = spark.createDataFrame(rows).repartition(nparts)
+        got = asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+        assert len(got) == 1
+        assert got[0]["v_asof"] == "c", (nparts, got)
