@@ -44,84 +44,43 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r12 scale-shaping of the three DIMENSION-global windows (r11
-    # VERDICT item 1): RFM's three NTILEs, the Gini rank pass, and the
-    # Pareto running share now go through operators/ranks.py's
-    # deterministic bucketed global rank (partitioned windows only; the
-    # customer/part dimension never sorts on one task). Result-invariant
-    # by construction — exact ranks with the same tie-breaks, NTILE via
-    # the SQL-standard formula pinned against F.ntile in test_ranks.py;
-    # strict-sim green at sf0.01 + sf0.1 before pinning — but reachable
-    # code changed, so they re-earn driver rows.
-    "rfm_customer_scores",
-    "gini_revenue_concentration",
-    "abc_pareto_classification",
-    # r12 mechanical re-pins (r11 ADVICE fixes, result-invariant):
-    # salted_join's salt is now a deterministic function of the row
-    # (pmod(xxhash64(salt_from), n) — the positional salt could re-deal
-    # rows across a shuffle-fetch retry and lose/duplicate join rows);
-    # the registry query salts on the (l_orderkey, l_linenumber) unique
-    # key. normalize's spec compiler (_ansi_safe) became string-literal
-    # aware — no current spec contains a quoted bracket, so compiled SQL
-    # is unchanged, but reachable code moved.
+    # r13 mechanical re-pins — the four r12 ADVICE fixes, each
+    # result-invariant for the registered query but reachable-code
+    # dirty (strict-sim green at sf0.01 + sf0.1 before pinning):
+    # - skew.py now WARNS when falling back to the whole-row salt hash
+    #   (byte-identical duplicates degrade the spread silently); the
+    #   registry query passes salt_from, so only the docstring/guard
+    #   moved.
     "skewjoin_revenue_by_priority",
+    # - normalize's _ansi_safe literal guard extended to double-quoted
+    #   and backslash-escaped literals and backtick identifiers; no
+    #   current spec contains any quoted bracket, compiled SQL is
+    #   unchanged.
     "normalize_star_rebuild",
-    # r12 mechanical re-pin: bloom_probe learned to reuse an
-    # already-local bitmap (bloom_build_local amortized path, r11
-    # VERDICT item 4). The registry query still demonstrates the honest
-    # per-invocation build — same bits, same joins, result-invariant —
-    # but its reachable code changed.
+    # - bloom_probe's local-bitmap fast path now requires the
+    #   bloom_build_local schema tag (an arbitrary caller LogicalRDD
+    #   re-evaluated per hash position before) and bound-checks the
+    #   collect at num_bits/64 rows; the registry query builds lazily,
+    #   so it exercises the bounded-collect path as before.
     "bloom_semi_join_orders_customers",
-    # r12 scale-shaping, self-found: the KS ECDF window ran over the
-    # DISTINCT values of a CONTINUOUS double — jump points grow ~with
-    # the event count, i.e. the corpus-global-window class mislabeled
-    # as bounded. Both ECDFs now come from bucketed_global_rank
-    # cumulative sums over the fixed 0.25-wide value grid.
-    # Result-invariant (identical exact-integer cums, identical final
-    # division); strict-sim green at sf0.01 + sf0.1 before pinning.
-    "ks_two_sample_click_vs_purchase",
-    # r12 broadcast audit (self-found, SCALE.md "forced hints" note):
-    # F.broadcast hints are kept ONLY on relations whose size is
-    # constant in SF (nation/region, 1-row scalars, fixed grids,
-    # bounded shortlists). These 15 queries force-broadcast relations
-    # that GROW with the data — part/supplier/customer(-derived)
-    # dims, per-part aggregates, per-doc signature frames, candidate
-    # pairs, name-cluster maps — i.e. guaranteed driver OOMs at the
-    # 100 TB design point. The hints are removed; size statistics/AQE
-    # still pick broadcast-hash joins at bench SF (plan tests pin it),
-    # so join RESULTS and bench-scale plans are unchanged.
-    "q2_min_cost_supplier_per_part",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping_pairs",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue_ratio",
-    "q15_top_revenue_suppliers",
-    "q16_supplier_count_by_part_attrs",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_suppliers_with_excess_stock",
-    "q21_suppliers_kept_waiting",
-    "join_theta_customer_outbalances_supplier",
-    "minhash_jaccard_estimate_audit",
-    "entity_resolution_part_names",
-    # r12 review re-pin: asof_join gained a deterministic tie-break for
-    # right rows sharing (key, ts) — partition-order pick before, the
-    # cdc_apply seq-tie class. The registry query's event timestamps
-    # are tie-free, so the result is invariant; reachable code changed.
+    # - asof_join carries the right row's value columns as ONE struct
+    #   through last(ignorenulls) — per-column carry could mix columns
+    #   from different tied right rows when the winner held a null; the
+    #   registry query carries a single non-null column and its (key,
+    #   ts) ties are value-identical, so results are unchanged.
     "asof_join_purchase_to_click",
 ]
-# r11's 30 pins all landed green rows in CORRECTNESS_r11.json — cleared
-# for rotation. Window math at this HEAD, recomputed from _ordered() +
-# the CORRECTNESS artifacts (the r11 verdict's item 3 asked that this
-# comment always match a recomputation): latest driver rows are
-# 25×r6 / 31×r7 / 40×r8 / 46×r9 / 46×r10 / 50×r11. With the 23 pins
-# above (one of which, rfm_customer_scores, itself sits on an r6 row),
-# the 27 rotation slots retire the remaining 24 r6 rows plus 3 r7 rows:
-# ALL 25 r6 rows get fresh r12 evidence and the oldest row left OUTSIDE
-# the r12 window is r7 — meeting r11 VERDICT item 2's "oldest ≥ r7".
-# tools/update_pin_manifest.py enforces that every further r12 code
-# change either lands here or leaves its queries' fingerprints alone.
+# r12's 23 pins all landed green rows in CORRECTNESS_r12.json (verified
+# by recomputation this round) — cleared for rotation. Window math at
+# this HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
+# latest driver rows are 26×r7 / 39×r8 / 34×r9 / 44×r10 / 45×r11 /
+# 50×r12 (+ the demoted, unregistered stratified_sample_by_lang on r5).
+# With the 4 pins above (all sitting on r12 rows), the 46 rotation
+# slots retire ALL 26 r7 rows plus the 20 stalest r8 rows: the oldest
+# row left OUTSIDE the r13 window is r8 — meeting r12 VERDICT item 3's
+# "oldest ≥ r8". tools/update_pin_manifest.py enforces that every
+# further r13 code change either lands here or leaves its queries'
+# fingerprints alone.
 
 
 def _last_checked_rounds() -> dict[str, int]:

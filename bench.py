@@ -69,7 +69,47 @@ HEADLINE = (
     # exact join; its trend line tracks the bitmap build overhead vs
     # the probe's shuffle cut (SCALE.md round-10 measurement).
     "bloom_semi_join_orders_customers",
+    # r13 additions (r12 VERDICT item 2): the four queries rewritten in
+    # r12 onto operators/ranks.py's bucketed global rank pay a known
+    # ~0.8 s constant DAG overhead vs their old single-task-sort form
+    # (SCALE.md r12 note) — that cost must be visible to
+    # round-over-round tracking, not only in the one-off SCALE.md
+    # measurement.
+    "rfm_customer_scores",
+    "gini_revenue_concentration",
+    "abc_pareto_classification",
+    "ks_two_sample_click_vs_purchase",
 )
+
+# Fixed-work, single-thread, Spark-free CPU calibration probe (r12
+# VERDICT item 1): this host is a shared box whose effective per-core
+# speed is bimodal at the PROCESS level (SCALE.md r12 bench note:
+# ±12-18% run-to-run on identical work, shuffle bytes byte-identical) —
+# so every BENCH artifact embeds the probe, measured immediately before
+# and after the suite, making the "host drift vs engine drift" call
+# mechanical instead of forensic. Interpretation: wall-clock deltas
+# round-over-round are only engine signal when the probe is level with
+# the other round's probe; a uniformly-inflated suite WITH a
+# proportionally-inflated probe is host placement, not a regression.
+_PROBE_ITERS = 2_000_000
+# Quiet-host reference, measured r13 (best-of-3 min, load < 0.1):
+# normalize cross-round wall clocks by (probe / _PROBE_REF_SEC).
+_PROBE_REF_SEC = 0.80
+
+
+def cpu_probe_seconds(iters: int = _PROBE_ITERS) -> float:
+    """Seconds for `iters` chained sha256 digests — best of 3 (min is
+    the right estimator for fixed work: noise only ever adds time)."""
+    import hashlib
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = b"\x00" * 64
+        for _ in range(iters):
+            h = hashlib.sha256(h).digest()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_streaming_ingest(spark, sf_dir: str, reps: int) -> tuple[list[float], int]:
@@ -148,6 +188,8 @@ def main() -> None:
     from etl_sample_spark import get_spark
     from etl_sample_spark.plans import REGISTRY
 
+    probe_before = round(cpu_probe_seconds(), 3)
+
     spark = get_spark("etl-sample-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -217,6 +259,13 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    probe_after = round(cpu_probe_seconds(), 3)
+    probe = min(probe_before, probe_after)
+    print(
+        f"  cpu_probe: before {probe_before:.3f}s after {probe_after:.3f}s "
+        f"(ref {_PROBE_REF_SEC}s -> host factor {probe / _PROBE_REF_SEC:.2f}x)",
+        file=sys.stderr,
+    )
     line = json.dumps(
         {
             "metric": "headline_suite_seconds",
@@ -227,6 +276,16 @@ def main() -> None:
             "shuffle_bytes": shuffle_bytes,
             "reps": reps,
             "sf": sf,
+            # host-speed calibration (r12 VERDICT item 1): fixed-work
+            # single-thread sha256 probe, best-of-3, measured immediately
+            # before/after the suite; normalize cross-round wall clocks
+            # by (min(before, after) / cpu_probe_ref_sec).
+            "cpu_probe_sec": {"before": probe_before, "after": probe_after},
+            "cpu_probe_iters": _PROBE_ITERS,
+            "cpu_probe_ref_sec": _PROBE_REF_SEC,
+            "value_probe_normalized": round(
+                total * _PROBE_REF_SEC / probe, 3
+            ),
         }
     )
     print(line)

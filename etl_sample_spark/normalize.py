@@ -46,17 +46,29 @@ from pyspark.sql.types import StructType
 # the compiled expressions are rewritten.
 _INDEX_RE = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*)\[(\d+)\]")
 
-# SQL single-quoted string literal, '' as the escaped quote — captured so
-# re.split keeps literals at odd indices.
-_SQL_STRING_RE = re.compile(r"('(?:[^']|'')*')")
+# Quoted SQL tokens the index rewrite must not touch — captured so
+# re.split keeps them at odd indices. Covers every literal form Spark's
+# default (non-ANSI-string) parser accepts (r12 ADVICE: the single-quote
+# guard alone still rewrote `rlike "x[0]"` and `'\'x[0]'`):
+# - single-quoted strings, with '' AND backslash escapes ('it''s', 'a\'b'),
+# - double-quoted strings (Spark default) / quoted identifiers (under
+#   spark.sql.ansi.doubleQuotedIdentifiers) — untouchable either way,
+# - backtick-quoted identifiers, `` as the escaped backtick (a column
+#   literally named `x[0]` must not become try_element_at).
+_SQL_STRING_RE = re.compile(
+    r"('(?:[^'\\]|\\.|'')*'"
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|`(?:[^`]|``)*`)"
+)
 
 
 def _ansi_safe(expr: str) -> str:
     """Rewrite every `path[n]` into `try_element_at(path, n+1)` —
-    OUTSIDE string literals only: a quoted pattern like `rlike 'x[0]'`
-    must pass through untouched (r11 ADVICE — the unguarded rewrite
-    would corrupt the literal; no current spec hits it, but TableSpec
-    accepts arbitrary SQL)."""
+    OUTSIDE quoted tokens only: a pattern like `rlike 'x[0]'` (in any
+    quote style, with any escape form) and a backtick-quoted column
+    named `x[0]` must pass through untouched (r11+r12 ADVICE — the
+    unguarded rewrite would corrupt them; no current spec hits it, but
+    TableSpec accepts arbitrary SQL)."""
     parts = _SQL_STRING_RE.split(expr)
     return "".join(
         part

@@ -58,17 +58,46 @@ def bloom_build(
     )
 
 
-def _is_local_relation(df: DataFrame) -> bool:
-    """True when ``df`` is already a materialized driver-side relation
-    (no build pipeline to re-run): the analyzed plan's root is a
-    LocalRelation or the LogicalRDD that ``createDataFrame`` over
-    collected rows produces in Spark 4 classic. Conservative on Spark
-    Connect (no py4j): returns False, so the probe materializes."""
+# Schema-metadata tag stamped by bloom_build_local so bloom_probe can
+# recognize ITS bitmaps (r12 ADVICE: a plan-shape check alone treated ANY
+# LogicalRDD root — e.g. createDataFrame over a large, recomputable RDD —
+# as already-materialized, skipping the documented driver materialization
+# and re-evaluating the caller's sub-plan once per hash position).
+_LOCAL_TAG = "etl_sample_spark.bloom_local"
+
+
+def _is_local_bitmap(df: DataFrame) -> bool:
+    """True only for bitmaps produced by :func:`bloom_build_local`: the
+    analyzed plan's root is the materialized relation ``createDataFrame``
+    produces (LocalRelation / LogicalRDD in Spark 4 classic) AND the
+    schema carries the ``bloom_build_local`` metadata tag — so an
+    arbitrary caller-side LogicalRDD (potentially large or recomputable)
+    never skips the bounded driver materialization. Conservative on
+    Spark Connect (no py4j): returns False, so the probe materializes."""
+    if not any(f.metadata.get(_LOCAL_TAG) for f in df.schema.fields):
+        return False
     try:
         name = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
     except Exception:
         return False
     return name in ("LocalRelation", "LogicalRDD")
+
+
+def _tagged_schema(schema):
+    """The bitmap schema with the bloom_build_local tag on ``bucket``."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [
+            StructField(
+                f.name,
+                f.dataType,
+                f.nullable,
+                {**f.metadata, _LOCAL_TAG: True},
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def bloom_build_local(
@@ -86,7 +115,9 @@ def bloom_build_local(
     unpersist (the r10 cache-leak fix is preserved)."""
     spark = keys.sparkSession
     bitmap = bloom_build(keys, key_col, num_bits, num_hashes)
-    return spark.createDataFrame(bitmap.collect(), schema=bitmap.schema)
+    return spark.createDataFrame(
+        bitmap.collect(), schema=_tagged_schema(bitmap.schema)
+    )
 
 
 def bloom_probe(
@@ -116,12 +147,24 @@ def bloom_probe(
     runtime bloom-filter pruning uses. Note this makes bloom_probe
     EAGER: the build side's scan + aggregation run at call time —
     ONCE PER PROBE CALL. To amortize across probes, build with
-    :func:`bloom_build_local` and pass the result here: an
-    already-local bitmap is reused as-is (detected from the plan), no
-    re-collect, no re-build."""
+    :func:`bloom_build_local` and pass the result here: its bitmaps are
+    reused as-is (recognized by plan root + schema tag — never an
+    arbitrary caller LogicalRDD, r12 ADVICE), no re-collect, no
+    re-build. Any other bitmap is collected here, with the collect
+    bound-checked against ``num_bits/64`` so a mis-sized relation fails
+    loudly instead of flooding the driver."""
     spark = df.sparkSession
-    if not _is_local_relation(bitmap):
-        bitmap = spark.createDataFrame(bitmap.collect(), schema=bitmap.schema)
+    if not _is_local_bitmap(bitmap):
+        rows = bitmap.collect()
+        max_rows = (num_bits + 63) // 64
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"bloom_probe: bitmap has {len(rows)} rows but a "
+                f"{num_bits}-bit filter holds at most {max_rows} buckets "
+                "— not a bitmap from bloom_build(num_bits=...) with these "
+                "parameters"
+            )
+        bitmap = spark.createDataFrame(rows, schema=bitmap.schema)
     out = df
     for i, pos in enumerate(_positions(F.col(key_col), num_bits, num_hashes)):
         b = bitmap.select(

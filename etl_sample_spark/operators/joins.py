@@ -41,42 +41,60 @@ def asof_join(
     """
     carried = [f"{c}{suffix}" for c in value_cols]
 
+    # The carried columns travel as ONE struct, not per-column: per-column
+    # last(ignorenulls=True) could assemble an output mixing values from
+    # DIFFERENT right rows when the tie-winning row has a null in some
+    # carried column (the null is skipped for that column only — r12
+    # ADVICE). The struct is non-null for every right row (even when all
+    # its fields are null) and null for left rows, so one
+    # last(ignorenulls) picks the winning right row ATOMICALLY.
+    vals_t = right.select(
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals")
+    ).schema["__vals"].dataType
+
     lhs = left.select(
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__left_row"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(cc) for c, cc in zip(value_cols, carried)],
+        F.lit(None).cast(vals_t).alias("__vals"),
     )
     rhs = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(lhs.schema["__left_row"].dataType).alias("__left_row"),
-        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vals"),
     )
 
     # Right rows sort before left rows at the same timestamp so an exact-ts
     # match is visible to the left row (inclusive as-of). Among RIGHT rows
-    # sharing (key, ts) the carried tuple itself is the final tie-break
-    # (ascending, nulls first → ``last`` picks the lexicographically
-    # GREATEST tuple): without it the pick is partition-order-dependent —
+    # sharing (key, ts) the carried struct itself is the final tie-break
+    # (Spark orders structs field-by-field, nulls first under asc →
+    # ``last`` picks the greatest tuple, field-lexicographically, null
+    # fields lowest): without it the pick is partition-order-dependent —
     # the same silent nondeterminism class as the r11 cdc_apply seq-tie
     # finding (r12 review). Order among LEFT ties is irrelevant: their
-    # carried columns are all-null and ignorenulls skips them.
+    # __vals struct is null and ignorenulls skips them.
     w = (
         Window.partitionBy("__key")
         .orderBy(
             F.col("__ts").asc(),
             F.col("__is_left").asc(),
-            *[F.col(cc).asc_nulls_first() for cc in carried],
+            F.col("__vals").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lhs.unionByName(rhs).select(
         "__is_left",
         "__left_row",
-        *[F.last(cc, ignorenulls=True).over(w).alias(cc) for cc in carried],
+        F.last("__vals", ignorenulls=True).over(w).alias("__vals"),
     )
-    out = merged.where(F.col("__is_left") == 1).select("__left_row.*", *carried)
+    out = merged.where(F.col("__is_left") == 1).select(
+        "__left_row.*",
+        *[
+            F.col("__vals").getField(c).alias(cc)
+            for c, cc in zip(value_cols, carried)
+        ],
+    )
     return out

@@ -55,7 +55,10 @@ def salted_join(
     but rows that are BYTE-IDENTICAL duplicates hash to ONE salt and
     re-degenerate to a single reducer — if your fact table can hold
     byte-identical duplicate rows, you must pass ``salt_from`` (or
-    dedup/add a key first).
+    dedup/add a key first). Because that degradation is silent in the
+    output (the join is still correct, just unspread), the fallback
+    emits a ``UserWarning`` (r12 ADVICE) so the caller is told to name
+    salt columns instead of discovering one straggler reducer at 100 TB.
 
     Use when a key's row count exceeds what one task should own
     (~shuffle-partition-size / row-width). For dims that fit in memory,
@@ -77,6 +80,17 @@ def salted_join(
     if salt_from:
         hash_cols = [F.col(c) if isinstance(c, str) else c for c in salt_from]
     else:
+        import warnings
+
+        warnings.warn(
+            "salted_join: no salt_from given — salting on the whole-row "
+            "hash. Byte-identical duplicate rows of a hot key all land on "
+            "one salt, silently degrading the skew mitigation to a plain "
+            "join with replication overhead. Pass salt_from= columns that "
+            "vary within a hot key (a line number, an event id).",
+            UserWarning,
+            stacklevel=2,
+        )
         hash_cols = [F.col(c) for c in big.columns]
     salt = F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
     salted_big = big.withColumn("_salt", salt)

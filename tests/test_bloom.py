@@ -125,7 +125,7 @@ def test_build_local_amortizes_across_probes(spark):
     from pyspark.sql import functions as F
 
     from etl_sample_spark.operators.bloom import (
-        _is_local_relation,
+        _is_local_bitmap,
         bloom_build,
         bloom_build_local,
         bloom_probe,
@@ -135,8 +135,8 @@ def test_build_local_amortizes_across_probes(spark):
     probe = spark.range(1000).select(F.col("id").alias("k"))
     lazy = bloom_build(keys, "k", 1 << 12)
     local = bloom_build_local(keys, "k", 1 << 12)
-    assert not _is_local_relation(lazy)
-    assert _is_local_relation(local)
+    assert not _is_local_bitmap(lazy)
+    assert _is_local_bitmap(local)
     got_lazy = sorted(r["k"] for r in bloom_probe(probe, "k", lazy, 1 << 12).collect())
     got_local = sorted(r["k"] for r in bloom_probe(probe, "k", local, 1 << 12).collect())
     assert got_lazy == got_local
@@ -144,3 +144,41 @@ def test_build_local_amortizes_across_probes(spark):
     # the reuse path must not fall back to collect(): poison it
     local.collect = lambda *a, **kw: (_ for _ in ()).throw(AssertionError("re-collected"))
     assert bloom_probe(probe, "k", local, 1 << 12).count() == len(got_local)
+
+
+def test_probe_fast_path_requires_build_local_tag(spark):
+    """Only bloom_build_local's bitmaps skip the driver materialization.
+    A caller-side createDataFrame relation has the same LogicalRDD plan
+    root but no tag — treating it as already-local would re-evaluate the
+    caller's (potentially large/recomputable) sub-plan once per hash
+    position (r12 ADVICE). And a mis-sized 'bitmap' must fail the
+    num_bits/64 bound loudly instead of flooding the driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark.operators.bloom import (
+        _is_local_bitmap,
+        bloom_build,
+        bloom_build_local,
+        bloom_probe,
+    )
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    probe = spark.range(1000).select(F.col("id").alias("k"))
+    bm = bloom_build(keys, "k", 1 << 12)
+    # same plan-root shape as bloom_build_local's output, but caller-made
+    untagged = spark.createDataFrame(bm.collect(), schema=bm.schema)
+    assert not _is_local_bitmap(untagged)
+    # untagged bitmaps still WORK — through the bounded-collect path
+    got = bloom_probe(probe, "k", untagged, 1 << 12)
+    want = bloom_probe(probe, "k", bloom_build_local(keys, "k", 1 << 12), 1 << 12)
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    # a relation larger than num_bits/64 buckets is not a bitmap for
+    # these parameters: fail fast, never createDataFrame it
+    not_a_bitmap = spark.range(200).select(
+        F.col("id").alias("bucket"), F.lit(1).cast("bigint").alias("bits")
+    )
+    with pytest.raises(ValueError, match="at most"):
+        bloom_probe(probe, "k", not_a_bitmap, 1 << 12)  # 4096/64 = 64 rows max

@@ -394,3 +394,18 @@ def test_ansi_safe_rewrites_indexes_but_not_string_literals():
     assert _ansi_safe("c = 'it''s [0]'") == "c = 'it''s [0]'"
     # untouched expressions come back verbatim
     assert _ansi_safe("concat(a, 'b')") == "concat(a, 'b')"
+    # r12 ADVICE: the other literal forms Spark's default parser accepts.
+    # Double-quoted string (default) / quoted identifier (ANSI config) —
+    # untouchable either way:
+    assert _ansi_safe('c rlike "x[0]" AND arr[2]') == (
+        'c rlike "x[0]" AND try_element_at(arr, 3)'
+    )
+    # backslash-escaped quote keeps the literal open past the \'
+    assert _ansi_safe(r"c = 'a\'b [0]' AND arr[0]") == (
+        r"c = 'a\'b [0]' AND try_element_at(arr, 1)"
+    )
+    assert _ansi_safe(r'c = "a\"b [0]"') == r'c = "a\"b [0]"'
+    # backtick-quoted identifier: a column literally NAMED x[0] must not
+    # become try_element_at (`` is the escaped backtick)
+    assert _ansi_safe("`x[0]` = arr[1]") == "`x[0]` = try_element_at(arr, 2)"
+    assert _ansi_safe("`we``ird[0]` IS NULL") == "`we``ird[0]` IS NULL"

@@ -1604,3 +1604,29 @@ def test_asof_join_right_ts_ties_are_deterministic(spark):
         got = asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
         assert len(got) == 1
         assert got[0]["v_asof"] == "c", (nparts, got)
+
+
+def test_asof_join_tied_right_row_is_picked_atomically(spark):
+    """Multiple value_cols + a tie on (key, rts) where the winning row
+    holds a NULL in one carried column: per-column last(ignorenulls)
+    would skip that null and fill the column from the LOSING row —
+    an output row that never existed on the right (r12 ADVICE). The
+    struct carry must keep the winning row's columns together, null
+    included, under any input partitioning."""
+    from pyspark.sql import Row
+
+    from etl_sample_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([Row(k=1, lts=10, tag="L")])
+    # greatest tuple = (9, None, ...) — a=9 wins the first-field compare,
+    # its b is null; the losing row has b="mix" ready to bleed in.
+    rows = [Row(k=1, rts=5, a=3, b="mix"), Row(k=1, rts=5, a=9, b=None)]
+    for nparts in (1, 2):
+        right = spark.createDataFrame(rows).repartition(nparts)
+        got = asof_join(left, right, "k", "lts", "rts", ["a", "b"]).collect()
+        assert len(got) == 1
+        assert (got[0]["a_asof"], got[0]["b_asof"]) == (9, None), (nparts, got)
+    # and a left row with NO prior right row still gets all-null carries
+    early = spark.createDataFrame([Row(k=1, lts=1, tag="E")])
+    got = asof_join(early, spark.createDataFrame(rows), "k", "lts", "rts", ["a", "b"]).collect()
+    assert (got[0]["a_asof"], got[0]["b_asof"]) == (None, None)

@@ -207,9 +207,23 @@ def test_salted_join_salt_is_deterministic(spark):
     dup = big.drop("ln").union(big.drop("ln"))  # byte-identical duplicates
     small = spark.createDataFrame([Row(sk=1, tag="a"), Row(sk=2, tag="b")])
 
+    # The whole-row fallback degrades SILENTLY on byte-identical
+    # duplicates (all copies of a hot key land on one salt), so the
+    # fallback must warn and the explicit salt_from path must not
+    # (r12 ADVICE).
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        explicit = salted_join(
+            big, small, "k", "sk", n_salts=4, salt_from=["k", "ln"]
+        )
+    with pytest.warns(UserWarning, match="whole-row"):
+        fallback = salted_join(dup, small, "k", "sk", n_salts=4)
+
     for joined, want in (
-        (salted_join(big, small, "k", "sk", n_salts=4, salt_from=["k", "ln"]), 23),
-        (salted_join(dup, small, "k", "sk", n_salts=4), 46),  # whole-row fallback
+        (explicit, 23),
+        (fallback, 46),  # whole-row fallback
     ):
         plan = joined._jdf.queryExecution().analyzed().toString()
         assert "monotonically_increasing_id" not in plan
