@@ -6,14 +6,26 @@ cdc_apply seq-tie, the r12 as-of right-timestamp tie) — is mechanical
 to detect: run every registry query under two DELIBERATELY different
 physical layouts and require bit-identical normalized output.
 
-Layout A (the tests' shape): 32 shuffle partitions, default scan
-splits. Layout B (adversarial): 7 shuffle partitions, 64 KB scan
-splits (many tiny input partitions → different row arrival order into
-every sort/aggregate/window), and a different default parallelism.
+Two layout levers, both needed (r13 negative control: a deliberately
+planted row_number-over-ties bug SURVIVED partition-count variation
+alone — local-mode shuffles fetch map outputs in reproducible order
+and the small test parquet is one row group, unsplittable by
+maxPartitionBytes, so counts alone never vary row ARRIVAL order):
+
+1. Physical confs: 32 vs 7 shuffle partitions, 128 MB vs 64 KB scan
+   splits, different default parallelism.
+2. A seeded SCAN SCRAMBLE, injected by monkeypatching catalog.table
+   (every registry query routes through it via each module's ``_t``):
+   each scan is dealt across partitions and reordered within them by
+   xxhash64(seed, *row) — deterministic given the seed, different
+   between layouts — the local-mode stand-in for cross-executor fetch
+   races and retry re-deals.
+
 Anything partition-order-dependent — a window ordering that is not a
 TOTAL order on ties, an unsorted collect_list surfaced to output, a
 first()/last() over an under-specified frame, a nondeterministic join
-key — shows up as a value diff.
+key — shows up as a value diff. The planted bug above IS caught under
+the scramble (verified before trusting a green sweep).
 
 Float caveat handled head-on, not waved off: double SUM/AVG across
 partitions is legitimately order-dependent in the last ulps, so a
@@ -28,7 +40,13 @@ non-float must match EXACTLY.
 Usage:
     python tools/determinism_sweep.py                  # all, sf0.001
     python tools/determinism_sweep.py name1 name2 ...  # subset
+    python tools/determinism_sweep.py --selftest       # harness soundness
     SWEEP_SF_DIR=/root/testdata/sf0.01 python tools/determinism_sweep.py
+
+--selftest proves the harness is not vacuously green: a planted
+row_number-over-ties bug must DIFF between layouts and its
+totally-ordered twin must not. Run it whenever the layout levers
+change.
 """
 
 from __future__ import annotations
@@ -94,28 +112,107 @@ def _diff(rows_a, rows_b) -> str | None:
     return None
 
 
+def _install_scramble(seed: int) -> None:
+    """Monkeypatch catalog.table so every scan arrives deterministically
+    scrambled by `seed`: dealt over 5 partitions and sorted within them
+    by a seeded whole-row hash. Different seeds → genuinely different
+    row orders into every downstream sort/window/aggregate."""
+    from pyspark.sql import functions as F
+
+    from etl_sample_spark import catalog
+
+    base = getattr(catalog, "_sweep_base_table", None) or catalog.table
+    catalog._sweep_base_table = base
+
+    def scrambled(spark, sf_dir, name):
+        df = base(spark, sf_dir, name)
+        h = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+        return df.repartition(5, F.pmod(h, F.lit(64))).sortWithinPartitions(
+            F.pmod(h, F.lit(997))
+        )
+
+    catalog.table = scrambled
+
+
+def _selftest() -> int:
+    """Planted-bug control: the harness must flag a window whose ordering
+    is not total on ties, and must NOT flag its totally-ordered twin."""
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    def planted(spark, sf_dir):
+        from etl_sample_spark import catalog
+
+        ev = catalog.table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("event_type")  # all ties
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("event_type", "event_id")
+        )
+
+    def sound(spark, sf_dir):
+        from etl_sample_spark import catalog
+
+        ev = catalog.table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy("event_type", "event_id")
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("event_type", "event_id")
+        )
+
+    res = {}
+    for tag, seed, sp in (("A", 11, "32"), ("B", 977, "7")):
+        _install_scramble(seed)
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName(f"sweep-selftest-{tag}")
+            .config("spark.sql.shuffle.partitions", sp)
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        res[tag] = (_rows(planted(spark, SF_DIR)), _rows(sound(spark, SF_DIR)))
+        spark.stop()
+    d_bug = _diff(res["A"][0][1], res["B"][0][1])
+    d_ok = _diff(res["A"][1][1], res["B"][1][1])
+    print("planted tie bug:", f"DETECTED ({d_bug})" if d_bug else "NOT DETECTED")
+    print("totally-ordered twin:", f"FALSE POSITIVE ({d_ok})" if d_ok else "clean")
+    return 0 if (d_bug and not d_ok) else 1
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
     from etl_sample_spark.plans import REGISTRY
 
+    if "--selftest" in sys.argv:
+        return _selftest()
+
     names = [n for n in sorted(REGISTRY) if not ONLY or n in ONLY]
 
     layouts = {
-        "A": {
-            "spark.sql.shuffle.partitions": "32",
-            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-            "spark.default.parallelism": "32",
-        },
-        "B": {
-            "spark.sql.shuffle.partitions": "7",
-            "spark.sql.files.maxPartitionBytes": str(64 * 1024),
-            "spark.default.parallelism": "5",
-        },
+        "A": (
+            11,
+            {
+                "spark.sql.shuffle.partitions": "32",
+                "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+                "spark.default.parallelism": "32",
+            },
+        ),
+        "B": (
+            977,
+            {
+                "spark.sql.shuffle.partitions": "7",
+                "spark.sql.files.maxPartitionBytes": str(64 * 1024),
+                "spark.default.parallelism": "5",
+            },
+        ),
     }
 
     results: dict[str, dict[str, tuple]] = {}
-    for tag, confs in layouts.items():
+    for tag, (seed, confs) in layouts.items():
+        _install_scramble(seed)
         builder = (
             SparkSession.builder.master("local[8]")
             .appName(f"determinism-sweep-{tag}")
