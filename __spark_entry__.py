@@ -81,18 +81,27 @@ _FRONT_PINS = [
     "multimodal_jpeg_color_decode",
     "multimodal_gif_decode",
     "multimodal_resize_stats",
+    # r13 JPEG decoder swap-in (extends the PNG demonstration to the
+    # worst documented multimodal constant): _decode_jpeg now dispatches
+    # to a numpy twin (LUT Huffman + exact-order vectorized IDCT,
+    # bit-identical, test-pinned). The MJPEG framesample query reaches
+    # _decode_jpeg via the AVI path; the jpeg/resize queries above were
+    # already pinned.
+    "multimodal_mjpeg_framesample",
 ]
 # r12's 23 pins all landed green rows in CORRECTNESS_r12.json (verified
 # by recomputation this round) — cleared for rotation. Window math at
 # this HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
 # latest driver rows are 26×r7 / 39×r8 / 34×r9 / 44×r10 / 45×r11 /
 # 50×r12 (+ the demoted, unregistered stratified_sample_by_lang on r5).
-# With the 4 pins above (all sitting on r12 rows), the 46 rotation
-# slots retire ALL 26 r7 rows plus the 20 stalest r8 rows: the oldest
-# row left OUTSIDE the r13 window is r8 — meeting r12 VERDICT item 3's
-# "oldest ≥ r8". tools/update_pin_manifest.py enforces that every
-# further r13 code change either lands here or leaves its queries'
-# fingerprints alone.
+# With the 11 pins above (4 mechanical re-pins on r12 rows + 7
+# decoder-swap pins, of which 4 themselves sit on r7 rows), the 39
+# rotation slots retire the remaining 22 r7 rows plus the 17 stalest
+# r8 rows. Recomputed window mix: 26×r7 + 17×r8 + 1×r10 + 1×r11 +
+# 5×r12; ALL 26 r7 rows are inside and the oldest row left OUTSIDE
+# the r13 window is r8 — meeting r12 VERDICT item 3's "oldest ≥ r8".
+# tools/update_pin_manifest.py enforces that every further r13 code
+# change either lands here or leaves its queries' fingerprints alone.
 
 
 def _last_checked_rounds() -> dict[str, int]:

@@ -532,7 +532,7 @@ _DC_BITS = bytes.fromhex("00010501010101010100000000000000")
 _DC_VALS = bytes(range(12))
 _AC_BITS = bytes.fromhex("0002010303020403050504040000017D")
 _AC_VALS = bytes.fromhex(
-    "010203000411051221314106135161072271143281914108"
+    "01020300041105122131410613516107227114328191A108"
     "2342B1C11552D1F02433627282090A161718191A25262728"
     "292A3435363738393A434445464748494A53545556575859"
     "5A636465666768696A737475767778797A83848586878889"
@@ -789,7 +789,7 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[int]]:
+def _decode_jpeg_pure(data: bytes) -> tuple[int, int, int, list[int]]:
     """Baseline sequential JFIF decoder, pure Python: marker walk, DQT,
     SOF0, DHT (canonical Huffman), SOS, entropy decode with DC prediction
     + run-length AC, dequant, dezigzag, separable float IDCT, level shift
@@ -927,6 +927,316 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[int]]:
     if width is None or not samples:
         raise ValueError("JPEG missing SOF/SOS")
     return width, height, ncomp, samples
+
+
+def _huff_lut16(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
+    """Canonical Huffman → 16-bit-peek lookup tables: ``lut_sym[p]`` /
+    ``lut_len[p]`` give the decoded symbol and its code length for any
+    16-bit window ``p`` whose prefix is a valid code (``lut_len`` 0 marks
+    an invalid prefix). Built once per distinct (bits, vals) pair and
+    memoized module-wide — the Annex K tables repeat across every image a
+    worker decodes."""
+    key = (bits, vals)
+    cached = _HUFF_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    lut_sym = [0] * 65536
+    lut_len = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lut_sym[start : start + span] = [vals[k]] * span
+            lut_len[start : start + span] = [length] * span
+            code += 1
+            k += 1
+        code <<= 1
+    _HUFF_LUT_CACHE[key] = (lut_sym, lut_len)
+    return lut_sym, lut_len
+
+
+_HUFF_LUT_CACHE: dict[tuple[bytes, bytes], tuple[list[int], list[int]]] = {}
+
+
+def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Accelerated twin of :func:`_decode_jpeg_pure` — same signature,
+    bit-identical output (pinned sample-for-sample in tests over all five
+    stages: entropy decode is exact integer work, and every float stage
+    replays the pure path's operation order term-by-term, so IEEE-754
+    doubles round identically and the final ``floor(v + 0.5)`` can never
+    flip).
+
+    This extends the r12 VERDICT item-5 swap-in demonstration from PNG to
+    the WORST documented multimodal constant (pure-Python color JPEG,
+    ~0.02 MB/s/core — SCALE.md). Same container reality as PNG: no native
+    codec importable, so the swap-in is numpy (C-speed kernels in the
+    exact in-process position libjpeg would occupy; the Pillow hook below
+    is wired for environments that have it). What changes vs pure:
+
+    - Huffman entropy decode stays a Python loop (a bitstream is a true
+      serial dependency) but reads via a byte-wise accumulator + 16-bit
+      LUT (:func:`_huff_lut16`) instead of bit-by-bit dict probes —
+      ~16 dict lookups per symbol become one list index;
+    - dequantize / dezigzag / IDCT / level-shift / plane assembly /
+      YCbCr→RGB all vectorize over every block at once. The IDCT
+      accumulates its 8 butterfly terms in the pure path's left-to-right
+      order (``tmp += c[u]·coef·cos`` from a zero start replays
+      ``sum(...)``), which is what makes the twin exact rather than
+      merely close.
+
+    Restart-marker streams (DRI ≠ 0) delegate to the pure decoder: no
+    in-repo producer emits them (``encode_jpeg`` never writes DRI), so
+    the fast path keeps zero untestable branches.
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff_raw: dict[tuple[int, int], tuple[bytes, bytes]] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = bytes(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                huff_raw[(tc, th)] = (bits, bytes(body[off + 17 : off + 17 + nvals]))
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            for ci in range(nc):
+                cid, sampling, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampled chroma unsupported")
+                comps.append((cid, sampling, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(f"non-baseline JPEG (SOF 0x{marker:02X}) unsupported")
+        elif marker == 0xDD:  # DRI — restart streams keep the pure path
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+            if restart_interval:
+                return _decode_jpeg_pure(data)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan: list[tuple[int, list[int], list[int], list[int], list[int]]] = []
+            for si in range(ns):
+                cid, tda = body[1 + si * 2 : 3 + si * 2]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                dc_sym, dc_len = _huff_lut16(*huff_raw[(0, tda >> 4)])
+                ac_sym, ac_len = _huff_lut16(*huff_raw[(1, tda & 15)])
+                scan.append((idx, dc_sym, dc_len, ac_sym, ac_len))
+            ncomp = len(comps)
+            pw, ph = (width + 7) & ~7, (height + 7) & ~7
+            n_mcus = (ph // 8) * (pw // 8)
+
+            # --- stage 1: entropy decode (serial) → raw coefficients,
+            # zigzag order, pre-dequant (exact ints) ---------------------
+            entropy = data[pos + 2 + seglen :]
+            clean = bytearray()
+            i = 0
+            nraw = len(entropy)
+            while True:
+                j = entropy.find(b"\xff", i)
+                if j == -1:
+                    clean += entropy[i:]
+                    break
+                clean += entropy[i:j]
+                nxt = entropy[j + 1] if j + 1 < nraw else 0xD9
+                if nxt == 0x00:
+                    clean.append(0xFF)  # unstuff
+                    i = j + 2
+                else:
+                    break  # real marker (EOI) ends the entropy stream
+            nclean = len(clean)
+            coef_flat = [0] * (n_mcus * ncomp * 64)
+            preds = [0] * ncomp
+            acc = 0
+            nbits = 0
+            bpos = 0  # bytes loaded into acc (may run past nclean: 0xFF pad)
+            base = 0
+            for _mcu in range(n_mcus):
+                for idx, dc_sym, dc_len, ac_sym, ac_len in scan:
+                    while nbits < 16:
+                        acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                            clean[bpos] if bpos < nclean else 0xFF
+                        )
+                        bpos += 1
+                        nbits += 8
+                    p16 = (acc >> (nbits - 16)) & 0xFFFF
+                    s = dc_sym[p16]
+                    ln = dc_len[p16]
+                    if ln == 0:
+                        raise ValueError("invalid Huffman code in JPEG stream")
+                    nbits -= ln
+                    if s:
+                        while nbits < s:
+                            acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                                clean[bpos] if bpos < nclean else 0xFF
+                            )
+                            bpos += 1
+                            nbits += 8
+                        v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                        nbits -= s
+                        preds[idx] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    coef_flat[base] = preds[idx]
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:
+                            acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                                clean[bpos] if bpos < nclean else 0xFF
+                            )
+                            bpos += 1
+                            nbits += 8
+                        p16 = (acc >> (nbits - 16)) & 0xFFFF
+                        rs = ac_sym[p16]
+                        ln = ac_len[p16]
+                        if ln == 0:
+                            raise ValueError("invalid Huffman code in JPEG stream")
+                        nbits -= ln
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run exceeds block bounds")
+                        while nbits < size:
+                            acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                                clean[bpos] if bpos < nclean else 0xFF
+                            )
+                            bpos += 1
+                            nbits += 8
+                        v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                        nbits -= size
+                        coef_flat[base + k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        k += 1
+                    base += 64
+            if 8 * bpos - nbits > 8 * nclean:
+                raise ValueError("JPEG entropy stream truncated")
+
+            # --- stage 2: dequant + dezigzag (exact int), vectorized ----
+            zz = np.array(coef_flat, dtype=np.int64).reshape(n_mcus, ncomp, 64)
+            qt = np.array(
+                [qtables[comps[c][2]] for c in range(ncomp)], dtype=np.int64
+            )  # zigzag order, as stored in DQT
+            zz *= qt  # exact: both int64
+            nat = np.zeros_like(zz)
+            nat[..., list(_ZIGZAG)] = zz
+
+            # --- stage 3: IDCT, replaying the pure path's float op order
+            # (term-by-term accumulation from zero == Python sum()) ------
+            import math
+
+            cos = np.array(_cos_table())  # cos[x][u]
+            c_norm = [1 / math.sqrt(2)] + [1.0] * 7
+            blocks = nat.astype(np.float64).reshape(n_mcus, ncomp, 8, 8)  # [v][u]
+            tmp = np.zeros((n_mcus, ncomp, 8, 8))  # [v][x]
+            for u in range(8):
+                tmp += (c_norm[u] * blocks[..., :, u])[..., :, None] * cos[:, u]
+            tmp /= 2
+            out = np.zeros((n_mcus, ncomp, 8, 8))  # [y][x]
+            for v in range(8):
+                out += (c_norm[v] * tmp[..., v, :])[..., None, :] * cos[:, v][:, None]
+            out /= 2
+
+            # --- stage 4: level shift + clamp + plane assembly ----------
+            px = np.clip(np.floor((out + 128) + 0.5), 0, 255)
+            planes = (
+                px.reshape(ph // 8, pw // 8, ncomp, 8, 8)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(ncomp, ph, pw)[:, :height, :width]
+            )
+
+            # --- stage 5: colorspace convert + interleave ---------------
+            if ncomp == 1:
+                samples_arr = planes[0]
+            else:
+                yv, cb, cr = planes[0], planes[1], planes[2]
+                r_ = np.floor((yv + 1.402 * (cr - 128)) + 0.5)
+                g_ = np.floor((yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5)
+                b_ = np.floor((yv + 1.772 * (cb - 128)) + 0.5)
+                samples_arr = np.clip(np.stack([r_, g_, b_], axis=-1), 0, 255)
+            return width, height, ncomp, samples_arr.astype(np.int64).ravel().tolist()
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF/SOS")
+
+
+def _decode_jpeg_pil(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Native-decoder twin via Pillow (absent in THIS container — verified
+    r13: no PIL/cv2/scipy/imageio importable; the equivalence test
+    self-skips). Unlike PNG, JPEG decoders are NOT bit-identical across
+    implementations: ITU T.81 does not mandate an exact IDCT (T.83 only
+    bounds its error), and libjpeg uses integer IDCT approximations — so
+    the PIL twin is pinned to a per-sample tolerance, not byte equality."""
+    import io
+
+    from PIL import Image  # noqa: F401 — optional, absent in-container
+
+    im = Image.open(io.BytesIO(data))
+    im.load()
+    if im.mode not in ("L", "RGB"):
+        raise NotImplementedError(f"PIL twin supports L/RGB, got {im.mode}")
+    ncomp = 1 if im.mode == "L" else 3
+    return im.width, im.height, ncomp, list(im.tobytes())
+
+
+# Decoder registry for the JPEG payload path — same contract as
+# _PNG_RAW_IMPLS: "auto" (default) takes the numpy twin (bit-identical,
+# test-pinned) when numpy imports, else pure; SPARK_GRAFT_JPEG_DECODER
+# selects explicitly ("pil" opts into Pillow where installed — tolerance
+# semantics, see _decode_jpeg_pil).
+_JPEG_IMPLS = {
+    "pure": _decode_jpeg_pure,
+    "numpy": _decode_jpeg_numpy,
+    "pil": _decode_jpeg_pil,
+}
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[int]]:
+    import os
+
+    choice = os.environ.get("SPARK_GRAFT_JPEG_DECODER", "auto")
+    if choice == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            choice = "numpy"
+        except ImportError:
+            choice = "pure"
+    try:
+        impl = _JPEG_IMPLS[choice]
+    except KeyError:
+        raise ValueError(
+            f"SPARK_GRAFT_JPEG_DECODER={choice!r}: expected one of "
+            f"{sorted(_JPEG_IMPLS)} or 'auto'"
+        ) from None
+    return impl(data)
 
 
 def attach_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -420,6 +420,115 @@ def test_png_decoder_pil_twin_matches_if_available():
         assert mm._png_raw_pil(payload) == mm._png_raw(payload)
 
 
+def test_jpeg_huffman_tables_are_exactly_annex_k():
+    """Regression pin for an r13 self-found conformance bug: _AC_VALS
+    carried a duplicate 0x41 at position 22 where ITU T.81 Annex K.3.2
+    has 0xA1 (run 10, size 1). The duplicate was internally round-trip
+    consistent (encoder and decoder shared the same wrong table) but (a)
+    any block needing a run-10/size-1 AC symbol crashed the encoder with
+    KeyError, and (b) emitted streams were not standard-decodable at that
+    code point. Pin the exact Annex K symbol sets so a table typo can
+    never be self-consistent again."""
+    from collections import Counter
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    assert sum(mm._DC_BITS) == len(mm._DC_VALS) == 12
+    assert list(mm._DC_VALS) == list(range(12))
+
+    assert sum(mm._AC_BITS) == len(mm._AC_VALS) == 162
+    dups = [s for s, n in Counter(mm._AC_VALS).items() if n > 1]
+    assert not dups, f"duplicated AC symbols: {[hex(s) for s in dups]}"
+    expect = set(range(0x01, 0x0B)) | {0x00, 0xF0}  # sizes 1-10, EOB, ZRL
+    for run in range(1, 16):
+        expect |= {(run << 4) | size for size in range(1, 11)}
+    assert set(mm._AC_VALS) == expect
+
+    # the symbol that used to crash: run-10/size-1 is now encodable
+    assert 0xA1 in mm._huff_codes(mm._AC_BITS, mm._AC_VALS)
+
+
+def test_jpeg_decoder_twins_bit_identical_and_env_selectable(monkeypatch):
+    """r13 extension of the VERDICT item-5 swap-in to the WORST documented
+    multimodal constant (pure-Python color JPEG). _decode_jpeg dispatches
+    between the pure oracle twin and the numpy twin (LUT-driven Huffman +
+    exact-op-order vectorized dequant/IDCT/color). Unlike native
+    decoders, the numpy twin IS bit-identical — every float stage replays
+    the pure path's IEEE-754 operation order — and this pins it
+    sample-for-sample across: gray + color, non-multiple-of-8 dims
+    (edge-padding trim), noisy blocks (dense AC, ZRL runs), gradients
+    (DC-prediction chains), constant blocks (DC-only / immediate EOB),
+    and a coarse quant table (different EOB structure)."""
+    import random
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    fixtures = []
+    fixtures.append(mm.encode_jpeg(13, 9, lambda x, y: rng.randrange(256), gray=True))
+    fixtures.append(mm.encode_jpeg(32, 24, lambda x, y: (x * 7 + y * 3) % 256, gray=True))
+    fixtures.append(mm.encode_jpeg(16, 16, lambda x, y: 123, gray=True))
+    fixtures.append(
+        mm.encode_jpeg(
+            17,
+            11,
+            lambda x, y: (rng.randrange(256), rng.randrange(256), rng.randrange(256)),
+            gray=False,
+        )
+    )
+    fixtures.append(
+        mm.encode_jpeg(
+            24,
+            16,
+            lambda x, y: ((x * 11) % 256, (y * 13) % 256, (x * y) % 256),
+            gray=False,
+            qtable=[16, 11, 10, 16, 24, 40, 51, 61] * 8,
+        )
+    )
+
+    for payload in fixtures:
+        pure = mm._decode_jpeg_pure(payload)
+        fast = mm._decode_jpeg_numpy(payload)
+        assert fast == pure  # (w, h, ncomp, samples) — sample-for-sample
+
+    payload = fixtures[3]
+    want = mm._decode_jpeg_pure(payload)
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "pure")
+    assert mm._decode_jpeg(payload) == want
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "numpy")
+    assert mm._decode_jpeg(payload) == want
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "libjpeg-turbo")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_JPEG_DECODER"):
+        mm._decode_jpeg(payload)
+
+
+def test_jpeg_decoder_pil_twin_within_tolerance_if_available():
+    """Pillow-backed JPEG twin — self-skips where Pillow is absent (this
+    container). JPEG decoders are NOT bit-identical across
+    implementations (ITU T.81 mandates no exact IDCT; T.83 only bounds
+    the error, and libjpeg uses integer IDCT approximations), so the
+    native twin pins shape exactly and samples to a small per-sample
+    tolerance on near-lossless payloads."""
+    pytest.importorskip("PIL")
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    for gray in (True, False):
+        payload = mm.encode_jpeg(
+            16,
+            13,
+            (lambda x, y: (x * 9 + y * 5) % 256)
+            if gray
+            else (lambda x, y: ((x * 9) % 256, (y * 5) % 256, (x + y) % 256)),
+            gray=gray,
+        )
+        w, h, nc, pure = mm._decode_jpeg_pure(payload)
+        pw, ph, pnc, pil = mm._decode_jpeg_pil(payload)
+        assert (pw, ph, pnc) == (w, h, nc)
+        assert len(pil) == len(pure)
+        assert max(abs(a - b) for a, b in zip(pure, pil)) <= 2
+
+
 def test_multimodal_features_fixed_dim(spark, sf_dir):
     docs = catalog.table(spark, sf_dir, "documents").limit(5)
     feats = extract_features(attach_fake_media(docs), fake=True).collect()
