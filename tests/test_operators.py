@@ -447,6 +447,51 @@ def test_jpeg_huffman_tables_are_exactly_annex_k():
     # the symbol that used to crash: run-10/size-1 is now encodable
     assert 0xA1 in mm._huff_codes(mm._AC_BITS, mm._AC_VALS)
 
+    # Annex K.3.1/.3.2 BITS arrays, transcribed independently
+    assert list(mm._DC_BITS) == [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    assert list(mm._AC_BITS) == [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+
+
+def test_standards_constant_tables_match_independent_derivations():
+    """The Annex-K bug class generalized: any constant table both the
+    encoder AND decoder share is invisible to every round-trip test and
+    every oracle — a typo is self-consistent. So each standards-derived
+    table gets an INDEPENDENT cross-check: derived algorithmically where
+    the standard defines a construction, or pinned against a second
+    transcription of the published table."""
+    from etl_sample_spark.operators import multimodal as mm
+
+    # JPEG zigzag (ITU T.81 Figure 5): derive from the diagonal walk —
+    # scan anti-diagonals d = x+y, alternating direction, emit natural
+    # (row-major) indices in zigzag order.
+    derived = []
+    for d in range(15):
+        rng = range(d + 1)
+        for i in (reversed(rng) if d % 2 == 0 else rng):
+            # i = row index y on this anti-diagonal (clipped to the 8x8)
+            y, x = i, d - i
+            if y < 8 and x < 8:
+                derived.append(y * 8 + x)
+    assert list(mm._ZIGZAG) == derived
+    assert sorted(mm._ZIGZAG) == list(range(64))
+
+    # IMA ADPCM step table (IMA reference algorithm, 89 entries) —
+    # second transcription of the published table.
+    ima_published = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    assert mm._IMA_STEPS == ima_published
+    assert len(mm._IMA_STEPS) == 89
+    assert all(b > a for a, b in zip(mm._IMA_STEPS, mm._IMA_STEPS[1:]))
+    assert mm._IMA_INDEX_ADJ == [-1, -1, -1, -1, 2, 4, 6, 8]
+
 
 def test_jpeg_decoder_twins_bit_identical_and_env_selectable(monkeypatch):
     """r13 extension of the VERDICT item-5 swap-in to the WORST documented
