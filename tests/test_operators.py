@@ -493,6 +493,72 @@ def test_standards_constant_tables_match_independent_derivations():
     assert mm._IMA_INDEX_ADJ == [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def test_unsupported_format_guards_raise_loudly():
+    """Every codec rejects formats it cannot decode with a loud
+    NotImplementedError instead of garbage output. Exercise each guard
+    with a real payload mutated into the unsupported shape — BOTH twins
+    where two implementations exist (a guard only one twin enforces is a
+    silent-divergence bug)."""
+    import struct
+    import zlib
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    # BMP: bpp patched 24 -> 8 (offset 28, little-endian u16)
+    bmp = bytearray(mm.encode_bmp(4, 3, lambda x, y: bytes((x, y, 7))))
+    bmp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="24-bit BMP"):
+        mm._decode_bmp(bytes(bmp))
+
+    # PNG: 16-bit depth (rebuilt via _png_chunk so the chunk CRCs stay
+    # coherent) — both twins must refuse identically
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    png16 = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(25)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    for impl in (mm._png_raw, mm._png_raw_numpy):
+        with pytest.raises(NotImplementedError, match="8-bit gray/truecolor"):
+            impl(png16)
+
+    # JPEG: four unsupported shapes, mutated from a valid gray fixture;
+    # pure and numpy twins must both refuse with the same class
+    base = mm.encode_jpeg(8, 8, lambda x, y: (x * y) % 256, gray=True)
+    dqt_off = base.find(b"\xff\xdb")
+    sof_off = base.find(b"\xff\xc0")
+    assert dqt_off > 0 and sof_off > 0
+
+    mutations = []
+    m = bytearray(base)
+    m[dqt_off + 4] |= 0x10  # pq=1: 16-bit quant table
+    mutations.append(("16-bit quant", bytes(m)))
+    m = bytearray(base)
+    m[sof_off + 4] = 12  # SOF precision
+    mutations.append(("8-bit precision", bytes(m)))
+    m = bytearray(base)
+    m[sof_off + 11] = 0x22  # component sampling factor (2x2 subsampling)
+    mutations.append(("subsampled chroma", bytes(m)))
+    m = bytearray(base)
+    m[sof_off + 1] = 0xC2  # progressive SOF2
+    mutations.append(("non-baseline", bytes(m)))
+
+    for pattern, payload in mutations:
+        for impl in (mm._decode_jpeg_pure, mm._decode_jpeg_numpy):
+            with pytest.raises(NotImplementedError, match=pattern):
+                impl(payload)
+
+    # GIF: interlace flag set on the image descriptor
+    gif = bytearray(mm.encode_gif(4, 3, lambda x, y: (x * 60 + y * 40) % 256))
+    gct = 3 * (2 << (gif[10] & 0x07)) if gif[10] & 0x80 else 0
+    desc = 13 + gct
+    assert gif[desc] == 0x2C, "image descriptor not at the expected offset"
+    gif[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced GIF"):
+        mm._decode_gif(bytes(gif))
+
+
 def test_jpeg_decoder_twins_bit_identical_and_env_selectable(monkeypatch):
     """r13 extension of the VERDICT item-5 swap-in to the WORST documented
     multimodal constant (pure-Python color JPEG). _decode_jpeg dispatches
