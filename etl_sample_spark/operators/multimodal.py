@@ -1182,7 +1182,10 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
                 g_ = np.floor((yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5)
                 b_ = np.floor((yv + 1.772 * (cb - 128)) + 0.5)
                 samples_arr = np.clip(np.stack([r_, g_, b_], axis=-1), 0, 255)
-            return width, height, ncomp, samples_arr.astype(np.int64).ravel().tolist()
+            samples = samples_arr.astype(np.int64).ravel().tolist()
+            if not samples:  # degenerate 0-pixel scan: match the pure twin
+                raise ValueError("JPEG missing SOF/SOS")
+            return width, height, ncomp, samples
         pos += 2 + seglen
     raise ValueError("JPEG missing SOF/SOS")
 

@@ -98,8 +98,40 @@ def _safe_source(obj) -> str:
         return f"<nosource:{mod}.{qn}>"
 
 
+def _contained_objects(val) -> list:
+    """Modules/callables held INSIDE container constants (depth-bounded).
+
+    r13 self-found enforcement hole: a dispatch registry like
+    ``_JPEG_IMPLS = {"numpy": _decode_jpeg_numpy, ...}`` is a dict
+    constant whose repr embeds function addresses, so the address guard
+    dropped it wholesale AND its values were never pushed on the walk
+    stack — an edit to a registry-dispatched twin left every reaching
+    query's fingerprint unchanged, which is exactly the helper-edit
+    class this module exists to catch. Containers now contribute their
+    contained callables/modules to the closure."""
+    out = []
+    stack = [(val, 0)]
+    while stack:
+        v, depth = stack.pop()
+        if depth > 4:
+            continue
+        if isinstance(v, dict):
+            stack.extend((x, depth + 1) for x in v.keys())
+            stack.extend((x, depth + 1) for x in v.values())
+        elif isinstance(v, (tuple, list, set, frozenset)):
+            stack.extend((x, depth + 1) for x in v)
+        elif inspect.ismodule(v) or callable(v):
+            out.append(v)
+    return out
+
+
 def query_fingerprint(spec) -> str:
     """sha256 over the sorted set of reachable-source parts + oracle."""
+    parts = _fingerprint_parts(spec)
+    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()
+
+
+def _fingerprint_parts(spec) -> set:
     parts: set[str] = {f"oracle::{spec.oracle}"}
     seen: set[tuple] = set()
     stack: list = [spec.spark]
@@ -143,20 +175,27 @@ def query_fingerprint(spec) -> str:
             if inspect.ismodule(val) or callable(val):
                 stack.append(val)
             elif isinstance(val, _SIMPLE):
+                # dispatch registries and other containers may hold
+                # callables — fingerprint those by SOURCE via the walk
+                # stack (r13: _JPEG_IMPLS/_PNG_RAW_IMPLS were invisible)
+                stack.extend(_contained_objects(val))
                 if isinstance(val, (set, frozenset)):
                     # set iteration order varies with hash randomization —
                     # canonicalize, or fingerprints flap run-to-run
                     r = "{" + ", ".join(sorted(repr(x) for x in val)) + "}"
                 else:
                     r = repr(val)
-                # guard: default-object reprs embed addresses ("<... at
-                # 0xABC>") that flap run-to-run; but a legitimate hex
-                # STRING constant ('0xff') must still dirty the
-                # fingerprint, so match the default-repr shape, not any
-                # '0x' substring (r8 ADVICE).
-                if not re.search(r"<.* at 0x[0-9a-f]+>", r):
-                    parts.add(f"const:{mod}.{name}::{r}")
-    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()
+                # default-object reprs embed addresses ("<... at 0xABC>")
+                # that flap run-to-run. SCRUB the address instead of
+                # dropping the whole constant (the pre-r13 drop also hid
+                # the container's structure — e.g. a registry key
+                # rename): "<function f at 0x7f..>" -> "<function f>".
+                # A legitimate hex STRING constant ('0xff') still
+                # dirties the fingerprint — the scrub matches only the
+                # default-repr shape, not any '0x' substring (r8 ADVICE).
+                r = re.sub(r" at 0x[0-9a-f]+(?=>)", "", r)
+                parts.add(f"const:{mod}.{name}::{r}")
+    return parts
 
 
 def all_fingerprints() -> dict[str, str]:
