@@ -1144,6 +1144,37 @@ def test_entropy_flags_distributional_collapse(spark, sf_dir):
         assert r.entropy == round(h, 6), (r.doc_id, r.entropy, h)
 
 
+def test_auc_matches_bruteforce_pairwise_twin(spark, sf_dir):
+    """The Mann-Whitney rank-sum AUC must equal the DEFINITION —
+    P(score_pos > score_neg) + 0.5·P(tie), computed by brute pairwise
+    enumeration over the same scores. The rank-sum form and the oracle
+    share the same midrank algebra, so only an independent derivation
+    can catch a self-consistent formula slip (the r13 Annex-K lesson
+    applied to statistics)."""
+    from etl_sample_spark.plans.llm import _qc_score_col
+
+    import pyspark.sql.functions as F
+    from etl_sample_spark import catalog
+
+    row = REGISTRY["classifier_auc_mann_whitney"].spark(spark, sf_dir).head()
+    scored = (
+        catalog.table(spark, sf_dir, "documents")
+        .select((F.col("lang") == "en").alias("pos"), _qc_score_col().alias("score"))
+        .collect()
+    )
+    pos = sorted(float(r.score) for r in scored if r.pos)
+    neg = sorted(float(r.score) for r in scored if not r.pos)
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    ties = sum(bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p) for p in pos)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - auc) < 1e-9
+    assert 0.0 <= row.auc <= 1.0
+
+
 def test_gini_matches_python_and_sits_in_unit_interval(spark, sf_dir):
     """Gini must equal the textbook Python computation over the same
     revenues and land in [0, 1)."""
