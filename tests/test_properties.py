@@ -153,6 +153,40 @@ def test_jpeg_constant_blocks_decode_bit_exact(bw, bh, seed):
 
 
 @given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gray=st.booleans(),
+    coarse=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_decoder_twins_agree_property(width, height, seed, gray, coarse):
+    """PROPERTY form of the r13 twin pin: for ANY dims (padding paths),
+    ANY pixel content (arbitrary Huffman/ZRL/EOB mixes), gray or color,
+    fine or coarse quantization, the numpy twin must reproduce the pure
+    decoder SAMPLE-FOR-SAMPLE — the exact-op-order claim is global, not
+    a property of the curated fixtures."""
+    from etl_sample_spark.operators.multimodal import (
+        _decode_jpeg_numpy,
+        _decode_jpeg_pure,
+        encode_jpeg,
+    )
+
+    def px(x, y):
+        v = (seed + x * 7919 + y * 104729) % (256**3)
+        return v % 256 if gray else (v % 256, (v >> 8) % 256, (v >> 16) % 256)
+
+    payload = encode_jpeg(
+        width,
+        height,
+        px,
+        gray=gray,
+        qtable=([16, 11, 10, 16, 24, 40, 51, 61] * 8) if coarse else None,
+    )
+    assert _decode_jpeg_numpy(payload) == _decode_jpeg_pure(payload)
+
+
+@given(
     width=st.integers(min_value=1, max_value=20),
     height=st.integers(min_value=1, max_value=20),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
