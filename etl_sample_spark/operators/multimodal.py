@@ -940,6 +940,12 @@ def _huff_lut16(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
     cached = _HUFF_LUT_CACHE.get(key)
     if cached is not None:
         return cached
+    if len(_HUFF_LUT_CACHE) >= 16:
+        # each entry is two 65,536-slot lists (~1 MB): bound worker
+        # memory against payload streams carrying many DISTINCT custom
+        # tables (the Annex K pair is by far the common case, so the
+        # cap never evicts in practice — FIFO-drop the oldest)
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
     lut_sym = [0] * 65536
     lut_len = [0] * 65536
     code = 0

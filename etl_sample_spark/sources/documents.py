@@ -214,7 +214,13 @@ def quarantine_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record") -> t
     The parse result is cached first: Spark disallows queries that
     reference only the internal corrupt-record column of a raw JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
-    halves re-scan the corpus otherwise anyway."""
+    halves re-scan the corpus otherwise anyway.
+
+    Cache lifecycle contract: the cache is keyed on the INPUT plan, so
+    the caller unpersists by calling ``df.unpersist()`` on the frame it
+    passed in, once both halves are consumed (pipeline.py does exactly
+    this per form — without it the per-form corpora pin executor memory
+    for the session lifetime)."""
     df = df.cache()
     corrupt = df.where(F.col(corrupt_col).isNotNull()).select(
         "source_file", F.col(corrupt_col).alias("raw")
