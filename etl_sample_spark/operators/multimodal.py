@@ -35,6 +35,7 @@ payload when only metadata is queried.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -929,23 +930,22 @@ def _decode_jpeg_pure(data: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, ncomp, samples
 
 
+@functools.lru_cache(maxsize=16)
 def _huff_lut16(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
     """Canonical Huffman → 16-bit-peek lookup tables: ``lut_sym[p]`` /
     ``lut_len[p]`` give the decoded symbol and its code length for any
     16-bit window ``p`` whose prefix is a valid code (``lut_len`` 0 marks
-    an invalid prefix). Built once per distinct (bits, vals) pair and
-    memoized module-wide — the Annex K tables repeat across every image a
-    worker decodes."""
-    key = (bits, vals)
-    cached = _HUFF_LUT_CACHE.get(key)
-    if cached is not None:
-        return cached
-    if len(_HUFF_LUT_CACHE) >= 16:
-        # each entry is two 65,536-slot lists (~1 MB): bound worker
-        # memory against payload streams carrying many DISTINCT custom
-        # tables (the Annex K pair is by far the common case, so the
-        # cap never evicts in practice — FIFO-drop the oldest)
-        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
+    an invalid prefix). Memoized per distinct (bits, vals) pair — the
+    Annex K tables repeat across every image a worker decodes — with the
+    size bounded at 16 (each entry is two 65,536-slot lists, ~1 MB:
+    payload streams carrying many DISTINCT custom tables must not grow
+    worker memory). lru_cache rather than a module-level dict ON
+    PURPOSE: runtime-mutable module globals reachable from query
+    functions leak into the pin-policy fingerprint (tools/pinfp.py
+    reprs referenced container constants), making fingerprints depend
+    on what was decoded earlier in the process — the r13 test-order
+    flake pinned by tests/test_pin_policy.py::
+    test_fingerprints_ignore_runtime_cache_state."""
     lut_sym = [0] * 65536
     lut_len = [0] * 65536
     code = 0
@@ -959,11 +959,7 @@ def _huff_lut16(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
             code += 1
             k += 1
         code <<= 1
-    _HUFF_LUT_CACHE[key] = (lut_sym, lut_len)
     return lut_sym, lut_len
-
-
-_HUFF_LUT_CACHE: dict[tuple[bytes, bytes], tuple[list[int], list[int]]] = {}
 
 
 def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:

@@ -117,3 +117,36 @@ def test_fingerprint_sees_through_dispatch_registries():
     # the scrub must keep reprs stable: no raw addresses may survive
     flappy = [p for p in parts if " at 0x" in p]
     assert not flappy, f"address-bearing (run-flapping) parts: {flappy[:3]}"
+
+
+def test_fingerprints_ignore_runtime_cache_state():
+    """r13 test-order flake, pinned: fingerprints repr referenced
+    container constants, so a runtime-MUTABLE module global reachable
+    from a query function (the JPEG Huffman LUT cache, a module dict in
+    its first form) made the fingerprint depend on what the process had
+    already decoded — test_pin_manifest_is_current failed in the full
+    suite (decoders run first) yet passed in isolation. The cache is
+    now functools.lru_cache (runtime state invisible to the walk, body
+    source still fingerprinted via __wrapped__). Assert both halves:
+    the decorated twin's BODY stays covered, and decoding does not move
+    any multimodal query's fingerprint."""
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import pinfp
+
+    from etl_sample_spark.operators.multimodal import _decode_jpeg_numpy, encode_jpeg
+    from etl_sample_spark.plans import REGISTRY
+
+    spec = REGISTRY["multimodal_jpeg_decode"]
+    parts = pinfp._fingerprint_parts(spec)
+    lut_src = [p for p in parts if p.startswith("src:") and "_huff_lut16" in p]
+    assert lut_src and any("lut_sym" in p for p in lut_src), (
+        "decorated _huff_lut16 body no longer fingerprinted"
+    )
+
+    before = pinfp.query_fingerprint(spec)
+    _decode_jpeg_numpy(encode_jpeg(8, 8, lambda x, y: (x * y) % 256, gray=True))
+    _huff_cache_info = __import__(
+        "etl_sample_spark.operators.multimodal", fromlist=["_huff_lut16"]
+    )._huff_lut16.cache_info()
+    assert _huff_cache_info.currsize > 0, "cache did not populate — vacuous test"
+    assert pinfp.query_fingerprint(spec) == before
