@@ -930,6 +930,13 @@ def _decode_jpeg_pure(data: bytes) -> tuple[int, int, int, list[int]]:
     return width, height, ncomp, samples
 
 
+# MCUs per vectorized chunk in _decode_jpeg_numpy: bounds the float64
+# IDCT stage arrays at ~12 MB for 3-component scans while keeping the
+# per-chunk numpy dispatch overhead negligible (tests force 1 to pin
+# chunk-boundary bit-identity).
+_JPEG_VEC_CHUNK_MCUS = 8192
+
+
 @functools.lru_cache(maxsize=16)
 def _huff_lut16(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
     """Canonical Huffman → 16-bit-peek lookup tables: ``lut_sym[p]`` /
@@ -1074,39 +1081,46 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
                 else:
                     break  # real marker (EOI) ends the entropy stream
             nclean = len(clean)
-            coef_flat = [0] * (n_mcus * ncomp * 64)
+            # Chunked pipeline: the serial entropy decode feeds stages
+            # 2-4 (dequant/dezigzag/IDCT/level-shift) _JPEG_VEC_CHUNK_MCUS
+            # MCUs at a time, and each chunk's clamped pixels land in the
+            # uint8 plane buffer before the next chunk's coefficients
+            # exist — peak transient memory is bounded by the CHUNK
+            # (~12 MB of float64 stage arrays for 3-component scans),
+            # not the image. The first cut materialized ~72 B/pixel of
+            # whole-image stage arrays: a 50 MP adversarial payload
+            # would OOM the task where the pure twin streams per-block.
+            # Chunking cannot move a single bit: every stage is
+            # elementwise or per-8x8-block, so the arithmetic per sample
+            # is identical regardless of chunk boundaries (pinned by
+            # forcing a 1-MCU chunk in tests).
+            import math
+
+            chunk_mcus = max(1, int(_JPEG_VEC_CHUNK_MCUS))
+            bh_, bw_ = ph // 8, pw // 8
+            planes_u8 = np.empty((ncomp, ph, pw), dtype=np.uint8)
+            planes_view = planes_u8.reshape(ncomp, bh_, 8, bw_, 8)
+            qt = np.array(
+                [qtables[comps[c][2]] for c in range(ncomp)], dtype=np.int64
+            )  # zigzag order, as stored in DQT
+            cos = np.array(_cos_table())  # cos[x][u]
+            c_norm = [1 / math.sqrt(2)] + [1.0] * 7
+            zig = list(_ZIGZAG)
+
             preds = [0] * ncomp
             acc = 0
             nbits = 0
             bpos = 0  # bytes loaded into acc (may run past nclean: 0xFF pad)
-            base = 0
-            for _mcu in range(n_mcus):
-                for idx, dc_sym, dc_len, ac_sym, ac_len in scan:
-                    while nbits < 16:
-                        acc = ((acc & ((1 << nbits) - 1)) << 8) | (
-                            clean[bpos] if bpos < nclean else 0xFF
-                        )
-                        bpos += 1
-                        nbits += 8
-                    p16 = (acc >> (nbits - 16)) & 0xFFFF
-                    s = dc_sym[p16]
-                    ln = dc_len[p16]
-                    if ln == 0:
-                        raise ValueError("invalid Huffman code in JPEG stream")
-                    nbits -= ln
-                    if s:
-                        while nbits < s:
-                            acc = ((acc & ((1 << nbits) - 1)) << 8) | (
-                                clean[bpos] if bpos < nclean else 0xFF
-                            )
-                            bpos += 1
-                            nbits += 8
-                        v = (acc >> (nbits - s)) & ((1 << s) - 1)
-                        nbits -= s
-                        preds[idx] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-                    coef_flat[base] = preds[idx]
-                    k = 1
-                    while k < 64:
+            m0 = 0
+            while m0 < n_mcus:
+                m1 = min(m0 + chunk_mcus, n_mcus)
+                nchunk = m1 - m0
+                # --- stage 1 (chunk): entropy decode (serial) → raw
+                # coefficients, zigzag order, pre-dequant (exact ints) --
+                coef_flat = [0] * (nchunk * ncomp * 64)
+                base = 0
+                for _mcu in range(nchunk):
+                    for idx, dc_sym, dc_len, ac_sym, ac_len in scan:
                         while nbits < 16:
                             acc = ((acc & ((1 << nbits) - 1)) << 8) | (
                                 clean[bpos] if bpos < nclean else 0xFF
@@ -1114,79 +1128,111 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
                             bpos += 1
                             nbits += 8
                         p16 = (acc >> (nbits - 16)) & 0xFFFF
-                        rs = ac_sym[p16]
-                        ln = ac_len[p16]
+                        s = dc_sym[p16]
+                        ln = dc_len[p16]
                         if ln == 0:
                             raise ValueError("invalid Huffman code in JPEG stream")
                         nbits -= ln
-                        r, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run exceeds block bounds")
-                        while nbits < size:
-                            acc = ((acc & ((1 << nbits) - 1)) << 8) | (
-                                clean[bpos] if bpos < nclean else 0xFF
+                        if s:
+                            while nbits < s:
+                                acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                                    clean[bpos] if bpos < nclean else 0xFF
+                                )
+                                bpos += 1
+                                nbits += 8
+                            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+                            nbits -= s
+                            preds[idx] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        coef_flat[base] = preds[idx]
+                        k = 1
+                        while k < 64:
+                            while nbits < 16:
+                                acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                                    clean[bpos] if bpos < nclean else 0xFF
+                                )
+                                bpos += 1
+                                nbits += 8
+                            p16 = (acc >> (nbits - 16)) & 0xFFFF
+                            rs = ac_sym[p16]
+                            ln = ac_len[p16]
+                            if ln == 0:
+                                raise ValueError("invalid Huffman code in JPEG stream")
+                            nbits -= ln
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run exceeds block bounds")
+                            while nbits < size:
+                                acc = ((acc & ((1 << nbits) - 1)) << 8) | (
+                                    clean[bpos] if bpos < nclean else 0xFF
+                                )
+                                bpos += 1
+                                nbits += 8
+                            v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                            nbits -= size
+                            coef_flat[base + k] = (
+                                v if v >= (1 << (size - 1)) else v - (1 << size) + 1
                             )
-                            bpos += 1
-                            nbits += 8
-                        v = (acc >> (nbits - size)) & ((1 << size) - 1)
-                        nbits -= size
-                        coef_flat[base + k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                        k += 1
-                    base += 64
+                            k += 1
+                        base += 64
+
+                # --- stage 2 (chunk): dequant + dezigzag (exact int) ---
+                zz = np.array(coef_flat, dtype=np.int64).reshape(nchunk, ncomp, 64)
+                zz *= qt  # exact: both int64
+                nat = np.zeros_like(zz)
+                nat[..., zig] = zz
+
+                # --- stage 3 (chunk): IDCT, replaying the pure path's
+                # float op order (term accumulation from zero == sum()) -
+                blocks = nat.astype(np.float64).reshape(nchunk, ncomp, 8, 8)  # [v][u]
+                tmp = np.zeros((nchunk, ncomp, 8, 8))  # [v][x]
+                for u in range(8):
+                    tmp += (c_norm[u] * blocks[..., :, u])[..., :, None] * cos[:, u]
+                tmp /= 2
+                outb = np.zeros((nchunk, ncomp, 8, 8))  # [y][x]
+                for v in range(8):
+                    outb += (c_norm[v] * tmp[..., v, :])[..., None, :] * cos[:, v][:, None]
+                outb /= 2
+
+                # --- stage 4 (chunk): level shift + clamp + scatter into
+                # the plane buffer (advanced indexing pairs by/bx) ------
+                pxc = np.clip(np.floor((outb + 128) + 0.5), 0, 255).astype(np.uint8)
+                midx = np.arange(m0, m1)
+                planes_view[:, midx // bw_, :, midx % bw_, :] = pxc
+                m0 = m1
             if 8 * bpos - nbits > 8 * nclean:
                 raise ValueError("JPEG entropy stream truncated")
 
-            # --- stage 2: dequant + dezigzag (exact int), vectorized ----
-            zz = np.array(coef_flat, dtype=np.int64).reshape(n_mcus, ncomp, 64)
-            qt = np.array(
-                [qtables[comps[c][2]] for c in range(ncomp)], dtype=np.int64
-            )  # zigzag order, as stored in DQT
-            zz *= qt  # exact: both int64
-            nat = np.zeros_like(zz)
-            nat[..., list(_ZIGZAG)] = zz
-
-            # --- stage 3: IDCT, replaying the pure path's float op order
-            # (term-by-term accumulation from zero == Python sum()) ------
-            import math
-
-            cos = np.array(_cos_table())  # cos[x][u]
-            c_norm = [1 / math.sqrt(2)] + [1.0] * 7
-            blocks = nat.astype(np.float64).reshape(n_mcus, ncomp, 8, 8)  # [v][u]
-            tmp = np.zeros((n_mcus, ncomp, 8, 8))  # [v][x]
-            for u in range(8):
-                tmp += (c_norm[u] * blocks[..., :, u])[..., :, None] * cos[:, u]
-            tmp /= 2
-            out = np.zeros((n_mcus, ncomp, 8, 8))  # [y][x]
-            for v in range(8):
-                out += (c_norm[v] * tmp[..., v, :])[..., None, :] * cos[:, v][:, None]
-            out /= 2
-
-            # --- stage 4: level shift + clamp + plane assembly ----------
-            px = np.clip(np.floor((out + 128) + 0.5), 0, 255)
-            planes = (
-                px.reshape(ph // 8, pw // 8, ncomp, 8, 8)
-                .transpose(2, 0, 3, 1, 4)
-                .reshape(ncomp, ph, pw)[:, :height, :width]
-            )
-
-            # --- stage 5: colorspace convert + interleave ---------------
-            if ncomp == 1:
-                samples_arr = planes[0]
-            else:
-                yv, cb, cr = planes[0], planes[1], planes[2]
-                r_ = np.floor((yv + 1.402 * (cr - 128)) + 0.5)
-                g_ = np.floor((yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5)
-                b_ = np.floor((yv + 1.772 * (cb - 128)) + 0.5)
-                samples_arr = np.clip(np.stack([r_, g_, b_], axis=-1), 0, 255)
-            samples = samples_arr.astype(np.int64).ravel().tolist()
-            if not samples:  # degenerate 0-pixel scan: match the pure twin
+            planes = planes_u8[:, :height, :width]
+            if height * width == 0:  # degenerate 0-pixel scan: match pure
                 raise ValueError("JPEG missing SOF/SOS")
+
+            # --- stage 5: colorspace convert + interleave, chunked over
+            # row bands (float64 stage arrays bounded at ~1M samples) ---
+            if ncomp == 1:
+                samples = planes[0].astype(np.int64).ravel().tolist()
+            else:
+                out_arr = np.empty((height, width, 3), dtype=np.int64)
+                band = max(1, (1 << 20) // max(1, width))
+                for r0 in range(0, height, band):
+                    r1 = min(r0 + band, height)
+                    yv = planes[0, r0:r1].astype(np.float64)
+                    cb = planes[1, r0:r1].astype(np.float64)
+                    cr = planes[2, r0:r1].astype(np.float64)
+                    r_ = np.floor((yv + 1.402 * (cr - 128)) + 0.5)
+                    g_ = np.floor(
+                        (yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5
+                    )
+                    b_ = np.floor((yv + 1.772 * (cb - 128)) + 0.5)
+                    out_arr[r0:r1] = np.clip(
+                        np.stack([r_, g_, b_], axis=-1), 0, 255
+                    ).astype(np.int64)
+                samples = out_arr.ravel().tolist()
             return width, height, ncomp, samples
         pos += 2 + seglen
     raise ValueError("JPEG missing SOF/SOS")

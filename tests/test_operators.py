@@ -602,6 +602,15 @@ def test_jpeg_decoder_twins_bit_identical_and_env_selectable(monkeypatch):
         fast = mm._decode_jpeg_numpy(payload)
         assert fast == pure  # (w, h, ncomp, samples) — sample-for-sample
 
+    # chunk-boundary pin: the vector stages process MCUs in bounded
+    # chunks (memory-bounded decode); forcing 1- and 3-MCU chunks puts
+    # a boundary inside every block row and must not move a bit
+    for chunk in (1, 3):
+        monkeypatch.setattr(mm, "_JPEG_VEC_CHUNK_MCUS", chunk)
+        for payload in fixtures:
+            assert mm._decode_jpeg_numpy(payload) == mm._decode_jpeg_pure(payload)
+    monkeypatch.undo()
+
     payload = fixtures[3]
     want = mm._decode_jpeg_pure(payload)
     monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "pure")
