@@ -156,6 +156,29 @@ def test_jpeg_constant_blocks_decode_bit_exact(bw, bh, seed):
     width=st.integers(min_value=1, max_value=24),
     height=st.integers(min_value=1, max_value=24),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_decoder_twins_agree_property(width, height, seed):
+    """PROPERTY form of the PNG twin pin: for ANY dims and ANY pixel
+    content the numpy unfilter twin must reproduce the pure decoder
+    byte-for-byte. encode_png assigns filter type y % 5, so any height
+    ≥ 5 exercises every filter (None/Sub/Up/Average/Paeth) including
+    the cumulative-sum Sub lane math and the scalar Average/Paeth
+    fallback, with random content hitting the mod-256 wrap paths."""
+    from etl_sample_spark.operators.multimodal import _png_raw, _png_raw_numpy, encode_png
+
+    def px(x, y):
+        v = (seed + x * 7919 + y * 104729) % (256**3)
+        return bytes((v % 256, (v >> 8) % 256, (v >> 16) % 256))
+
+    payload = encode_png(width, height, px)
+    assert _png_raw_numpy(payload) == _png_raw(payload)
+
+
+@given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
     gray=st.booleans(),
     coarse=st.booleans(),
 )
