@@ -304,7 +304,23 @@ def main() -> None:
         for f in os.listdir(here)
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
-    full = os.path.join(here, f"BENCH_full_r{max(rounds, default=0) + 1:02d}.json")
+    stem = f"BENCH_full_r{max(rounds, default=0) + 1:02d}"
+    # Loaded-host guard (r13: an ad-hoc run under a 32-core pytest suite
+    # overwrote the round's quiet-host record and a bulk git add
+    # committed it). If the pre-suite probe says the host is >15% off
+    # the quiet reference, the canonical record is left alone and the
+    # run lands beside it as .contended.json — still persisted, never
+    # authoritative. The stdout line (the driver contract) is unchanged.
+    if probe > 1.15 * _PROBE_REF_SEC and os.path.exists(
+        os.path.join(here, stem + ".json")
+    ):
+        print(
+            f"[bench] host probe {probe:.3f}s > 1.15x ref {_PROBE_REF_SEC}s: "
+            f"keeping existing {stem}.json, writing {stem}.contended.json",
+            file=sys.stderr,
+        )
+        stem += ".contended"
+    full = os.path.join(here, stem + ".json")
     try:
         with open(full, "w") as f:
             f.write(line + "\n")
