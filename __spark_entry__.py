@@ -44,63 +44,38 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r13 mechanical re-pins — the four r12 ADVICE fixes, each
-    # result-invariant for the registered query but reachable-code
-    # dirty (strict-sim green at sf0.01 + sf0.1 before pinning):
-    # - skew.py now WARNS when falling back to the whole-row salt hash
-    #   (byte-identical duplicates degrade the spread silently); the
-    #   registry query passes salt_from, so only the docstring/guard
-    #   moved.
-    "skewjoin_revenue_by_priority",
-    # - normalize's _ansi_safe literal guard extended to double-quoted
-    #   and backslash-escaped literals and backtick identifiers; no
-    #   current spec contains any quoted bracket, compiled SQL is
-    #   unchanged.
-    "normalize_star_rebuild",
-    # - bloom_probe's local-bitmap fast path now requires the
-    #   bloom_build_local schema tag (an arbitrary caller LogicalRDD
-    #   re-evaluated per hash position before) and bound-checks the
-    #   collect at num_bits/64 rows; the registry query builds lazily,
-    #   so it exercises the bounded-collect path as before.
-    "bloom_semi_join_orders_customers",
-    # - asof_join carries the right row's value columns as ONE struct
-    #   through last(ignorenulls) — per-column carry could mix columns
-    #   from different tied right rows when the winner held a null; the
-    #   registry query carries a single non-null column and its (key,
-    #   ts) ties are value-identical, so results are unchanged.
-    "asof_join_purchase_to_click",
-    # r13 decoder swap-in (r12 VERDICT item 5): _decode_png now
-    # dispatches to a numpy-vectorized unfilter twin (bit-identical
-    # output, pinned byte-for-byte in tests; Pillow hook wired but
-    # absent in-container). All queries reaching operators/multimodal.py
-    # re-earn driver rows; four of the six sit on r7 evidence and were
-    # rotating into this window regardless.
+    # r14 mechanical re-pins — the two r13 ADVICE fixes in the JPEG
+    # decoder twins, each result-invariant for the registered queries
+    # (no in-repo producer emits the guarded layouts) but
+    # reachable-code dirty:
+    # - _huff_lut16 (and the pure DHT builder) now REJECT
+    #   Kraft-violating tables whose canonical codes overflow 16 bits
+    #   instead of silently growing the 65,536-slot LUTs;
+    # - _decode_jpeg_numpy delegates reordered / partial (ns != ncomp)
+    #   SOS scans to the pure decoder (which dispatches per-component
+    #   via idx), like the DRI guard, instead of misattributing planes.
+    # All seven queries reach the shared decoder dispatch, so the
+    # closure fingerprint dirties the whole set.
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color_decode",
     "multimodal_gif_decode",
     "multimodal_resize_stats",
-    # r13 JPEG decoder swap-in (extends the PNG demonstration to the
-    # worst documented multimodal constant): _decode_jpeg now dispatches
-    # to a numpy twin (LUT Huffman + exact-order vectorized IDCT,
-    # bit-identical, test-pinned). The MJPEG framesample query reaches
-    # _decode_jpeg via the AVI path; the jpeg/resize queries above were
-    # already pinned.
     "multimodal_mjpeg_framesample",
 ]
-# r12's 23 pins all landed green rows in CORRECTNESS_r12.json (verified
-# by recomputation this round) — cleared for rotation. Window math at
-# this HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
-# latest driver rows are 26×r7 / 39×r8 / 34×r9 / 44×r10 / 45×r11 /
-# 50×r12 (+ the demoted, unregistered stratified_sample_by_lang on r5).
-# With the 11 pins above (4 mechanical re-pins on r12 rows + 7
-# decoder-swap pins, of which 4 themselves sit on r7 rows), the 39
-# rotation slots retire the remaining 22 r7 rows plus the 17 stalest
-# r8 rows. Recomputed window mix: 26×r7 + 17×r8 + 1×r10 + 1×r11 +
-# 5×r12; ALL 26 r7 rows are inside and the oldest row left OUTSIDE
-# the r13 window is r8 — meeting r12 VERDICT item 3's "oldest ≥ r8".
-# tools/update_pin_manifest.py enforces that every further r13 code
+# r13's 11 pins all landed green rows in CORRECTNESS_r13.json (50/50
+# green) — the 4 non-multimodal pins are cleared for rotation; the 7
+# multimodal pins carry over because this round's ADVICE fixes re-dirty
+# them. Window math at this HEAD, recomputed from _ordered() + the
+# CORRECTNESS artifacts: latest driver rows after r13 are 22×r8 /
+# 28×r9 / 34×r10 / 39×r11 / 45×r12 / 50×r13 (+ the demoted,
+# unregistered stratified_sample_by_lang on r5). With the 7 pins above,
+# the 43 rotation slots retire ALL 22 remaining r8 rows plus the 21
+# stalest r9 rows — after r14 the oldest driver row anywhere in the
+# registry is r9, meeting r13 VERDICT item 1 ("every registered
+# query's latest driver row ≥ r9").
+# tools/update_pin_manifest.py enforces that every further r14 code
 # change either lands here or leaves its queries' fingerprints alone.
 
 

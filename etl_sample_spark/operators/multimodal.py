@@ -681,10 +681,17 @@ def encode_jpeg(
     pixel: "callable",
     gray: bool = True,
     qtable: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Pure-Python baseline sequential JFIF encoder. ``pixel(x, y)``
     returns a luma int (``gray=True``) or an (r, g, b) triple. Default
-    quant table is all 8s (near-lossless; constant blocks are exact)."""
+    quant table is all 8s (near-lossless; constant blocks are exact).
+
+    ``restart_interval`` > 0 emits a DRI segment plus RST0-RST7 markers
+    every that many MCUs (flush-to-byte with 1-bits, DC predictors
+    reset), the layout real encoders use for error resilience and that
+    makes the entropy stream's segments independently decodable — the
+    data-parallel path :func:`_decode_jpeg_numpy` vectorizes across."""
     import struct
 
     qt_zz = qtable or [8] * 64
@@ -711,6 +718,8 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_zz)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
         sof += bytes((ci + 1, 0x11, 0))  # 1x1 sampling, quant table 0
@@ -726,13 +735,19 @@ def encode_jpeg(
 
     bw = _BitWriter()
     preds = [0] * ncomp
+    mcu = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()  # pad to byte with 1-bits per spec
+                bw.out += bytes((0xFF, 0xD0 + (mcu // restart_interval - 1) % 8))
+                preds = [0] * ncomp
             for ci in range(ncomp):
                 block = [
                     planes[ci][by * 8 + yy][bx * 8 + xx] for yy in range(8) for xx in range(8)
                 ]
                 preds[ci] = _encode_block(block, preds[ci], qt_zz, dc, ac, bw)
+            mcu += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -841,6 +856,13 @@ def _decode_jpeg_pure(data: bytes) -> tuple[int, int, int, list[int]]:
                 k = 0
                 for length in range(1, 17):
                     for _ in range(bits[length - 1]):
+                        if code >= (1 << length):
+                            # Kraft-violating DHT (canonical code
+                            # overflows its length). Reject eagerly so
+                            # both twins fail identically — the lazy
+                            # probe would only fail if the stream
+                            # happened to exercise an overflowed code.
+                            raise ValueError("invalid Huffman code in JPEG stream")
                         table[(length, code)] = vals[k]
                         code += 1
                         k += 1
@@ -961,12 +983,294 @@ def _huff_lut16(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
         for _ in range(bits[length - 1]):
             start = code << (16 - length)
             span = 1 << (16 - length)
+            if start + span > 65536:
+                # Malformed DHT: the canonical code overflows 16 bits
+                # (Kraft sum > 1). Without this check the slice
+                # assignment would silently GROW the luts past 65536
+                # entries (and lru_cache would retain the oversized
+                # lists). Fail loud like the pure decoder, whose
+                # bit-by-bit probe never matches an overflowed code and
+                # raises the same error after 16 bits (r13 ADVICE).
+                raise ValueError("invalid Huffman code in JPEG stream")
             lut_sym[start : start + span] = [vals[k]] * span
             lut_len[start : start + span] = [length] * span
             code += 1
             k += 1
         code <<= 1
     return lut_sym, lut_len
+
+
+def _jpeg_idct_chunk(zz, qt, planes_view, m0, bw_):
+    """Stages 2-4 of the numpy JPEG twin for one chunk of MCUs:
+    dequant + dezigzag (exact int64), IDCT replaying the pure path's
+    float op order (term accumulation from zero == ``sum()``), level
+    shift + clamp + scatter into the plane buffer. ``zz`` is the raw
+    entropy-decoded coefficient chunk, shape (nchunk, ncomp, 64) in
+    zigzag order, int64; mutated in place. Shared verbatim by the
+    sequential (DRI=0) and restart-wave paths so their float arithmetic
+    is one code path — bit-identity is pinned once."""
+    import math
+
+    import numpy as np
+
+    nchunk = zz.shape[0]
+    cos = np.array(_cos_table())  # cos[x][u]
+    c_norm = [1 / math.sqrt(2)] + [1.0] * 7
+    zig = list(_ZIGZAG)
+
+    zz *= qt  # exact: both int64
+    nat = np.zeros_like(zz)
+    nat[..., zig] = zz
+
+    blocks = nat.astype(np.float64).reshape(zz.shape[0], zz.shape[1], 8, 8)  # [v][u]
+    tmp = np.zeros_like(blocks)  # [v][x]
+    for u in range(8):
+        tmp += (c_norm[u] * blocks[..., :, u])[..., :, None] * cos[:, u]
+    tmp /= 2
+    outb = np.zeros_like(blocks)  # [y][x]
+    for v in range(8):
+        outb += (c_norm[v] * tmp[..., v, :])[..., None, :] * cos[:, v][:, None]
+    outb /= 2
+
+    pxc = np.clip(np.floor((outb + 128) + 0.5), 0, 255).astype(np.uint8)
+    midx = np.arange(m0, m0 + nchunk)
+    planes_view[:, midx // bw_, :, midx % bw_, :] = pxc
+
+
+def _jpeg_emit(planes_u8, width, height, ncomp):
+    """Stage 5 of the numpy JPEG twin: trim edge padding, then either
+    flatten the luma plane or YCbCr→RGB convert + interleave, chunked
+    over row bands (float64 stage arrays bounded at ~1M samples).
+    Float op order matches the pure decoder exactly."""
+    import numpy as np
+
+    planes = planes_u8[:, :height, :width]
+    if height * width == 0:  # degenerate 0-pixel scan: match pure
+        raise ValueError("JPEG missing SOF/SOS")
+
+    if ncomp == 1:
+        return planes[0].astype(np.int64).ravel().tolist()
+    out_arr = np.empty((height, width, 3), dtype=np.int64)
+    band = max(1, (1 << 20) // max(1, width))
+    for r0 in range(0, height, band):
+        r1 = min(r0 + band, height)
+        yv = planes[0, r0:r1].astype(np.float64)
+        cb = planes[1, r0:r1].astype(np.float64)
+        cr = planes[2, r0:r1].astype(np.float64)
+        r_ = np.floor((yv + 1.402 * (cr - 128)) + 0.5)
+        g_ = np.floor(
+            (yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5
+        )
+        b_ = np.floor((yv + 1.772 * (cb - 128)) + 0.5)
+        out_arr[r0:r1] = np.clip(
+            np.stack([r_, g_, b_], axis=-1), 0, 255
+        ).astype(np.int64)
+    return out_arr.ravel().tolist()
+
+
+class _JpegWaveBail(Exception):
+    """Internal: the restart-wave decoder hit a validity or layout edge
+    (marker-count mismatch, invalid code, run overflow, segment overrun)
+    — the caller falls back to the pure decoder, which then reproduces
+    the pure path's exact error (or result) for that payload."""
+
+
+@functools.lru_cache(maxsize=4)
+def _jpeg_lut_stack(dc_tables: tuple, ac_tables: tuple):
+    """Per-component Huffman LUTs stacked into (ncomp, 65536) int64
+    arrays for the wave decoder's 2-D gathers (``sym = st[comp, p16]``).
+    Cached per distinct table tuple — ~2 MB/component/entry; bounded so
+    adversarial streams with many distinct tables can't grow workers."""
+    import numpy as np
+
+    def stack(tables):
+        syms, lens = [], []
+        for bits, vals in tables:
+            s, ln = _huff_lut16(bits, vals)
+            syms.append(np.array(s, dtype=np.int64))
+            lens.append(np.array(ln, dtype=np.int64))
+        return np.stack(syms), np.stack(lens)
+
+    dc_s, dc_l = stack(dc_tables)
+    ac_s, ac_l = stack(ac_tables)
+    return dc_s, dc_l, ac_s, ac_l
+
+
+def _decode_jpeg_wave(
+    entropy: bytes,
+    restart_interval: int,
+    width: int,
+    height: int,
+    comps: list,
+    qtables: dict,
+    huff_raw: dict,
+    tdas: list[int],
+) -> tuple[int, int, int, list[int]]:
+    """Data-parallel entropy decode for restart-marker JPEG streams.
+
+    T.81 restart semantics make the stream's RSTn-delimited segments
+    independent: each starts byte-aligned with DC predictors reset and
+    covers a known MCU count. That removes the serial dependency that
+    forces the DRI=0 path's per-symbol Python loop — here ALL segments
+    decode in lockstep numpy rounds (one Huffman symbol per live lane
+    per round: 16-bit-window LUT gathers, masked DC/AC handling,
+    vectorized coefficient scatter). Output is bit-identical to
+    :func:`_decode_jpeg_pure` (pinned in tests): entropy decode is
+    exact integer work and stages 2-5 are the shared helpers.
+
+    Memory is bounded like the sequential path: segments are processed
+    in groups of ~``_JPEG_VEC_CHUNK_MCUS`` MCUs, and the 16-bit peek
+    table covers one group's bytes at a time (16 B per stream byte).
+
+    Raises :class:`_JpegWaveBail` on anything non-canonical (segment
+    count mismatch, invalid code, coefficient-run overflow, a lane
+    consuming past its segment at a block boundary) — the caller falls
+    back to the pure decoder for exact corrupt-payload behavior.
+    """
+    import numpy as np
+
+    ncomp = len(comps)
+    pw, ph = (width + 7) & ~7, (height + 7) & ~7
+    bw_, bh_ = pw // 8, ph // 8
+    n_mcus = bh_ * bw_
+    if n_mcus == 0:
+        raise _JpegWaveBail
+    nseg = (n_mcus + restart_interval - 1) // restart_interval
+
+    # --- split the raw entropy stream at RSTn markers; unstuff each ---
+    segs: list[bytes] = []
+    i = start = 0
+    n = len(entropy)
+    while True:
+        j = entropy.find(b"\xff", i)
+        if j == -1:
+            segs.append(entropy[start:])
+            break
+        nxt = entropy[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            i = j + 2  # stuffed data byte
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(entropy[start:j])
+            start = i = j + 2
+        else:
+            segs.append(entropy[start:j])  # EOI / foreign marker ends it
+            break
+    if len(segs) != nseg:
+        raise _JpegWaveBail
+    # left-to-right FF00 -> FF is exactly JPEG unstuffing (markers were
+    # already cut out, so every FF inside a segment is a stuffed one)
+    segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+    dc_st, dl_st, ac_st, al_st = _jpeg_lut_stack(
+        tuple(huff_raw[(0, t >> 4)] for t in tdas),
+        tuple(huff_raw[(1, t & 15)] for t in tdas),
+    )
+
+    qt = np.array([qtables[comps[c][2]] for c in range(ncomp)], dtype=np.int64)
+    planes_u8 = np.empty((ncomp, ph, pw), dtype=np.uint8)
+    planes_view = planes_u8.reshape(ncomp, bh_, 8, bw_, 8)
+
+    seg_mcus_all = np.full(nseg, restart_interval, dtype=np.int64)
+    seg_mcus_all[-1] = n_mcus - (nseg - 1) * restart_interval
+
+    per_group = max(1, int(_JPEG_VEC_CHUNK_MCUS) // restart_interval)
+    gmcu0 = 0  # global MCU offset of the current group
+    for g0 in range(0, nseg, per_group):
+        g1 = min(g0 + per_group, nseg)
+        glen = g1 - g0
+        buf = b"".join(segs[g0:g1]) + b"\xff" * 8
+        seg_bytes = np.array([len(s) for s in segs[g0:g1]], dtype=np.int64)
+        offs = np.zeros(glen, dtype=np.int64)
+        np.cumsum(seg_bytes[:-1], out=offs[1:])
+
+        # 16-bit window at every bit offset of buf (peeks[p] = the 16
+        # bits starting at bit p) — one vectorized build per group
+        b8 = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        w32 = (b8[:-3] << 24) | (b8[1:-2] << 16) | (b8[2:-1] << 8) | b8[3:]
+        peeks = np.empty((len(w32), 8), dtype=np.int64)
+        for phs in range(8):
+            peeks[:, phs] = (w32 >> (16 - phs)) & 0xFFFF
+        peeks = peeks.reshape(-1)
+
+        tgt = seg_mcus_all[g0:g1]
+        mcu_cum = np.zeros(glen, dtype=np.int64)
+        np.cumsum(tgt[:-1], out=mcu_cum[1:])
+        gmcus = int(tgt.sum())
+        coef = np.zeros(gmcus * ncomp * 64, dtype=np.int64)
+
+        pos = offs * 8  # current bit position per lane
+        end_bits = (offs + seg_bytes) * 8
+        blk = mcu_cum * ncomp  # block ordinal within the group
+        comp = np.zeros(glen, dtype=np.int64)
+        kk = np.zeros(glen, dtype=np.int64)  # 0 = expect DC
+        done_m = np.zeros(glen, dtype=np.int64)
+        preds = np.zeros(glen * ncomp, dtype=np.int64)
+        alive = tgt > 0
+        max_rounds = 8 * int(seg_bytes.max()) + 4096
+        rounds = 0
+        while alive.any():
+            rounds += 1
+            if rounds > max_rounds:
+                raise _JpegWaveBail
+            idx = np.flatnonzero(alive)
+            ci = comp[idx]
+            p16 = peeks[pos[idx]]
+            dcm = kk[idx] == 0
+            sym = np.where(dcm, dc_st[ci, p16], ac_st[ci, p16])
+            ln = np.where(dcm, dl_st[ci, p16], al_st[ci, p16])
+            if not ln.all():
+                raise _JpegWaveBail  # invalid Huffman code on some lane
+            s = np.where(dcm, sym, sym & 15)
+            pos2 = pos[idx] + ln
+            v = (peeks[pos2] >> (16 - s)) & ((1 << s) - 1)
+            ext = np.where(v >= (1 << np.maximum(s - 1, 0)), v, v - (1 << s) + 1)
+            ext = np.where(s > 0, ext, 0)
+            base = blk[idx] * 64
+
+            newk = np.where(dcm, 1, kk[idx])
+            bdone = np.zeros(len(idx), dtype=bool)
+
+            if dcm.any():
+                dsel = np.flatnonzero(dcm)
+                pidx = idx[dsel] * ncomp + ci[dsel]
+                np2 = preds[pidx] + ext[dsel]
+                preds[pidx] = np2
+                coef[base[dsel]] = np2
+            acm = ~dcm
+            if acm.any():
+                eob = acm & (sym == 0)
+                zrl = acm & (sym == 240)
+                nrm = acm & ~eob & ~zrl
+                if nrm.any():
+                    nsel = np.flatnonzero(nrm)
+                    kn = kk[idx[nsel]] + (sym[nsel] >> 4)
+                    if (kn > 63).any():
+                        raise _JpegWaveBail  # AC run exceeds block bounds
+                    coef[base[nsel] + kn] = ext[nsel]
+                    newk[nsel] = kn + 1
+                newk = np.where(zrl, kk[idx] + 16, newk)
+                bdone = eob | (~dcm & (newk >= 64))
+
+            kk[idx] = np.where(bdone, 0, newk)
+            pos[idx] = pos2 + s
+            if bdone.any():
+                bsel = idx[np.flatnonzero(bdone)]
+                if (pos[bsel] > end_bits[bsel]).any():
+                    raise _JpegWaveBail  # lane consumed past its segment
+                blk[bsel] += 1
+                cn = comp[bsel] + 1
+                wrap = cn == ncomp
+                done_m[bsel] += wrap
+                comp[bsel] = np.where(wrap, 0, cn)
+                alive[bsel] = done_m[bsel] < tgt[bsel]
+
+        _jpeg_idct_chunk(
+            coef.reshape(gmcus, ncomp, 64), qt, planes_view, gmcu0, bw_
+        )
+        gmcu0 += gmcus
+
+    samples = _jpeg_emit(planes_u8, width, height, ncomp)
+    return width, height, ncomp, samples
 
 
 def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
@@ -1010,6 +1314,7 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
     huff_raw: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     width = height = None
     comps: list[tuple[int, int, int]] = []
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -1045,19 +1350,49 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
                 comps.append((cid, sampling, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(f"non-baseline JPEG (SOF 0x{marker:02X}) unsupported")
-        elif marker == 0xDD:  # DRI — restart streams keep the pure path
+        elif marker == 0xDD:  # DRI — restart streams take the wave path
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-            if restart_interval:
-                return _decode_jpeg_pure(data)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan: list[tuple[int, list[int], list[int], list[int], list[int]]] = []
+            tdas: list[int] = []
             for si in range(ns):
                 cid, tda = body[1 + si * 2 : 3 + si * 2]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)
                 dc_sym, dc_len = _huff_lut16(*huff_raw[(0, tda >> 4)])
                 ac_sym, ac_len = _huff_lut16(*huff_raw[(1, tda & 15)])
                 scan.append((idx, dc_sym, dc_len, ac_sym, ac_len))
+                tdas.append(tda)
+            if ns != len(comps) or any(entry[0] != si for si, entry in enumerate(scan)):
+                # Reordered or partial (non-interleaved multi-scan,
+                # spec-legal) SOS: the fast path fills coef_flat in SCAN
+                # order but indexes qt / reshape / planes_view by SOF
+                # position, so it would silently misattribute planes.
+                # Delegate to the pure decoder (per-component dispatch
+                # via idx), like the error-bail guard — no in-repo
+                # producer emits these layouts (r13 ADVICE).
+                return _decode_jpeg_pure(data)
+            if restart_interval:
+                # Restart-marker stream: the segments between RSTn
+                # markers are independently decodable (byte-aligned, DC
+                # predictors reset), which turns the serial entropy walk
+                # into data-parallel lanes the wave decoder vectorizes
+                # across. Any validity/layout edge bails to the pure
+                # decoder so error behavior on corrupt payloads is
+                # exactly the pure path's.
+                try:
+                    return _decode_jpeg_wave(
+                        data[pos + 2 + seglen :],
+                        restart_interval,
+                        width,
+                        height,
+                        comps,
+                        qtables,
+                        huff_raw,
+                        tdas,
+                    )
+                except (_JpegWaveBail, IndexError):
+                    return _decode_jpeg_pure(data)
             ncomp = len(comps)
             pw, ph = (width + 7) & ~7, (height + 7) & ~7
             n_mcus = (ph // 8) * (pw // 8)
@@ -1094,8 +1429,6 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
             # elementwise or per-8x8-block, so the arithmetic per sample
             # is identical regardless of chunk boundaries (pinned by
             # forcing a 1-MCU chunk in tests).
-            import math
-
             chunk_mcus = max(1, int(_JPEG_VEC_CHUNK_MCUS))
             bh_, bw_ = ph // 8, pw // 8
             planes_u8 = np.empty((ncomp, ph, pw), dtype=np.uint8)
@@ -1103,9 +1436,6 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
             qt = np.array(
                 [qtables[comps[c][2]] for c in range(ncomp)], dtype=np.int64
             )  # zigzag order, as stored in DQT
-            cos = np.array(_cos_table())  # cos[x][u]
-            c_norm = [1 / math.sqrt(2)] + [1.0] * 7
-            zig = list(_ZIGZAG)
 
             preds = [0] * ncomp
             acc = 0
@@ -1181,58 +1511,16 @@ def _decode_jpeg_numpy(data: bytes) -> tuple[int, int, int, list[int]]:
                             k += 1
                         base += 64
 
-                # --- stage 2 (chunk): dequant + dezigzag (exact int) ---
+                # --- stages 2-4 (chunk): dequant/dezigzag/IDCT/levelshift
+                # + scatter, shared with the restart-wave path ----------
                 zz = np.array(coef_flat, dtype=np.int64).reshape(nchunk, ncomp, 64)
-                zz *= qt  # exact: both int64
-                nat = np.zeros_like(zz)
-                nat[..., zig] = zz
-
-                # --- stage 3 (chunk): IDCT, replaying the pure path's
-                # float op order (term accumulation from zero == sum()) -
-                blocks = nat.astype(np.float64).reshape(nchunk, ncomp, 8, 8)  # [v][u]
-                tmp = np.zeros((nchunk, ncomp, 8, 8))  # [v][x]
-                for u in range(8):
-                    tmp += (c_norm[u] * blocks[..., :, u])[..., :, None] * cos[:, u]
-                tmp /= 2
-                outb = np.zeros((nchunk, ncomp, 8, 8))  # [y][x]
-                for v in range(8):
-                    outb += (c_norm[v] * tmp[..., v, :])[..., None, :] * cos[:, v][:, None]
-                outb /= 2
-
-                # --- stage 4 (chunk): level shift + clamp + scatter into
-                # the plane buffer (advanced indexing pairs by/bx) ------
-                pxc = np.clip(np.floor((outb + 128) + 0.5), 0, 255).astype(np.uint8)
-                midx = np.arange(m0, m1)
-                planes_view[:, midx // bw_, :, midx % bw_, :] = pxc
+                _jpeg_idct_chunk(zz, qt, planes_view, m0, bw_)
                 m0 = m1
             if 8 * bpos - nbits > 8 * nclean:
                 raise ValueError("JPEG entropy stream truncated")
 
-            planes = planes_u8[:, :height, :width]
-            if height * width == 0:  # degenerate 0-pixel scan: match pure
-                raise ValueError("JPEG missing SOF/SOS")
-
-            # --- stage 5: colorspace convert + interleave, chunked over
-            # row bands (float64 stage arrays bounded at ~1M samples) ---
-            if ncomp == 1:
-                samples = planes[0].astype(np.int64).ravel().tolist()
-            else:
-                out_arr = np.empty((height, width, 3), dtype=np.int64)
-                band = max(1, (1 << 20) // max(1, width))
-                for r0 in range(0, height, band):
-                    r1 = min(r0 + band, height)
-                    yv = planes[0, r0:r1].astype(np.float64)
-                    cb = planes[1, r0:r1].astype(np.float64)
-                    cr = planes[2, r0:r1].astype(np.float64)
-                    r_ = np.floor((yv + 1.402 * (cr - 128)) + 0.5)
-                    g_ = np.floor(
-                        (yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5
-                    )
-                    b_ = np.floor((yv + 1.772 * (cb - 128)) + 0.5)
-                    out_arr[r0:r1] = np.clip(
-                        np.stack([r_, g_, b_], axis=-1), 0, 255
-                    ).astype(np.int64)
-                samples = out_arr.ravel().tolist()
+            # --- stage 5: trim + colorspace convert + interleave -------
+            samples = _jpeg_emit(planes_u8, width, height, ncomp)
             return width, height, ncomp, samples
         pos += 2 + seglen
     raise ValueError("JPEG missing SOF/SOS")

@@ -622,6 +622,178 @@ def test_jpeg_decoder_twins_bit_identical_and_env_selectable(monkeypatch):
         mm._decode_jpeg(payload)
 
 
+def test_jpeg_huffman_lut_rejects_kraft_overflowing_dht():
+    """r13 ADVICE: a malformed DHT whose canonical codes overflow 16 bits
+    (Kraft sum > 1) must be REJECTED, not silently grow the 65,536-slot
+    LUTs past their bounds (the oversized lists would then be lru_cached).
+    Both twins fail identically and eagerly at table-build time."""
+    from etl_sample_spark.operators import multimodal as mm
+
+    # 3 codes of length 1: only 2 exist → the third overflows.
+    bad_bits = bytes([3] + [0] * 15)
+    with pytest.raises(ValueError, match="invalid Huffman code"):
+        mm._huff_lut16(bad_bits, bytes([1, 2, 3]))
+    # Boundary: a full 1-bit + 2-bit assignment exactly fills the LUT.
+    full = bytes([1, 2] + [0] * 14)  # codes 0; 10, 11 — Kraft sum = 1
+    sym, ln = mm._huff_lut16(full, bytes([9, 8, 7]))
+    assert len(sym) == 65536 and len(ln) == 65536
+    overfull = bytes([2, 1] + [0] * 14)  # codes 0, 1; then '100' at len 2
+    with pytest.raises(ValueError, match="invalid Huffman code"):
+        mm._huff_lut16(overfull, bytes([9, 8, 7]))
+
+    # End-to-end: corrupt a real payload's DHT counts and both decoders
+    # raise the same error BEFORE any entropy decoding touches the LUTs.
+    base = mm.encode_jpeg(16, 8, lambda x, y: (x * y) % 256, gray=True)
+    dht = base.find(b"\xff\xc4")
+    assert dht > 0
+    m = bytearray(base)
+    m[dht + 5] = 255  # 255 one-bit codes: massively Kraft-violating
+    m[dht + 5 + 16 : dht + 5 + 16] = bytes(255 - sum(base[dht + 5 : dht + 21]))
+    import struct
+
+    struct.pack_into(">H", m, dht + 2, struct.unpack_from(">H", base, dht + 2)[0] + 255 - sum(base[dht + 5 : dht + 21]))
+    for impl in (mm._decode_jpeg_pure, mm._decode_jpeg_numpy):
+        with pytest.raises(ValueError, match="invalid Huffman code"):
+            impl(bytes(m))
+
+
+def test_jpeg_numpy_delegates_reordered_sos_to_pure(monkeypatch):
+    """r13 ADVICE: the numpy fast path fills coefficients in SCAN order
+    but indexes quant tables / reshape / plane scatter by SOF position —
+    a reordered SOS (spec-legal) would silently swap planes between the
+    twins. The guard delegates such layouts to the pure decoder (which
+    dispatches per-component via idx), like the DRI guard."""
+    from etl_sample_spark.operators import multimodal as mm
+
+    base = mm.encode_jpeg(
+        16, 16, lambda x, y: ((x * 11) % 256, (y * 13) % 256, 200), gray=False
+    )
+    sos = base.find(b"\xff\xda")
+    assert sos > 0 and base[sos + 4] == 3
+    m = bytearray(base)
+    # Swap the first two SOS component entries (cid+tda pairs). The
+    # encoder uses table 0 for every component, so the stream stays
+    # decodable — blocks just get attributed to different planes.
+    m[sos + 5 : sos + 7], m[sos + 7 : sos + 9] = base[sos + 7 : sos + 9], base[sos + 5 : sos + 7]
+    reordered = bytes(m)
+
+    pure = mm._decode_jpeg_pure(reordered)
+    assert pure != mm._decode_jpeg_pure(base)  # attribution really moved
+
+    called = []
+    orig = mm._decode_jpeg_pure
+
+    def spy(data):
+        called.append(len(data))
+        return orig(data)
+
+    monkeypatch.setattr(mm, "_decode_jpeg_pure", spy)
+    assert mm._decode_jpeg_numpy(reordered) == pure  # delegated, identical
+    assert called, "reordered SOS did not delegate to the pure decoder"
+    monkeypatch.undo()
+    # In-order scans stay on the fast path (no delegation).
+    called.clear()
+    monkeypatch.setattr(mm, "_decode_jpeg_pure", spy)
+    mm._decode_jpeg_numpy(base)
+    assert not called
+    # Partial scan (ns != ncomp) also delegates rather than misaligning
+    # the (nchunk, ncomp, 64) reshape. A single-component scan over a
+    # 3-component frame reinterprets the stream, so only the delegation
+    # itself is asserted (both twins see the same bytes either way).
+    m2 = bytearray(base)
+    m2[sos + 4] = 1  # ns=1, keep entry 0, shrink the header length
+    import struct
+
+    struct.pack_into(">H", m2, sos + 2, 2 + 1 + 2 + 3)
+    del m2[sos + 7 : sos + 11]  # drop entries 1-2 (keep Ss/Se/AhAl)
+    try:
+        want = orig(bytes(m2))
+    except ValueError as e:
+        want = e
+    called.clear()
+    if isinstance(want, ValueError):
+        with pytest.raises(ValueError):
+            mm._decode_jpeg_numpy(bytes(m2))
+    else:
+        assert mm._decode_jpeg_numpy(bytes(m2)) == want
+    assert called, "partial SOS did not delegate to the pure decoder"
+
+
+def test_jpeg_restart_wave_decoder_bit_identical(monkeypatch):
+    """r14: restart-marker streams (DRI + RSTn) no longer delegate to
+    the pure decoder — the segments between markers are independent
+    (byte-aligned, DC predictors reset), so the numpy twin decodes ALL
+    of them in lockstep vectorized rounds. Pins: (a) bit-identity vs
+    pure across gray/color, dims, and intervals incl. a short final
+    segment; (b) the wave path actually runs (no silent bail to pure);
+    (c) segment-group chunking (forced 1-segment groups) moves no bit;
+    (d) corrupt marker layouts bail to pure and reproduce its result."""
+    import pytest
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    def mkpx(gray, seed):
+        def px(x, y):
+            v = (seed + x * 7919 + y * 104729) % (256**3)
+            return v % 256 if gray else (v % 256, (v >> 8) % 256, (v >> 16) % 256)
+        return px
+
+    fixtures = []
+    for gray, dims, ri, seed in [
+        (True, (37, 21), 1, 1),    # uneven final segment (15 MCUs, ri=1)
+        (True, (16, 16), 3, 2),    # 4 MCUs → 2 segments (2nd short)
+        (False, (24, 16), 1, 3),   # color, per-MCU restarts
+        (False, (17, 11), 2, 4),   # color, odd dims (edge padding)
+        (False, (8, 8), 5, 5),     # single MCU, interval > MCU count
+    ]:
+        payload = mm.encode_jpeg(*dims, mkpx(gray, seed), gray=gray, restart_interval=ri)
+        assert b"\xff\xdd" in payload  # DRI emitted
+        fixtures.append(payload)
+
+    calls = []
+    orig = mm._decode_jpeg_pure
+
+    def spy(data):
+        calls.append(len(data))
+        return orig(data)
+
+    monkeypatch.setattr(mm, "_decode_jpeg_pure", spy)
+    for payload in fixtures:
+        want = orig(payload)
+        assert mm._decode_jpeg_numpy(payload) == want
+    assert not calls, "wave path silently bailed to the pure decoder"
+
+    # chunking: 1-segment groups put a group boundary between every
+    # restart segment and must not move a bit
+    monkeypatch.setattr(mm, "_JPEG_VEC_CHUNK_MCUS", 1)
+    for payload in fixtures:
+        assert mm._decode_jpeg_numpy(payload) == orig(payload)
+    assert not calls
+    monkeypatch.undo()
+
+    # corrupt restart layout: clobber the first RST marker (0xFFD0-D7 →
+    # 0xFFD9 ends the stream early) — segment count mismatches, the
+    # wave bails, and the numpy twin reproduces the pure decoder's
+    # behavior for the corrupt payload exactly (here: an error)
+    payload = fixtures[2]
+    m = bytearray(payload)
+    for i in range(len(m) - 1):
+        if m[i] == 0xFF and 0xD0 <= m[i + 1] <= 0xD7:
+            m[i + 1] = 0xD9
+            break
+    corrupt = bytes(m)
+    try:
+        want = mm._decode_jpeg_pure(corrupt)
+        raised = None
+    except Exception as e:  # noqa: BLE001 — mirror whatever pure does
+        want, raised = None, type(e)
+    if raised is None:
+        assert mm._decode_jpeg_numpy(corrupt) == want
+    else:
+        with pytest.raises(raised):
+            mm._decode_jpeg_numpy(corrupt)
+
+
 def test_jpeg_decoder_pil_twin_within_tolerance_if_available():
     """Pillow-backed JPEG twin — self-skips where Pillow is absent (this
     container). JPEG decoders are NOT bit-identical across

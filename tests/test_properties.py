@@ -210,6 +210,36 @@ def test_jpeg_decoder_twins_agree_property(width, height, seed, gray, coarse):
 
 
 @given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gray=st.booleans(),
+    restart=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_restart_wave_twin_agrees_property(width, height, seed, gray, restart):
+    """PROPERTY pin for the r14 restart-marker wave decoder: for ANY
+    dims, ANY pixel content, gray or color, and ANY restart interval
+    (including intervals that leave a short final segment and payloads
+    whose pad-to-byte flush emits a stuffed 0xFF), the lockstep-wave
+    numpy path must reproduce the pure decoder sample-for-sample. The
+    interval range 1-7 at dims ≤ 24 covers 1-segment, many-segment,
+    and uneven-final-segment layouts."""
+    from etl_sample_spark.operators.multimodal import (
+        _decode_jpeg_numpy,
+        _decode_jpeg_pure,
+        encode_jpeg,
+    )
+
+    def px(x, y):
+        v = (seed + x * 7919 + y * 104729) % (256**3)
+        return v % 256 if gray else (v % 256, (v >> 8) % 256, (v >> 16) % 256)
+
+    payload = encode_jpeg(width, height, px, gray=gray, restart_interval=restart)
+    assert _decode_jpeg_numpy(payload) == _decode_jpeg_pure(payload)
+
+
+@given(
     width=st.integers(min_value=1, max_value=20),
     height=st.integers(min_value=1, max_value=20),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
