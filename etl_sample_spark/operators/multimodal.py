@@ -1077,23 +1077,87 @@ class _JpegWaveBail(Exception):
 
 @functools.lru_cache(maxsize=4)
 def _jpeg_lut_stack(dc_tables: tuple, ac_tables: tuple):
-    """Per-component Huffman LUTs stacked into (ncomp, 65536) int64
-    arrays for the wave decoder's 2-D gathers (``sym = st[comp, p16]``).
-    Cached per distinct table tuple — ~2 MB/component/entry; bounded so
-    adversarial streams with many distinct tables can't grow workers."""
+    """Per-component Huffman LUTs stacked into (ncomp, 65536) int32
+    arrays for the wave decoder's 2-D gathers, with symbol and code
+    length packed into ONE entry (``sym << 5 | len``; entry 0 = invalid
+    prefix) so each symbol costs a single gather. Cached per distinct
+    table tuple — ~1 MB/component/entry; bounded so adversarial streams
+    with many distinct tables can't grow workers."""
     import numpy as np
 
     def stack(tables):
-        syms, lens = [], []
+        packed = []
         for bits, vals in tables:
             s, ln = _huff_lut16(bits, vals)
-            syms.append(np.array(s, dtype=np.int64))
-            lens.append(np.array(ln, dtype=np.int64))
-        return np.stack(syms), np.stack(lens)
+            packed.append(
+                (np.array(s, dtype=np.int32) << 5) | np.array(ln, dtype=np.int32)
+            )
+        return np.stack(packed)
 
-    dc_s, dc_l = stack(dc_tables)
-    ac_s, ac_l = stack(ac_tables)
-    return dc_s, dc_l, ac_s, ac_l
+    return stack(dc_tables), stack(ac_tables)
+
+
+@functools.lru_cache(maxsize=4)
+def _jpeg_mlut_stack(ac_tables: tuple):
+    """Multi-symbol AC LUTs for the wave decoder, stacked per component.
+
+    For every 16-bit window ``w``, greedily decode up to THREE complete
+    (run, size, value) AC symbols wholly contained in the window (sizes
+    capped at 10 bits so a value field fits 11 bits signed-offset), plus
+    an optional trailing EOB whose code also fits. Entries (int64):
+
+    - header ``mh[w]``: bits 0-4 total bit advance, 5-6 symbol count,
+      7 trailing-EOB flag, 8-13 total k-increment (sum of run+1);
+      0 = window not packable this way (single-symbol path handles it).
+    - ``f1/f2/f3[w]``: per-slot ``run << 11 | (value + 1024)``.
+
+    Built fully vectorized from the 16-bit LUTs (the value bits are part
+    of the window, so the DECODED values live in the table — one gather
+    replaces 2-3 symbol decodes). Windows whose chain hits a long code,
+    a size > 10, ZRL, or an invalid prefix stop early; the runtime gate
+    additionally rejects entries whose k-increment would cross the
+    block's 64-coefficient boundary mid-entry."""
+    import numpy as np
+
+    def build(bits, vals):
+        sym_l, len_l = _huff_lut16(bits, vals)
+        acs = np.array(sym_l, dtype=np.int64)
+        acl = np.array(len_l, dtype=np.int64)
+        win = np.arange(65536, dtype=np.int64)
+        adv = np.zeros(65536, np.int64)
+        nsym = np.zeros(65536, np.int64)
+        kinc = np.zeros(65536, np.int64)
+        fields = []
+        alive = np.ones(65536, bool)
+        for _ in range(3):
+            sym = acs[win]
+            ln = acl[win]
+            r = sym >> 4
+            s = sym & 15
+            a = ln + s
+            ok = alive & (ln > 0) & (s > 0) & (s <= 10) & (a <= 16 - adv)
+            v = (win >> np.clip(16 - a, 0, 16)) & ((1 << s) - 1)
+            ext = np.where(v >= (1 << np.maximum(s - 1, 0)), v, v - (1 << s) + 1)
+            fields.append(np.where(ok, (r << 11) | (ext + 1024), 0))
+            adv = np.where(ok, adv + a, adv)
+            nsym += ok
+            kinc = np.where(ok, kinc + r + 1, kinc)
+            alive = ok
+            win = np.where(ok, (win << np.where(ok, a, 0)) & 0xFFFF, win)
+        sym_e = acs[win]
+        ln_e = acl[win]
+        eob = (ln_e > 0) & (sym_e == 0) & (ln_e <= 16 - adv)
+        adv_f = np.where(eob, adv + ln_e, adv)
+        usable = (nsym > 0) | eob
+        hdr = np.where(
+            usable,
+            adv_f | (nsym << 5) | np.where(eob, 128, 0) | (kinc << 8),
+            0,
+        )
+        return hdr, fields[0], fields[1], fields[2]
+
+    parts = [build(*bv) for bv in ac_tables]
+    return tuple(np.stack([p[i] for p in parts]) for i in range(4))
 
 
 def _decode_jpeg_wave(
@@ -1161,9 +1225,12 @@ def _decode_jpeg_wave(
     # already cut out, so every FF inside a segment is a stuffed one)
     segs = [s.replace(b"\xff\x00", b"\xff") for s in segs]
 
-    dc_st, dl_st, ac_st, al_st = _jpeg_lut_stack(
+    pdc_st, pac_st = _jpeg_lut_stack(
         tuple(huff_raw[(0, t >> 4)] for t in tdas),
         tuple(huff_raw[(1, t & 15)] for t in tdas),
+    )
+    mh_st, f1_st, f2_st, f3_st = _jpeg_mlut_stack(
+        tuple(huff_raw[(1, t & 15)] for t in tdas)
     )
 
     qt = np.array([qtables[comps[c][2]] for c in range(ncomp)], dtype=np.int64)
@@ -1184,10 +1251,12 @@ def _decode_jpeg_wave(
         np.cumsum(seg_bytes[:-1], out=offs[1:])
 
         # 16-bit window at every bit offset of buf (peeks[p] = the 16
-        # bits starting at bit p) — one vectorized build per group
-        b8 = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        # bits starting at bit p) — one vectorized build per group;
+        # uint32 halves the build/gather bandwidth vs int64 and every
+        # consumer promotes to a signed width before arithmetic
+        b8 = np.frombuffer(buf, dtype=np.uint8).astype(np.uint32)
         w32 = (b8[:-3] << 24) | (b8[1:-2] << 16) | (b8[2:-1] << 8) | b8[3:]
-        peeks = np.empty((len(w32), 8), dtype=np.int64)
+        peeks = np.empty((len(w32), 8), dtype=np.uint32)
         for phs in range(8):
             peeks[:, phs] = (w32 >> (16 - phs)) & 0xFFFF
         peeks = peeks.reshape(-1)
@@ -1214,45 +1283,103 @@ def _decode_jpeg_wave(
                 raise _JpegWaveBail
             idx = np.flatnonzero(alive)
             ci = comp[idx]
-            p16 = peeks[pos[idx]]
-            dcm = kk[idx] == 0
-            sym = np.where(dcm, dc_st[ci, p16], ac_st[ci, p16])
-            ln = np.where(dcm, dl_st[ci, p16], al_st[ci, p16])
-            if not ln.all():
-                raise _JpegWaveBail  # invalid Huffman code on some lane
-            s = np.where(dcm, sym, sym & 15)
-            pos2 = pos[idx] + ln
-            v = (peeks[pos2] >> (16 - s)) & ((1 << s) - 1)
-            ext = np.where(v >= (1 << np.maximum(s - 1, 0)), v, v - (1 << s) + 1)
-            ext = np.where(s > 0, ext, 0)
+            posi = pos[idx]
+            p16 = peeks[posi]
+            kki = kk[idx]
             base = blk[idx] * 64
 
-            newk = np.where(dcm, 1, kk[idx])
+            newk = kki.copy()
+            newpos = posi.copy()
             bdone = np.zeros(len(idx), dtype=bool)
 
-            if dcm.any():
-                dsel = np.flatnonzero(dcm)
-                pidx = idx[dsel] * ncomp + ci[dsel]
-                np2 = preds[pidx] + ext[dsel]
+            dcm = kki == 0
+            dsel = np.flatnonzero(dcm)
+            if dsel.size:
+                cid = ci[dsel]
+                p16d = p16[dsel]
+                pd = pdc_st[cid, p16d]
+                if not pd.all():
+                    raise _JpegWaveBail  # invalid DC code on some lane
+                lnd = pd & 31
+                sd = pd >> 5
+                pos2d = posi[dsel] + lnd
+                vd = (peeks[pos2d] >> (16 - sd)) & ((1 << sd) - 1)
+                extd = np.where(vd >= (1 << np.maximum(sd - 1, 0)), vd, vd - (1 << sd) + 1)
+                extd = np.where(sd > 0, extd, 0)
+                pidx = idx[dsel] * ncomp + cid
+                np2 = preds[pidx] + extd
                 preds[pidx] = np2
                 coef[base[dsel]] = np2
-            acm = ~dcm
-            if acm.any():
-                eob = acm & (sym == 0)
-                zrl = acm & (sym == 240)
-                nrm = acm & ~eob & ~zrl
-                if nrm.any():
-                    nsel = np.flatnonzero(nrm)
-                    kn = kk[idx[nsel]] + (sym[nsel] >> 4)
-                    if (kn > 63).any():
-                        raise _JpegWaveBail  # AC run exceeds block bounds
-                    coef[base[nsel] + kn] = ext[nsel]
-                    newk[nsel] = kn + 1
-                newk = np.where(zrl, kk[idx] + 16, newk)
-                bdone = eob | (~dcm & (newk >= 64))
+                newk[dsel] = 1
+                newpos[dsel] = pos2d + sd
+            asel = np.flatnonzero(~dcm)
+            if asel.size:
+                cia = ci[asel]
+                p16a = p16[asel]
+                kka = kki[asel]
+                # multi-symbol fast path: apply a packed 2-3 symbol (+
+                # optional EOB) entry when its total k-increment stays
+                # inside the block (crossing 64 mid-entry would consume
+                # bits that belong to the next block's DC symbol)
+                h = mh_st[cia, p16a]
+                kx = kka + (h >> 8)
+                mlt = (h != 0) & ((kx < 64) | ((kx == 64) & ((h & 128) == 0)))
+                sub = np.flatnonzero(mlt)
+                if sub.size:
+                    msel = asel[sub]
+                    hi = h[sub]
+                    cim = cia[sub]
+                    p16m = p16a[sub]
+                    bs = base[msel]
+                    nm = (hi >> 5) & 3
+                    f1 = f1_st[cim, p16m]
+                    k1 = kka[sub] + (f1 >> 11)
+                    w1 = nm >= 1
+                    coef[(bs + k1)[w1]] = ((f1 & 2047) - 1024)[w1]
+                    f2 = f2_st[cim, p16m]
+                    k2 = k1 + 1 + (f2 >> 11)
+                    w2 = nm >= 2
+                    coef[(bs + k2)[w2]] = ((f2 & 2047) - 1024)[w2]
+                    f3 = f3_st[cim, p16m]
+                    k3 = k2 + 1 + (f3 >> 11)
+                    w3 = nm >= 3
+                    coef[(bs + k3)[w3]] = ((f3 & 2047) - 1024)[w3]
+                    newk[msel] = kx[sub]
+                    newpos[msel] = posi[msel] + (hi & 31)
+                    bdone[msel] = (hi & 128) != 0
+                ssub = np.flatnonzero(~mlt)
+                if ssub.size:
+                    ssel = asel[ssub]
+                    pa = pac_st[cia[ssub], p16a[ssub]]
+                    if not pa.all():
+                        raise _JpegWaveBail  # invalid AC code on some lane
+                    ln = pa & 31
+                    sym = pa >> 5
+                    r = sym >> 4
+                    s = sym & 15
+                    pos2 = posi[ssel] + ln
+                    eob = sym == 0
+                    zrl = sym == 240
+                    nrm = ~eob & ~zrl
+                    nsub = np.flatnonzero(nrm)
+                    if nsub.size:
+                        kn = kka[ssub[nsub]] + r[nsub]
+                        if (kn > 63).any():
+                            raise _JpegWaveBail  # AC run exceeds block
+                        sn = s[nsub]
+                        vn = (peeks[pos2[nsub]] >> (16 - sn)) & ((1 << sn) - 1)
+                        extn = np.where(
+                            vn >= (1 << (sn - 1)), vn, vn - (1 << sn) + 1
+                        )
+                        coef[base[ssel[nsub]] + kn] = extn
+                        newk[ssel[nsub]] = kn + 1
+                    newk[ssel[zrl]] = kka[ssub[zrl]] + 16
+                    bdone[ssel] |= eob
+                    newpos[ssel] = pos2 + s
+                bdone[asel] |= newk[asel] >= 64
 
             kk[idx] = np.where(bdone, 0, newk)
-            pos[idx] = pos2 + s
+            pos[idx] = newpos
             if bdone.any():
                 bsel = idx[np.flatnonzero(bdone)]
                 if (pos[bsel] > end_bits[bsel]).any():
