@@ -56,6 +56,12 @@ _FRONT_PINS = [
     #   via idx), like the DRI guard, instead of misattributing planes.
     # All seven queries reach the shared decoder dispatch, so the
     # closure fingerprint dirties the whole set.
+    # r14 skew fix (VERDICT item 4): salted_join now pins sort-merge
+    # (force_shuffle) — the optimizer previously chose broadcast here,
+    # where the salt has no reducers to spread and just replicated the
+    # build side 4×, the r13 10× scale outlier. Same join semantics
+    # (strategy hint only); results unchanged, plan re-pinned.
+    "skewjoin_revenue_by_priority",
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",

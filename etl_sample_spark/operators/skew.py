@@ -31,6 +31,7 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
     salt_from: Sequence[str | Column] | None = None,
+    force_shuffle: bool = True,
 ) -> DataFrame:
     """Equi-join with key salting: ``big`` rows get a DETERMINISTIC salt
     in [0, n_salts) — ``pmod(xxhash64(salt_from...), n_salts)`` when the
@@ -64,6 +65,19 @@ def salted_join(
     (~shuffle-partition-size / row-width). For dims that fit in memory,
     prefer ``F.broadcast`` — salting is for the mid-size skewed case
     where neither broadcast nor an even shuffle works.
+
+    ``force_shuffle`` (default True) pins the join to sort-merge via a
+    ``merge`` hint on the replicated side. Salting only has a job when
+    the join SHUFFLES — a broadcast join has no reducers to skew, so if
+    the optimizer picks broadcast the salt degenerates to replicating
+    the build side ``n_salts``× for nothing. That composition was the
+    r13 10× scale-suite outlier (measured r14): the plan chose
+    BroadcastHashJoin and the "skew" cost was really an n_salts×-bigger
+    broadcast build growing with data size, while the hinted
+    sort-merge path scales ~linearly with the salt spreading reducers
+    as designed. Pass ``force_shuffle=False`` only when the caller
+    wants AQE free to pick broadcast (accepting the replication waste
+    if it does).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
@@ -94,6 +108,8 @@ def salted_join(
         hash_cols = [F.col(c) for c in big.columns]
     salt = F.pmod(F.xxhash64(*hash_cols), F.lit(n_salts))
     salted_big = big.withColumn("_salt", salt)
+    if force_shuffle:
+        small = small.hint("merge")
     salted_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )

@@ -603,7 +603,11 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle runs; the salt spreads hot keys over n_salts reducers. "
     "Salted on the (l_orderkey, l_linenumber) unique key (r12): a "
     "deterministic per-row salt survives shuffle-fetch retries, where "
-    "the r11 positional salt could re-deal rows mid-recovery.",
+    "the r11 positional salt could re-deal rows mid-recovery. r14: the "
+    "join is pinned to sort-merge (salted_join force_shuffle) — the "
+    "optimizer previously picked broadcast here, where the salt has no "
+    "reducers to spread and just replicated the build side 4x (the r13 "
+    "10x scale outlier); the hinted path scales ~linearly.",
 )
 def skewjoin_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem").select(

@@ -188,6 +188,37 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     assert joined.count() == plain
 
 
+def test_salted_join_forces_sort_merge_strategy(spark, sf_dir):
+    """r14 (VERDICT item 4): salting only has a job when the join
+    SHUFFLES — a broadcast join has no reducers to skew, so composing
+    the salt with BroadcastHashJoin just replicates the build side
+    n_salts× for nothing (the r13 10× scale outlier: the 'skew' cost
+    was an exploded broadcast build growing with data). salted_join now
+    pins sort-merge by default; the registered query must therefore
+    plan a SortMergeJoin, and force_shuffle=False must hand the choice
+    back to the optimizer (which picks broadcast at this size)."""
+    from etl_sample_spark import catalog
+    from etl_sample_spark.operators.skew import salted_join
+    from etl_sample_spark.plans import REGISTRY
+
+    df = REGISTRY["skewjoin_revenue_by_priority"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = catalog.table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    free = salted_join(
+        li, orders, "l_orderkey", "o_orderkey", n_salts=4, force_shuffle=False
+    )
+    free.collect()
+    free_plan = free._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in free_plan
+    # strategy must not change semantics either way
+    assert free.count() == df.selectExpr("sum(n_lines)").head()[0]
+
+
 def test_salted_join_salt_is_deterministic(spark):
     """The salt participates in the shuffle/join key, so it must be a
     pure function of the row: a positional salt
