@@ -1672,15 +1672,134 @@ def _decode_jpeg_pil(data: bytes) -> tuple[int, int, int, list[int]]:
     return im.width, im.height, ncomp, list(im.tobytes())
 
 
+@functools.lru_cache(maxsize=1)
+def _libjpeg_available() -> bool:
+    """Hazard-gated probe for the system libjpeg hook: run the ctypes
+    decoder against both twins in a SUBPROCESS first (the ABI-probing
+    technique in :func:`_decode_jpeg_libjpeg` would take down the whole
+    worker if a libjpeg build ever disagreed about struct layout —
+    jpeg's default error path calls ``exit()``). Only a subprocess that
+    decodes gray + color payloads within the documented tolerance
+    enables in-process use. lru_cache (not a module global) on purpose:
+    runtime-mutable globals leak into the pin-policy fingerprint."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from etl_sample_spark.operators import multimodal as mm\n"
+        "for gray in (True, False):\n"
+        "    p = mm.encode_jpeg(17, 9, lambda x, y: ((x*37+y*11) %% 256) if gray"
+        " else ((x*37) %% 256, (y*53) %% 256, ((x+y)*29) %% 256), gray=gray)\n"
+        "    w, h, n, s = mm._decode_jpeg_libjpeg(p)\n"
+        "    pw, ph, pn, ps = mm._decode_jpeg_pure(p)\n"
+        "    assert (w, h, n) == (pw, ph, pn), 'shape'\n"
+        "    assert max(abs(a - b) for a, b in zip(s, ps)) <= 3, 'tolerance'\n"
+        "print('ok')\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=60
+        )
+        return out.returncode == 0 and b"ok" in out.stdout
+    except Exception:
+        return False
+
+
+def _decode_jpeg_libjpeg(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Native-decoder twin via the SYSTEM libjpeg-turbo (libjpeg.so.62,
+    present in this container — no install needed), driven through
+    ctypes against the classic jpeg62 ABI.
+
+    The jpeg_decompress_struct layout is version-dependent, so this
+    never reads or writes library-private fields: the struct lives in
+    an OVERSIZED opaque buffer, only the ``err`` pointer (field 0 of
+    the common fields, ABI-stable) is set, and width/height/ncomp come
+    from our own SOF parse instead of the struct. The one layout-
+    dependent call — ``jpeg_CreateDecompress``'s structsize check —
+    is neutralized by overriding ``error_exit`` (field 0 of
+    jpeg_error_mgr, also ABI-stable) with a recording no-op; the
+    library then initializes our larger-than-needed buffer and every
+    later call uses its own compiled offsets within it. Callers gate on
+    :func:`_libjpeg_available`, which proves the whole dance in a
+    subprocess before any in-process use.
+
+    Like the Pillow twin: NOT bit-identical to the pure decoder (T.81
+    mandates no exact IDCT; libjpeg-turbo uses integer/SIMD IDCTs), so
+    tests pin shape exactly and samples to a small per-sample tolerance
+    (measured max |Δ| = 2 on near-lossless payloads). Unlike the other
+    twins it accepts the full baseline feature set libjpeg supports
+    (subsampled chroma, restart markers) — but it trusts its input:
+    corrupt streams are undefined here (the error hook records and
+    aborts, but jpeg's error paths assume no-return), which is why it
+    is opt-in and never the ``auto`` choice.
+    """
+    import ctypes
+    import struct
+
+    # our own SOF walk for (width, height, ncomp) — no struct reads
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    width = height = ncomp = None
+    while pos + 4 <= len(data):
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline/extended/progressive
+            _, height, width, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
+            break
+        pos += 2 + seglen
+    if width is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    lj = ctypes.CDLL("libjpeg.so.62")
+    flags = []
+    err_cb = ctypes.CFUNCTYPE(None, ctypes.c_void_p)(lambda _ci: flags.append(1))
+    errbuf = ctypes.create_string_buffer(1024)
+    lj.jpeg_std_error.restype = ctypes.c_void_p
+    errp = lj.jpeg_std_error(ctypes.byref(errbuf))
+    ctypes.cast(errp, ctypes.POINTER(ctypes.c_void_p))[0] = ctypes.cast(
+        err_cb, ctypes.c_void_p
+    ).value
+
+    cinfo = ctypes.create_string_buffer(8192)
+    ctypes.cast(ctypes.byref(cinfo), ctypes.POINTER(ctypes.c_void_p))[0] = errp
+    lj.jpeg_CreateDecompress(ctypes.byref(cinfo), 62, 4096)
+    flags.clear()  # the structsize mismatch fires once by design
+    try:
+        src = ctypes.create_string_buffer(data, len(data))
+        lj.jpeg_mem_src(ctypes.byref(cinfo), src, len(data))
+        if lj.jpeg_read_header(ctypes.byref(cinfo), 1) != 1 or flags:
+            raise ValueError("libjpeg rejected the JPEG header")
+        if lj.jpeg_start_decompress(ctypes.byref(cinfo)) != 1 or flags:
+            raise ValueError("libjpeg could not start decompression")
+        row = ctypes.create_string_buffer(width * ncomp)
+        rowp = (ctypes.c_void_p * 1)(ctypes.cast(row, ctypes.c_void_p))
+        out = bytearray()
+        for _y in range(height):
+            if lj.jpeg_read_scanlines(ctypes.byref(cinfo), rowp, 1) != 1 or flags:
+                raise ValueError("libjpeg scanline decode failed")
+            out += row.raw
+        lj.jpeg_finish_decompress(ctypes.byref(cinfo))
+    finally:
+        lj.jpeg_destroy_decompress(ctypes.byref(cinfo))
+    return width, height, ncomp, list(out)
+
+
 # Decoder registry for the JPEG payload path — same contract as
 # _PNG_RAW_IMPLS: "auto" (default) takes the numpy twin (bit-identical,
 # test-pinned) when numpy imports, else pure; SPARK_GRAFT_JPEG_DECODER
-# selects explicitly ("pil" opts into Pillow where installed — tolerance
-# semantics, see _decode_jpeg_pil).
+# selects explicitly ("pil" opts into Pillow where installed, "libjpeg"
+# into the ctypes system-library hook — both tolerance semantics, see
+# _decode_jpeg_pil / _decode_jpeg_libjpeg).
 _JPEG_IMPLS = {
     "pure": _decode_jpeg_pure,
     "numpy": _decode_jpeg_numpy,
     "pil": _decode_jpeg_pil,
+    "libjpeg": _decode_jpeg_libjpeg,
 }
 
 
