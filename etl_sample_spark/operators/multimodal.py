@@ -1023,16 +1023,28 @@ def _jpeg_idct_chunk(zz, qt, planes_view, m0, bw_):
     nat[..., zig] = zz
 
     blocks = nat.astype(np.float64).reshape(zz.shape[0], zz.shape[1], 8, 8)  # [v][u]
+    # scratch reused across terms: np.multiply(..., out=) keeps each
+    # term's multiply and the += in the pure path's exact order while
+    # avoiding a fresh (n, ncomp, 8, 8) allocation per butterfly term
+    scratch = np.empty_like(blocks)
     tmp = np.zeros_like(blocks)  # [v][x]
     for u in range(8):
-        tmp += (c_norm[u] * blocks[..., :, u])[..., :, None] * cos[:, u]
+        np.multiply((c_norm[u] * blocks[..., :, u])[..., :, None], cos[:, u], out=scratch)
+        tmp += scratch
     tmp /= 2
     outb = np.zeros_like(blocks)  # [y][x]
     for v in range(8):
-        outb += (c_norm[v] * tmp[..., v, :])[..., None, :] * cos[:, v][:, None]
+        np.multiply(
+            (c_norm[v] * tmp[..., v, :])[..., None, :], cos[:, v][:, None], out=scratch
+        )
+        outb += scratch
     outb /= 2
 
-    pxc = np.clip(np.floor((outb + 128) + 0.5), 0, 255).astype(np.uint8)
+    np.add(outb, 128, out=outb)
+    np.add(outb, 0.5, out=outb)
+    np.floor(outb, out=outb)
+    np.clip(outb, 0, 255, out=outb)
+    pxc = outb.astype(np.uint8)
     midx = np.arange(m0, m0 + nchunk)
     planes_view[:, midx // bw_, :, midx % bw_, :] = pxc
 

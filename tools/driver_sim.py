@@ -125,7 +125,12 @@ def main():
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written tables (e.g. the synthesized 10x dataset)
+            # are directories of part files; driver parquet is a file.
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     ent = e.entry(spark)
     n = len(ent.collect())
