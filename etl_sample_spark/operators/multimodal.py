@@ -1314,6 +1314,13 @@ def _decode_jpeg_wave(
                     raise _JpegWaveBail  # invalid DC code on some lane
                 lnd = pd & 31
                 sd = pd >> 5
+                if (sd > 16).any():
+                    # Adversarial DHT: a DC size category beyond 16 bits
+                    # cannot be served from a 16-bit window (numpy's
+                    # negative shift would silently produce garbage where
+                    # the pure decoder reads the long value bit-by-bit) —
+                    # bail so pure defines the behavior.
+                    raise _JpegWaveBail
                 pos2d = posi[dsel] + lnd
                 vd = (peeks[pos2d] >> (16 - sd)) & ((1 << sd) - 1)
                 extd = np.where(vd >= (1 << np.maximum(sd - 1, 0)), vd, vd - (1 << sd) + 1)

@@ -794,6 +794,35 @@ def test_jpeg_restart_wave_decoder_bit_identical(monkeypatch):
             mm._decode_jpeg_numpy(corrupt)
 
 
+def test_jpeg_wave_bails_on_oversize_dc_category(monkeypatch):
+    """r14 self-review: a (spec-invalid but parseable) DC size category
+    > 16 cannot be served from the wave decoder's 16-bit value windows —
+    numpy's negative shift count silently yields garbage where the pure
+    decoder reads the long value bit-by-bit. The wave must BAIL to pure
+    so both twins agree on such adversarial payloads."""
+    from etl_sample_spark.operators import multimodal as mm
+
+    base = mm.encode_jpeg(
+        16, 16, lambda x, y: (x * 31 + y * 17) % 256, gray=True, restart_interval=1
+    )
+    dht = base.find(b"\xff\xc4")
+    assert dht > 0 and base[dht + 4] == 0x00  # DC table 0
+    m = bytearray(base)
+    m[dht + 4 + 17] = 20  # first DC val: size category 20 (> 16)
+    payload = bytes(m)
+
+    try:
+        want = mm._decode_jpeg_pure(payload)
+        raised = None
+    except Exception as e:  # noqa: BLE001 — mirror whatever pure does
+        want, raised = None, type(e)
+    if raised is None:
+        assert mm._decode_jpeg_numpy(payload) == want
+    else:
+        with pytest.raises(raised):
+            mm._decode_jpeg_numpy(payload)
+
+
 def test_jpeg_decoder_libjpeg_twin_within_tolerance(monkeypatch):
     """r14 (VERDICT item 5): a NATIVE decoder executed for real — the
     ctypes hook against the container's system libjpeg-turbo
