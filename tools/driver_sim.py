@@ -118,11 +118,14 @@ def canon(cols, rows):
 
 
 def main():
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("drive-driver-contract")
-        .getOrCreate()
-    )
+    builder = SparkSession.builder.master("local[8]").appName("drive-driver-contract")
+    # Off-SF tiers (the 10x heavy-tail slice) collect multi-million-row
+    # results for the value comparison; the grading contract itself runs
+    # at sf0.01 where the vanilla default suffices. Opt-in only — unset
+    # keeps the session exactly driver-vanilla.
+    if os.environ.get("DRIVE_DRIVER_MEM"):
+        builder = builder.config("spark.driver.memory", os.environ["DRIVE_DRIVER_MEM"])
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
