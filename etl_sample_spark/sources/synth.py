@@ -99,7 +99,20 @@ def synthesize_scale(
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         out = df.drop("__copy")
-        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        # Spread the write across 32 KEY-RANGED part files: the map-side
+        # crossJoin inherits the SOURCE file's split count (1-2 for the
+        # sf0.1 single-file tables), so without this the 10x fact tables
+        # land in 1-2 files and every downstream scan in the scale tier
+        # runs 1-2 tasks wide — measured r14 as a suite-wide straggler
+        # pattern ((20+1)/21 stages waiting on one scan task). Range
+        # partitioning on the table's primary key (not round-robin,
+        # which was measured to slow key-ranged consumers ~2x by fully
+        # overlapping every file's key range) mirrors how ingested
+        # tables land in production: one shuffle at generation buys
+        # full, clustered scan parallelism for every consumer.
+        out.repartitionByRange(32, keys[0][0]).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
         counts[name] = out.count()
     return counts
 
