@@ -352,17 +352,89 @@ def _png_raw_pil(data: bytes) -> tuple[int, int, int, bytearray]:
     return im.width, im.height, bpp, bytearray(im.tobytes())
 
 
+def _png_image_struct():
+    """libpng 1.6's ``png_image`` control struct (simplified API) — a
+    PUBLIC, ABI-stable layout (png.h documents it as the stable
+    interchange struct), unlike the private jpeg_decompress_struct the
+    JPEG hook must treat as opaque."""
+    import ctypes
+
+    class PngImage(ctypes.Structure):
+        _fields_ = [
+            ("opaque", ctypes.c_void_p),
+            ("version", ctypes.c_uint32),
+            ("width", ctypes.c_uint32),
+            ("height", ctypes.c_uint32),
+            ("format", ctypes.c_uint32),
+            ("flags", ctypes.c_uint32),
+            ("colormap_entries", ctypes.c_uint32),
+            ("warning_or_error", ctypes.c_uint32),
+            ("message", ctypes.c_char * 64),
+        ]
+
+    return PngImage
+
+
+@functools.lru_cache(maxsize=1)
+def _libpng_available() -> bool:
+    """Probe the system-libpng hook IN PROCESS — safe, unlike the JPEG
+    probe: libpng's simplified API reports failures by returning 0 with
+    a message (setjmp is internal to the library), so a disagreeing
+    build costs a ValueError, never the worker. The probe decodes one
+    tiny payload and requires BYTE equality with the pure twin (PNG is
+    lossless — native must match exactly, no tolerance)."""
+    try:
+        payload = encode_png(5, 6, lambda x, y: bytes(((x * 7) % 256, (y * 11) % 256, 9)))
+        return _png_raw_libpng(payload) == _png_raw(payload)
+    except Exception:
+        return False
+
+
+def _png_raw_libpng(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Native-decoder twin of :func:`_png_raw` via the SYSTEM libpng
+    (libpng16.so.16, present in this container — no install), driven
+    through ctypes against the documented simplified ``png_image`` API.
+    PNG decode is LOSSLESS, so unlike the JPEG native hook this twin is
+    pinned BYTE-IDENTICAL to the pure/numpy twins. Only the layouts the
+    portable twins accept are served (8-bit gray / RGB, non-interlaced
+    producers in-repo); anything else raises like the Pillow twin."""
+    import ctypes
+
+    lp = ctypes.CDLL("libpng16.so.16")
+    img = _png_image_struct()()
+    img.version = 1  # PNG_IMAGE_VERSION
+    buf = ctypes.create_string_buffer(data, len(data))
+    if not lp.png_image_begin_read_from_memory(ctypes.byref(img), buf, len(data)):
+        raise ValueError(
+            f"libpng rejected the PNG payload: {img.message.decode(errors='replace')}"
+        )
+    # PNG_FORMAT_GRAY = 0, PNG_FORMAT_RGB = 2 (the COLOR flag); anything
+    # else (alpha, 16-bit linear, colormap) is outside the twins' remit
+    if img.format not in (0, 2):
+        raise NotImplementedError(f"libpng twin supports gray/RGB, got format {img.format}")
+    bpp = 1 if img.format == 0 else 3
+    out = ctypes.create_string_buffer(img.width * img.height * bpp)
+    if not lp.png_image_finish_read(ctypes.byref(img), None, out, 0, None):
+        raise ValueError(
+            f"libpng failed to decode the PNG payload: {img.message.decode(errors='replace')}"
+        )
+    return int(img.width), int(img.height), bpp, bytearray(out.raw)
+
+
 # Decoder registry for the PNG payload path. "auto" (the default) uses
 # the numpy-accelerated twin — numpy ships with every PySpark worker
 # (pandas/Arrow dependency), and the output is bit-identical to "pure"
 # (test-pinned). Select explicitly via SPARK_GRAFT_PNG_DECODER
 # (executors inherit it in local mode; set spark.executorEnv.* on a
 # cluster): "pure" keeps the stdlib-only oracle twin, "pil" opts into
-# Pillow where installed.
+# Pillow where installed, "libpng" into the ctypes system-library hook
+# (byte-identical — PNG is lossless — and probe-gated, see
+# _libpng_available).
 _PNG_RAW_IMPLS = {
     "pure": _png_raw,
     "numpy": _png_raw_numpy,
     "pil": _png_raw_pil,
+    "libpng": _png_raw_libpng,
 }
 
 

@@ -823,6 +823,33 @@ def test_jpeg_wave_bails_on_oversize_dc_category(monkeypatch):
             mm._decode_jpeg_numpy(payload)
 
 
+def test_png_decoder_libpng_twin_byte_identical(monkeypatch):
+    """r14 (VERDICT item 5, PNG leg): the ctypes hook against the
+    container's system libpng16 via the documented simplified png_image
+    API. PNG is LOSSLESS, so unlike the JPEG native twin this one is
+    pinned BYTE-IDENTICAL to the pure and numpy twins — across dims that
+    exercise every filter type (encode_png assigns filter y % 5), the
+    1×1 edge, and wide/tall aspect ratios. The probe is in-process-safe
+    (the simplified API reports errors by return code, no exit())."""
+    from etl_sample_spark.operators import multimodal as mm
+
+    if not mm._libpng_available():
+        pytest.skip("system libpng absent or failed the probe")
+
+    for dims in ((23, 17), (1, 1), (64, 8), (5, 40)):
+        payload = mm.encode_png(
+            *dims, lambda x, y: bytes(((x * 7) % 256, (y * 11) % 256, ((x * y) + y) % 256))
+        )
+        assert mm._png_raw_libpng(payload) == mm._png_raw(payload) == mm._png_raw_numpy(payload)
+
+    monkeypatch.setenv("SPARK_GRAFT_PNG_DECODER", "libpng")
+    w, h, bpp, _ = mm._png_raw_dispatch(mm.encode_png(9, 4, lambda x, y: bytes((x, y, 0))))
+    assert (w, h, bpp) == (9, 4, 3)
+
+    with pytest.raises(ValueError, match="libpng"):
+        mm._png_raw_libpng(b"\x89PNG\r\n\x1a\n" + b"junk" * 8)
+
+
 def test_jpeg_decoder_libjpeg_twin_within_tolerance(monkeypatch):
     """r14 (VERDICT item 5): a NATIVE decoder executed for real — the
     ctypes hook against the container's system libjpeg-turbo

@@ -174,6 +174,14 @@ def test_png_decoder_twins_agree_property(width, height, seed):
     payload = encode_png(width, height, px)
     assert _png_raw_numpy(payload) == _png_raw(payload)
 
+    # the native libpng twin (where the system library is present and
+    # probed good) is held to the SAME byte-identical bar — PNG is
+    # lossless, so native gets no tolerance allowance
+    from etl_sample_spark.operators.multimodal import _libpng_available, _png_raw_libpng
+
+    if _libpng_available():
+        assert _png_raw_libpng(payload) == _png_raw(payload)
+
 
 @given(
     width=st.integers(min_value=1, max_value=24),
