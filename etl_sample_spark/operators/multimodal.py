@@ -558,7 +558,7 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
                     w, h, _nc, jsamples = _decode_jpeg(payload)
                     mean = sum(jsamples) / len(jsamples) if jsamples else 0.0
                 elif fmt == "gif" and payload[:6] in (b"GIF87a", b"GIF89a"):
-                    w, h, mean = _decode_gif(payload)
+                    w, h, mean = _decode_gif_dispatch(payload)
                 elif fake:
                     m = r["media_meta"]
                     w, h = int(m["width"]), int(m["height"])
@@ -2478,18 +2478,18 @@ def encode_gif(width: int, height: int, pixel: "callable") -> bytes:
     return bytes(out)
 
 
-def _decode_gif(data: bytes) -> tuple[int, int, float]:
-    """Full GIF87a/89a decode for the single-image grayscale case:
-    header + color table walk, then COMPLETE variable-code-width LZW
-    (dictionary growth, width bumps at 2^w, CLEAR resets, the
-    copy-previous+first-char rule for the not-yet-defined code) —
-    unlike the encoder, the decoder handles any conformant stream.
-    Returns (width, height, mean gray value via the palette)."""
+def _gif_header(data: bytes) -> tuple[int, int, list[int], int]:
+    """Shared GIF87a/89a header walk: screen descriptor, global + local
+    color tables folded to grayscale ((r+g+b)//3, the project's palette
+    convention), extension skip, image descriptor. Returns (width,
+    height, gray palette, offset of the LZW min-code byte). Both the
+    pure decoder and the giflib hook use THIS parse so their guards
+    (not-a-GIF, missing descriptor, interlace) and palette arithmetic
+    are one code path."""
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh = struct.unpack_from("<HH", data, 6)
     flags = data[10]
     pos = 13
     palette: list[int] = []
@@ -2518,6 +2518,17 @@ def _decode_gif(data: bytes) -> tuple[int, int, float]:
         pos += 3 * n
     if lflags & 0x40:
         raise NotImplementedError("interlaced GIF")
+    return width, height, palette, pos
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, float]:
+    """Full GIF87a/89a decode for the single-image grayscale case:
+    header + color table walk, then COMPLETE variable-code-width LZW
+    (dictionary growth, width bumps at 2^w, CLEAR resets, the
+    copy-previous+first-char rule for the not-yet-defined code) —
+    unlike the encoder, the decoder handles any conformant stream.
+    Returns (width, height, mean gray value via the palette)."""
+    width, height, palette, pos = _gif_header(data)
     min_code = data[pos]
     pos += 1
     stream = bytearray()
@@ -2573,6 +2584,165 @@ def _decode_gif(data: bytes) -> tuple[int, int, float]:
     px = [palette[i] for i in indices[: width * height]]
     mean = sum(px) / len(px) if px else 0.0
     return width, height, mean
+
+
+@functools.lru_cache(maxsize=1)
+def _giflib_available() -> bool:
+    """Hazard-gated probe for the system giflib hook: like the libjpeg
+    probe, run in a SUBPROCESS first — the hook defines giflib's public
+    structs in ctypes and dereferences the raster pointer, so a build
+    whose layout disagreed would fault; the probe spends a child
+    process proving byte-level agreement with the pure decoder before
+    any in-process use."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from etl_sample_spark.operators import multimodal as mm\n"
+        "for dims in ((9, 7), (16, 16)):\n"
+        "    p = mm.encode_gif(*dims, lambda x, y: (x * 41 + y * 23) %% 256)\n"
+        "    assert mm._decode_gif_giflib(p) == mm._decode_gif(p)\n"
+        "print('ok')\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=60
+        )
+        return out.returncode == 0 and b"ok" in out.stdout
+    except Exception:
+        return False
+
+
+def _decode_gif_giflib(data: bytes) -> tuple[int, int, float]:
+    """Native LZW twin of :func:`_decode_gif` via the SYSTEM giflib
+    (libgif.so.7, present in this container — no install), driven
+    through ctypes against giflib 5's PUBLIC structs (gif_lib.h ships
+    them; unlike libjpeg's private decompress struct the layout is part
+    of the API). The header/palette walk and the mean arithmetic are
+    the SHARED :func:`_gif_header` + the pure decoder's exact Python
+    expressions — only the serial LZW index decode is replaced by
+    ``DGifSlurp`` — so the result is EXACTLY equal (same ints, same
+    float ops), not merely close. giflib reports errors via return
+    codes (no exit()), but the struct definitions are deref-heavy, so
+    callers gate on the subprocess probe :func:`_giflib_available`."""
+    import ctypes
+
+    width, height, palette, _pos = _gif_header(data)  # shared guards
+
+    class GifImageDesc(ctypes.Structure):
+        _fields_ = [
+            ("Left", ctypes.c_int),
+            ("Top", ctypes.c_int),
+            ("Width", ctypes.c_int),
+            ("Height", ctypes.c_int),
+            ("Interlace", ctypes.c_bool),
+            ("ColorMap", ctypes.c_void_p),
+        ]
+
+    class SavedImage(ctypes.Structure):
+        _fields_ = [
+            ("ImageDesc", GifImageDesc),
+            ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+            ("ExtensionBlockCount", ctypes.c_int),
+            ("ExtensionBlocks", ctypes.c_void_p),
+        ]
+
+    class GifFileType(ctypes.Structure):
+        _fields_ = [
+            ("SWidth", ctypes.c_int),
+            ("SHeight", ctypes.c_int),
+            ("SColorResolution", ctypes.c_int),
+            ("SBackGroundColor", ctypes.c_int),
+            ("AspectByte", ctypes.c_ubyte),
+            ("SColorMap", ctypes.c_void_p),
+            ("ImageCount", ctypes.c_int),
+            ("Image", GifImageDesc),
+            ("SavedImages", ctypes.POINTER(SavedImage)),
+            ("ExtensionBlockCount", ctypes.c_int),
+            ("ExtensionBlocks", ctypes.c_void_p),
+            ("Error", ctypes.c_int),
+            ("UserData", ctypes.c_void_p),
+            ("Private", ctypes.c_void_p),
+        ]
+
+    gl = ctypes.CDLL("libgif.so.7")
+    gl.DGifOpen.restype = ctypes.POINTER(GifFileType)
+
+    state = {"off": 0}
+    READ_CB = ctypes.CFUNCTYPE(
+        ctypes.c_int, ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int
+    )
+
+    def _read(_gif, buf, want):
+        off = state["off"]
+        chunk = data[off : off + want]
+        ctypes.memmove(buf, chunk, len(chunk))
+        state["off"] = off + len(chunk)
+        return len(chunk)
+
+    cb = READ_CB(_read)
+    err = ctypes.c_int(0)
+    gif = gl.DGifOpen(None, cb, ctypes.byref(err))
+    if not gif:
+        raise ValueError(f"giflib rejected the GIF payload (error {err.value})")
+    try:
+        if gl.DGifSlurp(gif) != 1:  # GIF_OK
+            raise ValueError(f"giflib failed to decode (error {gif.contents.Error})")
+        g = gif.contents
+        if g.ImageCount < 1:
+            raise ValueError("no image descriptor")
+        first = g.SavedImages[0]
+        w, h = first.ImageDesc.Width, first.ImageDesc.Height
+        if (w, h) != (width, height):
+            raise ValueError("giflib image dims disagree with the header walk")
+        n = w * h
+        indices = ctypes.cast(
+            first.RasterBits, ctypes.POINTER(ctypes.c_ubyte * n)
+        ).contents
+        try:
+            import numpy as np
+
+            # exact-int gather + sum — identical value to the Python
+            # fold below (both are exact integer arithmetic), ~10x less
+            # tail time for big rasters
+            total = int(np.array(palette, dtype=np.int64)[np.frombuffer(indices, dtype=np.uint8)].sum())
+            mean = total / n if n else 0.0
+        except ImportError:
+            px = [palette[i] for i in indices]
+            mean = sum(px) / len(px) if px else 0.0
+        return width, height, mean
+    finally:
+        gl.DGifCloseFile(gif, ctypes.byref(err))
+
+
+# Decoder registry for the GIF payload path — same contract as the PNG
+# and JPEG registries: "auto"/"pure" keep the stdlib-only LZW decoder
+# (there is no numpy GIF twin: a variable-width LZW stream is a true
+# serial dependency with a growing dictionary); SPARK_GRAFT_GIF_DECODER
+# ="giflib" opts into the native hook (exact-equal results, see
+# _decode_gif_giflib).
+_GIF_IMPLS = {
+    "pure": _decode_gif,
+    "giflib": _decode_gif_giflib,
+}
+
+
+def _decode_gif_dispatch(data: bytes) -> tuple[int, int, float]:
+    import os
+
+    choice = os.environ.get("SPARK_GRAFT_GIF_DECODER", "auto")
+    if choice == "auto":
+        choice = "pure"
+    try:
+        impl = _GIF_IMPLS[choice]
+    except KeyError:
+        raise ValueError(
+            f"SPARK_GRAFT_GIF_DECODER={choice!r}: expected one of "
+            f"{sorted(_GIF_IMPLS)} or 'auto'"
+        ) from None
+    return impl(data)
 
 
 def attach_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

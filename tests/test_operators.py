@@ -823,6 +823,41 @@ def test_jpeg_wave_bails_on_oversize_dc_category(monkeypatch):
             mm._decode_jpeg_numpy(payload)
 
 
+def test_gif_decoder_giflib_twin_exact_equal(monkeypatch):
+    """r14 (VERDICT item 5, GIF leg): the ctypes hook against the
+    container's system giflib 5 — only the serial LZW index decode is
+    native (DGifSlurp); the header walk, palette folding, and mean
+    arithmetic are the SHARED code paths, so results are EXACTLY equal
+    to the pure decoder (same ints, same float ops), not tolerance-
+    bound. Gated on the subprocess probe (the hook defines giflib's
+    public structs in ctypes and dereferences the raster pointer)."""
+    from etl_sample_spark.operators import multimodal as mm
+
+    if not mm._giflib_available():
+        pytest.skip("system giflib absent or failed the subprocess probe")
+
+    for dims in ((9, 7), (16, 16), (64, 48), (1, 1)):
+        payload = mm.encode_gif(*dims, lambda x, y: (x * 41 + y * 23) % 256)
+        assert mm._decode_gif_giflib(payload) == mm._decode_gif(payload)
+
+    monkeypatch.setenv("SPARK_GRAFT_GIF_DECODER", "giflib")
+    payload = mm.encode_gif(8, 8, lambda x, y: (x * y) % 256)
+    assert mm._decode_gif_dispatch(payload) == mm._decode_gif(payload)
+    monkeypatch.setenv("SPARK_GRAFT_GIF_DECODER", "nope")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_GIF_DECODER"):
+        mm._decode_gif_dispatch(payload)
+    monkeypatch.undo()
+
+    # shared guards fire before any native call
+    with pytest.raises(ValueError, match="no image descriptor"):
+        mm._decode_gif_giflib(b"GIF89a" + b"\x00" * 30)
+    gif = bytearray(mm.encode_gif(4, 3, lambda x, y: x))
+    gct = 3 * (2 << (gif[10] & 0x07)) if gif[10] & 0x80 else 0
+    gif[13 + gct + 9] |= 0x40  # interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced GIF"):
+        mm._decode_gif_giflib(bytes(gif))
+
+
 def test_png_decoder_libpng_twin_byte_identical(monkeypatch):
     """r14 (VERDICT item 5, PNG leg): the ctypes hook against the
     container's system libpng16 via the documented simplified png_image
