@@ -44,24 +44,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r14 mechanical re-pins — the two r13 ADVICE fixes in the JPEG
-    # decoder twins, each result-invariant for the registered queries
-    # (no in-repo producer emits the guarded layouts) but
+    # r15 mechanical re-pins — the three r14 ADVICE fixes in
+    # operators/multimodal.py, each result-invariant for the registered
+    # queries (no in-repo producer emits the guarded layouts) but
     # reachable-code dirty:
-    # - _huff_lut16 (and the pure DHT builder) now REJECT
-    #   Kraft-violating tables whose canonical codes overflow 16 bits
-    #   instead of silently growing the 65,536-slot LUTs;
-    # - _decode_jpeg_numpy delegates reordered / partial (ns != ncomp)
-    #   SOS scans to the pure decoder (which dispatches per-component
-    #   via idx), like the DRI guard, instead of misattributing planes.
+    # - the wave decoder's single-symbol AC path now treats ANY
+    #   size==0 non-ZRL symbol as EOB exactly like the pure decoder
+    #   (T.81 F.1.2.2), instead of desyncing on spec-undefined symbols
+    #   like 0x30;
+    # - the env-var dispatches gate the libjpeg/giflib ctypes hooks on
+    #   their subprocess hazard probes (refuse loudly, never risk an
+    #   in-process exit()/segfault past a failed probe);
+    # - _png_raw_libpng frees the libpng control struct on every
+    #   abandoned-read path (format reject / finish_read failure).
     # All seven queries reach the shared decoder dispatch, so the
     # closure fingerprint dirties the whole set.
-    # r14 skew fix (VERDICT item 4): salted_join now pins sort-merge
-    # (force_shuffle) — the optimizer previously chose broadcast here,
-    # where the salt has no reducers to spread and just replicated the
-    # build side 4×, the r13 10× scale outlier. Same join semantics
-    # (strategy hint only); results unchanged, plan re-pinned.
-    "skewjoin_revenue_by_priority",
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
@@ -70,18 +67,19 @@ _FRONT_PINS = [
     "multimodal_resize_stats",
     "multimodal_mjpeg_framesample",
 ]
-# r13's 11 pins all landed green rows in CORRECTNESS_r13.json (50/50
-# green) — the 4 non-multimodal pins are cleared for rotation; the 7
-# multimodal pins carry over because this round's ADVICE fixes re-dirty
-# them. Window math at this HEAD, recomputed from _ordered() + the
-# CORRECTNESS artifacts: latest driver rows after r13 are 22×r8 /
-# 28×r9 / 34×r10 / 39×r11 / 45×r12 / 50×r13 (+ the demoted,
-# unregistered stratified_sample_by_lang on r5). With the 7 pins above,
-# the 43 rotation slots retire ALL 22 remaining r8 rows plus the 21
-# stalest r9 rows — after r14 the oldest driver row anywhere in the
-# registry is r9, meeting r13 VERDICT item 1 ("every registered
-# query's latest driver row ≥ r9").
-# tools/update_pin_manifest.py enforces that every further r14 code
+# r14's 8 pins all landed green rows in CORRECTNESS_r14.json (50/50
+# green) — skewjoin_revenue_by_priority rotates out (its r14 fix is
+# green and untouched this round); the 7 multimodal pins carry over
+# because this round's ADVICE fixes re-dirty them. Window math at this
+# HEAD, recomputed from _ordered() + the CORRECTNESS artifacts: latest
+# driver rows after r14 are 14×r9 / 43×r10 / 44×r11 / 45×r12 / 42×r13
+# / 50×r14 (+ the demoted, unregistered stratified_sample_by_lang on
+# r5). With the 7 pins above (plus any never-checked new registration,
+# which sorts to the front automatically), the ~43 rotation slots
+# retire ALL 14 remaining r9 rows plus the stalest r10 rows — after
+# r15 the oldest driver row anywhere in the registry is r10, meeting
+# r14 VERDICT item 4.
+# tools/update_pin_manifest.py enforces that every further r15 code
 # change either lands here or leaves its queries' fingerprints alone.
 
 

@@ -408,16 +408,27 @@ def _png_raw_libpng(data: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError(
             f"libpng rejected the PNG payload: {img.message.decode(errors='replace')}"
         )
-    # PNG_FORMAT_GRAY = 0, PNG_FORMAT_RGB = 2 (the COLOR flag); anything
-    # else (alpha, 16-bit linear, colormap) is outside the twins' remit
-    if img.format not in (0, 2):
-        raise NotImplementedError(f"libpng twin supports gray/RGB, got format {img.format}")
-    bpp = 1 if img.format == 0 else 3
-    out = ctypes.create_string_buffer(img.width * img.height * bpp)
-    if not lp.png_image_finish_read(ctypes.byref(img), None, out, 0, None):
-        raise ValueError(
-            f"libpng failed to decode the PNG payload: {img.message.decode(errors='replace')}"
-        )
+    # After a successful begin_read, libpng requires png_image_free on
+    # every path that does not reach a successful finish_read (which
+    # frees internally) — without it, each rejected/failed payload
+    # leaks the control struct's opaque allocation.
+    try:
+        # PNG_FORMAT_GRAY = 0, PNG_FORMAT_RGB = 2 (the COLOR flag); anything
+        # else (alpha, 16-bit linear, colormap) is outside the twins' remit
+        if img.format not in (0, 2):
+            raise NotImplementedError(
+                f"libpng twin supports gray/RGB, got format {img.format}"
+            )
+        bpp = 1 if img.format == 0 else 3
+        out = ctypes.create_string_buffer(img.width * img.height * bpp)
+        if not lp.png_image_finish_read(ctypes.byref(img), None, out, 0, None):
+            raise ValueError(
+                f"libpng failed to decode the PNG payload: "
+                f"{img.message.decode(errors='replace')}"
+            )
+    except BaseException:
+        lp.png_image_free(ctypes.byref(img))
+        raise
     return int(img.width), int(img.height), bpp, bytearray(out.raw)
 
 
@@ -1449,8 +1460,14 @@ def _decode_jpeg_wave(
                     r = sym >> 4
                     s = sym & 15
                     pos2 = posi[ssel] + ln
-                    eob = sym == 0
                     zrl = sym == 240
+                    # T.81 F.1.2.2: ANY size==0 symbol that is not ZRL
+                    # ends the block, run bits ignored (pure decoder
+                    # takes the same branch).  A sym like 0x30 must not
+                    # reach the coefficient branch: its 0-bit magnitude
+                    # read would write a zero coefficient and desync
+                    # this path's k/bit counters from the pure twin.
+                    eob = ((sym & 15) == 0) & ~zrl
                     nrm = ~eob & ~zrl
                     nsub = np.flatnonzero(nrm)
                     if nsub.size:
@@ -1912,6 +1929,18 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[int]]:
             f"SPARK_GRAFT_JPEG_DECODER={choice!r}: expected one of "
             f"{sorted(_JPEG_IMPLS)} or 'auto'"
         ) from None
+    if choice == "libjpeg" and not _libjpeg_available():
+        # The in-process ctypes call can exit()/segfault the whole
+        # executor on an ABI-disagreeing libjpeg build (jpeg's default
+        # error path calls exit(), and the hook's recording no-op
+        # error_exit returns — undefined per libjpeg docs). Only the
+        # subprocess probe may authorize it; refuse loudly otherwise.
+        raise RuntimeError(
+            "SPARK_GRAFT_JPEG_DECODER=libjpeg: the subprocess hazard "
+            "probe (_libjpeg_available) failed on this host — refusing "
+            "the in-process ctypes hook (an ABI mismatch could kill the "
+            "executor, not raise). Unset the variable or use 'auto'."
+        )
     return impl(data)
 
 
@@ -2742,6 +2771,17 @@ def _decode_gif_dispatch(data: bytes) -> tuple[int, int, float]:
             f"SPARK_GRAFT_GIF_DECODER={choice!r}: expected one of "
             f"{sorted(_GIF_IMPLS)} or 'auto'"
         ) from None
+    if choice == "giflib" and not _giflib_available():
+        # giflib's structs are deref-heavy; an ABI-disagreeing build
+        # corrupts memory rather than raising. Only the subprocess
+        # probe may authorize the in-process hook.
+        raise RuntimeError(
+            "SPARK_GRAFT_GIF_DECODER=giflib: the subprocess hazard "
+            "probe (_giflib_available) failed on this host — refusing "
+            "the in-process ctypes hook (a struct-layout mismatch could "
+            "corrupt the executor, not raise). Unset the variable or "
+            "use 'auto'."
+        )
     return impl(data)
 
 

@@ -823,6 +823,94 @@ def test_jpeg_wave_bails_on_oversize_dc_category(monkeypatch):
             mm._decode_jpeg_numpy(payload)
 
 
+def test_jpeg_wave_treats_zero_size_ac_symbols_as_eob(monkeypatch):
+    """r15 (ADVICE r14): a spec-undefined-but-encodable AC symbol with
+    size==0 and run 1-14 (e.g. 0x30) must end the block in the wave
+    decoder's single-symbol path exactly like the pure decoder does
+    (T.81 F.1.2.2 — ANY size==0 non-ZRL symbol is EOB, run ignored).
+    Before the fix the symbol fell into the coefficient branch, where a
+    0-bit magnitude read wrote a zero coefficient and desynced the
+    lane's k/bit counters from pure — silently different samples, no
+    bail. Pin: rewrite the AC table's shortest-code symbol value to
+    0x30 in the DHT, then require the numpy twin to mirror pure's
+    outcome (value or exception) on the re-decoded stream."""
+    import pytest
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    base = mm.encode_jpeg(
+        16, 16, lambda x, y: (x * 29 + y * 13) % 256, gray=True, restart_interval=1
+    )
+    m = bytearray(base)
+    patched = False
+    i = 0
+    while i < len(m) - 1 and not patched:
+        if m[i] == 0xFF and m[i + 1] == 0xC4:
+            seglen = (m[i + 2] << 8) | m[i + 3]
+            j, end = i + 4, i + 2 + seglen
+            while j < end:
+                nvals = sum(m[j + 1 : j + 17])
+                if m[j] >> 4 == 1:  # AC table: first (shortest-code) value
+                    m[j + 17] = 0x30  # run=3, size=0 — adversarial EOB
+                    patched = True
+                    break
+                j += 17 + nvals
+        i += 1
+    assert patched, "no AC DHT found to patch"
+    payload = bytes(m)
+
+    try:
+        want = mm._decode_jpeg_pure(payload)
+        raised = None
+    except Exception as e:  # noqa: BLE001 — mirror whatever pure does
+        want, raised = None, type(e)
+    if raised is None:
+        assert mm._decode_jpeg_numpy(payload) == want
+    else:
+        with pytest.raises(raised):
+            mm._decode_jpeg_numpy(payload)
+
+
+def test_native_decoder_dispatch_gates_on_hazard_probe(monkeypatch):
+    """r15 (ADVICE r14): the env-var dispatches must CONSULT the hazard
+    probes, not just document that callers should — an in-process
+    libjpeg/giflib call on an ABI-disagreeing build can exit()/segfault
+    the executor rather than raise. Pin: with the probe forced False,
+    SPARK_GRAFT_{JPEG,GIF}_DECODER={libjpeg,giflib} raises a clear
+    RuntimeError instead of invoking the ctypes hook."""
+    import pytest
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    jpeg_payload = mm.encode_jpeg(8, 8, lambda x, y: 128, gray=True)
+    gif_payload = mm.encode_gif(5, 4, lambda x, y: 7)
+
+    hook_calls = []
+    monkeypatch.setattr(mm, "_libjpeg_available", lambda: False)
+    monkeypatch.setitem(
+        mm._JPEG_IMPLS, "libjpeg", lambda d: hook_calls.append("jpeg")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_DECODER", "libjpeg")
+    with pytest.raises(RuntimeError, match="hazard"):
+        mm._decode_jpeg(jpeg_payload)
+
+    monkeypatch.setattr(mm, "_giflib_available", lambda: False)
+    monkeypatch.setitem(
+        mm._GIF_IMPLS, "giflib", lambda d: hook_calls.append("gif")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_GIF_DECODER", "giflib")
+    with pytest.raises(RuntimeError, match="hazard"):
+        mm._decode_gif_dispatch(gif_payload)
+    assert not hook_calls, "dispatch reached a native hook past a failed probe"
+
+    # a passing probe still authorizes the (stubbed) hook
+    monkeypatch.setattr(mm, "_libjpeg_available", lambda: True)
+    monkeypatch.setattr(mm, "_giflib_available", lambda: True)
+    mm._decode_jpeg(jpeg_payload)
+    mm._decode_gif_dispatch(gif_payload)
+    assert hook_calls == ["jpeg", "gif"]
+
+
 def test_gif_decoder_giflib_twin_exact_equal(monkeypatch):
     """r14 (VERDICT item 5, GIF leg): the ctypes hook against the
     container's system giflib 5 — only the serial LZW index decode is
