@@ -59,6 +59,11 @@ _FRONT_PINS = [
     #   abandoned-read path (format reject / finish_read failure).
     # All seven queries reach the shared decoder dispatch, so the
     # closure fingerprint dirties the whole set.
+    # r15 new registration (VERDICT item 3): the linear-output SimHash
+    # cluster contract — one row per doc, components over the
+    # DISTINCT-signature graph (the 238→239 registry re-open the
+    # verdict authorized).
+    "simhash_cluster_assign",
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",

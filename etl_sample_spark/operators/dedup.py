@@ -375,6 +375,93 @@ def simhash_near_duplicates(
     )
 
 
+def simhash_cluster_assign(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """One row per input document: ``cluster_id`` = min ``id_col``
+    reachable in the Hamming ≤ ``max_hamming`` SimHash graph (singletons
+    get their own id). The LINEAR-OUTPUT contract for SimHash dedup —
+    the decision step (keep one doc per cluster), not the evidence step.
+
+    Scale shape — contract by signature FIRST: documents sharing a
+    signature are Hamming-0 neighbors, so connected components over the
+    DISTINCT-signature graph equal components over the document graph.
+    The banded pair join and the label-propagation closure therefore run
+    on at most ``min(n_docs, 2**bits)`` signature nodes, NOT on n docs.
+    This kills both blowups of the pair-list contract measured in
+    VERIFY_r14 §7 on homogeneous corpora (Θ(density·n²) output,
+    ~4.5×10⁸ pairs at 10×): duplicate signatures — the very thing a
+    homogeneous corpus produces — collapse into one node each, and the
+    per-document work is two broadcast hash joins (attach component,
+    attach representative), no doc-side shuffle at all. On heterogeneous
+    corpora distinct signatures approach n, but then band buckets are
+    fine-grained and the banded join is the standard LSH cost. The
+    pigeonhole banding is exact (``simhash_near_duplicates``), so the
+    result is EXACT connected components, not an approximation.
+
+    At 100 TB: the signature graph is bounded by 2**bits rows regardless
+    of corpus size (65,536 at the default 16; a few hundred distinct in
+    practice on homogeneous text), so the closure is metadata-sized while
+    the corpus is touched map-side only — the shape that survives 1000
+    executors.
+    """
+    sig = simhash_df(df, text_col, id_col, bits=bits)  # id, simhash
+    sv = sig.select("simhash").distinct()
+
+    # Banded pair generation over DISTINCT signatures — identical
+    # pigeonhole construction to simhash_near_duplicates, but the join
+    # input is ≤ min(n, 2^bits) rows, so no max_bucket cap is needed.
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than {bits} bits")
+    bands = sv.select(
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _striped_band_key(F.col("simhash"), i, n_bands, bits).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("simhash", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    sig_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .where(ham <= max_hamming)
+        .select(F.col("a.simhash").alias("a_id"), F.col("b.simhash").alias("b_id"))
+        .distinct()
+    )
+
+    # Components over the signature graph: comp_sig = min reachable
+    # signature value (label propagation, exact).
+    comp = neardup_clusters(sig_pairs).select(
+        F.col("doc_id").alias("simhash"), F.col("cluster_id").alias("comp_sig")
+    )
+    # Signatures in no pair are their own component; the component table
+    # is ≤ 2^bits rows → broadcast, docs never shuffle.
+    withcomp = sig.join(F.broadcast(comp), "simhash", "left").withColumn(
+        "comp_sig", F.coalesce("comp_sig", "simhash")
+    )
+    # Representative = min doc id per component (map-side combinable
+    # into ≤ 2^bits groups), broadcast back onto the doc stream.
+    rep = withcomp.groupBy("comp_sig").agg(F.min(id_col).alias("cluster_id"))
+    return withcomp.join(F.broadcast(rep), "comp_sig").select(id_col, "cluster_id")
+
+
 # --------------------------------------------------------------------------
 # L2: n-gram Jaccard
 # --------------------------------------------------------------------------

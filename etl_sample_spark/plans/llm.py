@@ -365,6 +365,62 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_cluster_assign",
+    # Oracle = an INDEPENDENT algorithm over the same graph: all-pairs
+    # Hamming over DISTINCT signatures (tiny — ≤ min(n, 2^16) rows) +
+    # recursive-CTE transitive closure, vs Spark's banded pigeonhole
+    # join + label-propagation fixpoint. Both contract by signature
+    # first (docs sharing a signature are Hamming-0 neighbors), so the
+    # closure never sees document cardinality.
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT d.doc_id, u.t
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents) d, UNNEST(d.l) AS u(t)),
+    hashed AS (SELECT doc_id, {_HASH_SQL.format(t="t")} AS x FROM toks),
+    votes AS (
+      SELECT doc_id, r.b,
+             SUM(CASE WHEN (x >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hashed, UNNEST(RANGE(16)) AS r(b)
+      GROUP BY doc_id, r.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN CAST(POW(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id),
+    sv AS (SELECT DISTINCT simhash FROM sig),
+    sedges AS (
+      SELECT a.simhash AS u, b.simhash AS v
+      FROM sv a JOIN sv b ON a.simhash <> b.simhash
+      WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),
+    reach(s, r) AS (
+      SELECT simhash, simhash FROM sv
+      UNION
+      SELECT reach.s, e.v FROM reach JOIN sedges e ON reach.r = e.u),
+    comp AS (SELECT s AS simhash, MIN(r) AS comp_sig FROM reach GROUP BY s),
+    rep AS (
+      SELECT c.comp_sig, MIN(g.doc_id) AS cluster_id
+      FROM sig g JOIN comp c USING (simhash)
+      GROUP BY c.comp_sig)
+    SELECT g.doc_id, CAST(r2.cluster_id AS BIGINT) AS cluster_id
+    FROM sig g JOIN comp c USING (simhash) JOIN rep r2 USING (comp_sig)
+    ORDER BY g.doc_id
+    """,
+    doc="L2: SimHash dedup DECISION step — one row per document, "
+    "cluster_id = min doc_id reachable at Hamming ≤ 3 (singletons keep "
+    "their own id). The linear-output replacement for the Θ(density·n²) "
+    "pair-list contract on homogeneous corpora (VERIFY_r14 §7): both "
+    "engines contract to DISTINCT signatures (≤ 2^16 nodes) before any "
+    "pairing, so output AND intermediate state are O(n) + O(2^bits). "
+    "operators/dedup.py::simhash_cluster_assign.",
+)
+def simhash_cluster_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_sample_spark.operators.dedup import simhash_cluster_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_cluster_assign(docs, max_hamming=3).orderBy("doc_id")
+
+
+@register(
     "ngram_jaccard_sample_pairs",
     """
     WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents WHERE doc_id < 100),
