@@ -179,7 +179,8 @@ def test_salted_join_spreads_keys(spark, sf_dir):
 
     li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = catalog.table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4)
+    with pytest.warns(UserWarning, match="salt_from"):
+        joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4)
     assert "_salt" not in joined.columns
     plan = plan_of(joined)
     assert "explode" in plan.lower() or "Generate" in plan
@@ -209,9 +210,12 @@ def test_salted_join_forces_sort_merge_strategy(spark, sf_dir):
 
     li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = catalog.table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    free = salted_join(
-        li, orders, "l_orderkey", "o_orderkey", n_salts=4, force_shuffle=False
-    )
+    # no salt_from → the whole-row-hash UserWarning is part of this
+    # leg's intended surface; assert it instead of leaking it
+    with pytest.warns(UserWarning, match="salt_from"):
+        free = salted_join(
+            li, orders, "l_orderkey", "o_orderkey", n_salts=4, force_shuffle=False
+        )
     free.collect()
     free_plan = free._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in free_plan
