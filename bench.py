@@ -112,6 +112,30 @@ def cpu_probe_seconds(iters: int = _PROBE_ITERS) -> float:
     return best
 
 
+def cpu_probe_parallel_seconds(n_procs: int = 32) -> float:
+    """Median per-process seconds for the SAME fixed work run in
+    ``n_procs`` concurrent subprocesses — the multi-core twin of
+    :func:`cpu_probe_seconds` (r15). A hypervisor-throttled placement
+    steals proportionally to ACTIVE vCPUs, so a single-thread probe
+    under-corrects 32-thread Spark stages (measured r15: single probe
+    1.24x ref while 32-way concurrent ran a further 1.24x slower —
+    net 1.54x, matching the otherwise-unexplained uniform suite
+    inflation). Embedding both makes the multi-core host factor a
+    datum in every artifact."""
+    import statistics
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from bench import cpu_probe_seconds; print(cpu_probe_seconds())"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+        for _ in range(n_procs)
+    ]
+    return statistics.median(float(p.communicate()[0]) for p in procs)
+
+
 def bench_streaming_ingest(spark, sf_dir: str, reps: int) -> tuple[list[float], int]:
     """Time the [REF] production shape end-to-end: availableNow file
     stream -> normalize() fan-out -> parquet tables, exactly-once.
@@ -261,9 +285,12 @@ def main() -> None:
 
     probe_after = round(cpu_probe_seconds(), 3)
     probe = min(probe_before, probe_after)
+    probe_parallel = round(cpu_probe_parallel_seconds(), 3)
     print(
         f"  cpu_probe: before {probe_before:.3f}s after {probe_after:.3f}s "
-        f"(ref {_PROBE_REF_SEC}s -> host factor {probe / _PROBE_REF_SEC:.2f}x)",
+        f"(ref {_PROBE_REF_SEC}s -> host factor {probe / _PROBE_REF_SEC:.2f}x); "
+        f"32-way parallel {probe_parallel:.3f}s "
+        f"(multi-core factor {probe_parallel / _PROBE_REF_SEC:.2f}x)",
         file=sys.stderr,
     )
     line = json.dumps(
@@ -281,6 +308,11 @@ def main() -> None:
             # before/after the suite; normalize cross-round wall clocks
             # by (min(before, after) / cpu_probe_ref_sec).
             "cpu_probe_sec": {"before": probe_before, "after": probe_after},
+            # r15: the multi-core twin — median per-process time of the
+            # same fixed work in 32 concurrent subprocesses, run once
+            # after the suite. Steal scales with active vCPUs, so THIS
+            # is the factor that applies to 32-thread Spark stages.
+            "cpu_probe_parallel_sec": probe_parallel,
             "cpu_probe_iters": _PROBE_ITERS,
             "cpu_probe_ref_sec": _PROBE_REF_SEC,
             "value_probe_normalized": round(
