@@ -409,8 +409,16 @@ def simhash_cluster_assign(
     the corpus is touched map-side only — the shape that survives 1000
     executors.
     """
-    sig = simhash_df(df, text_col, id_col, bits=bits)  # id, simhash
-    sv = sig.select("simhash").distinct()
+    # localCheckpoint both small relations (same technique as
+    # neardup_clusters): sig/sv feed MULTIPLE plan branches (band
+    # self-join a/b, component attach, representative agg, final join),
+    # and without pinning, each branch re-scans the corpus and re-runs
+    # the signature map — measured 4 parquet scans of documents in the
+    # executed plan. Pinned, the corpus is scanned ONCE; everything
+    # downstream reads (id, simhash) rows (n × ~16 bytes) or the
+    # ≤ 2^bits distinct-signature set.
+    sig = simhash_df(df, text_col, id_col, bits=bits).localCheckpoint(eager=False)
+    sv = sig.select("simhash").distinct().localCheckpoint(eager=False)
 
     # Banded pair generation over DISTINCT signatures — identical
     # pigeonhole construction to simhash_near_duplicates, but the join

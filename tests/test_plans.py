@@ -171,6 +171,24 @@ def test_no_corpus_global_windows(spark, sf_dir, name):
         )
 
 
+def test_simhash_cluster_assign_scan_once_and_broadcast_only(spark, sf_dir):
+    """r15: the linear-output SimHash contract's scale shape, pinned at
+    the plan level. sig/sv are localCheckpointed, so the corpus is
+    scanned ONCE (inside the checkpoint job) — the final plan must
+    contain ZERO parquet scans (un-pinned, each of the 4 plan branches
+    re-scanned documents and re-ran the signature map). Per-document
+    work must be broadcast joins only: no SortMergeJoin anywhere (the
+    component and representative tables are ≤ 2^bits rows)."""
+    from etl_sample_spark.plans import REGISTRY
+
+    df = REGISTRY["simhash_cluster_assign"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, "a branch re-scans the corpus"
+    assert "SortMergeJoin" not in plan, "doc-side shuffle join crept in"
+    assert plan.count("BroadcastHashJoin") >= 2  # component + representative
+
+
 def test_salted_join_spreads_keys(spark, sf_dir):
     """The salted join's shuffle key must include the salt column, and the
     small side must be replicated via explode."""
