@@ -64,6 +64,21 @@ _FRONT_PINS = [
     # DISTINCT-signature graph (the 238→239 registry re-open the
     # verdict authorized).
     "simhash_cluster_assign",
+    # r15 scan-audit fixes: a registry-wide executed-plan audit counted
+    # parquet scans per query and flagged multi-branch lineages that
+    # re-scan the fact table / re-run expensive maps per branch. These
+    # seven now localCheckpoint their SMALL derived relations (bounded
+    # aggregates — never token-stream-sized), cutting e.g. rfm from 15
+    # orders scans to 1 (isolated sf0.1 median 8.1 -> 4.2 s) and
+    # hybrid_rrf from 21 documents scans to 0 in the final plan.
+    # Results unchanged (strict-sim value-matched at sf0.01 + sf0.1).
+    "rfm_customer_scores",
+    "scd2_customer_segment_migration",
+    "minhash_jaccard_estimate_audit",
+    "dsir_importance_weights",
+    "ks_two_sample_click_vs_purchase",
+    "bm25_score_query",
+    "hybrid_rrf_rerank",
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
@@ -76,14 +91,11 @@ _FRONT_PINS = [
 # green) — skewjoin_revenue_by_priority rotates out (its r14 fix is
 # green and untouched this round); the 7 multimodal pins carry over
 # because this round's ADVICE fixes re-dirty them. Window math at this
-# HEAD, recomputed from _ordered() + the CORRECTNESS artifacts: latest
-# driver rows after r14 are 14×r9 / 43×r10 / 44×r11 / 45×r12 / 42×r13
-# / 50×r14 (+ the demoted, unregistered stratified_sample_by_lang on
-# r5). With the 7 pins above (plus any never-checked new registration,
-# which sorts to the front automatically), the ~43 rotation slots
-# retire ALL 14 remaining r9 rows plus the stalest r10 rows — after
-# r15 the oldest driver row anywhere in the registry is r10, meeting
-# r14 VERDICT item 4.
+# HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
+# front-50 = 1 new registration + 14 pins + ALL 14 remaining r9 rows +
+# the 21 stalest r10 rows; the oldest driver row OUTSIDE the window is
+# r10 — so after r15's driver run the registry's oldest row anywhere
+# is r10, meeting r14 VERDICT item 4.
 # tools/update_pin_manifest.py enforces that every further r15 code
 # change either lands here or leaves its queries' fingerprints alone.
 

@@ -717,7 +717,11 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec2("o_totalprice")).alias("monetary_dec"),
-    )
+    # localCheckpoint (r15): base feeds every pass's rank branch AND the
+    # grid_from branches — unpinned, the executed plan re-scanned orders
+    # 15 times (scan-audit); pinned, the fact table is read once and the
+    # passes consume the customer-sized aggregate.
+    ).localCheckpoint(eager=False)
     # Recency DESC → negate for a monotone bucket; the day grid is
     # bounded by the fixed date range (~2.5k buckets at any SF).
     # Passes 2-3 compute their GRIDS from `base` (grid_from): the grid
@@ -1916,6 +1920,11 @@ def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .groupBy("v")
         .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
+        # localCheckpoint (r15 scan audit): the rank operator's grid /
+        # rank / offset branches re-executed this agg — 8 scans of
+        # events in the executed plan. Pinned, events is scanned once;
+        # the branches read the value-grid-sized counts.
+        .localCheckpoint(eager=False)
     )
     ecdf = bucketed_global_rank(
         pts.withColumn("__b", F.floor(F.col("v") * 4).cast("bigint")),

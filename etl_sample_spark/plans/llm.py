@@ -1923,15 +1923,29 @@ def bm25_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, score) for the fixed query — the shared BM25 core.
     Only docs containing ≥1 query term appear (inner-join semantics)."""
+    # localCheckpoint the SMALL derived relations (r15 scan audit): tf
+    # (docs × matched query terms), per-doc lengths (two ints per doc),
+    # and the 1-row stats derived from lengths. Unpinned, every branch
+    # (tf, idf-from-tf, stats, doclen, and each downstream self-join)
+    # re-scanned the corpus and re-split the text — 10-21 parquet scans
+    # in the executed plans. Pinned, the corpus is scanned twice (once
+    # per independent derivation), and never materialized token-stream-
+    # sized: only aggregates are pinned.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.col("term").isin(*_BM25_TERMS))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(F.split(F.col("text"), " "))).alias("avg_len"),
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    doclen = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    doclen = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl")
+    ).localCheckpoint(eager=False)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avg_len"),
+    )
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -2011,10 +2025,14 @@ def hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rb")
     )
+    # localCheckpoint (r15 scan audit): q_all feeds the survivor join
+    # AND the strictly-ahead count; btop caps the BM25 core with a
+    # top-50 that the downstream branches would otherwise re-execute.
     q_all = docs.select(
         F.col("doc_id").alias("qd"),
         quality_score(F.col("text"), F.col("n_chars")).alias("q"),
-    )
+    ).localCheckpoint(eager=False)
+    btop = btop.localCheckpoint(eager=False)
     surv = btop.join(
         q_all.select(F.col("qd").alias("doc_id"), F.col("q").alias("sq")), "doc_id"
     )
@@ -2173,11 +2191,15 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs).select("a_id", "b_id")
-    sig = minhash_signature_df(docs)
+    # localCheckpoint (r15 scan audit): pairs/sig/dsh each feed 2+ join
+    # branches below (dsh three: the sa/sb intersection self-join and
+    # the per-doc shingle counts) — unpinned, the executed plan scanned
+    # documents 16 times and re-ran the shingle/minhash maps per branch.
+    pairs = minhash_lsh_candidates(docs).select("a_id", "b_id").localCheckpoint(eager=False)
+    sig = minhash_signature_df(docs).localCheckpoint(eager=False)
     dsh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     nsh = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(dsh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
@@ -2319,7 +2341,15 @@ def decontaminated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.scd import scd2_init, scd2_merge
 
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # localCheckpoint (r15 scan audit): cust feeds history AND updates,
+    # and scd2_merge's change-detection/closing/union branches re-execute
+    # both — 19 parquet scans of customer in the executed plan. Pinned,
+    # the table is scanned once; every branch reads the 2-column rows.
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .localCheckpoint(eager=False)
+    )
     history = scd2_init(cust, "1995-01-01")
     updates = cust.withColumn(
         "c_mktsegment",
@@ -4339,13 +4369,31 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
     )
-    vocab = tok.agg(F.countDistinct("t").alias("v"))
-    tgt = tok.where(F.col("lang") == "en").groupBy("t").agg(
-        F.count(F.lit(1)).alias("tcnt")
+    # localCheckpoint the two VOCABULARY-sized models (r15 scan audit)
+    # and derive every scalar from them instead of from tok: vocab =
+    # |raw| (raw groups ALL tokens by term, so its row count IS the
+    # distinct-term count), tgt_n/raw_n = the models' count sums.
+    # Unpinned, the six branches re-scanned documents 12 times and
+    # re-ran the token explode per branch; pinned, the corpus is
+    # scanned twice (target + raw model builds) plus once for the
+    # scoring join, and nothing token-stream-sized is materialized.
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+        .localCheckpoint(eager=False)
     )
-    tgt_n = tok.where(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("tn"))
-    raw = tok.groupBy("t").agg(F.count(F.lit(1)).alias("rcnt"))
-    raw_n = tok.agg(F.count(F.lit(1)).alias("rn"))
+    raw = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("rcnt"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = raw.agg(F.count(F.lit(1)).alias("v"))
+    # coalesce: SUM over an empty model is NULL where the old COUNT(*)
+    # over tok was 0 (an all-non-en or empty corpus must not NULL the
+    # smoothing denominators)
+    tgt_n = tgt.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).alias("tn"))
+    raw_n = raw.agg(F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rn"))
     p_t = (F.coalesce(F.col("tcnt"), F.lit(0)) + 1) * 1.0 / (F.col("tn") + F.col("v"))
     p_r = (F.col("rcnt") + 1) * 1.0 / (F.col("rn") + F.col("v"))
     scored = (
