@@ -79,6 +79,16 @@ _FRONT_PINS = [
     "ks_two_sample_click_vs_purchase",
     "bm25_score_query",
     "hybrid_rrf_rerank",
+    # r15 scan-audit batch 2 (same pattern, same evidence bar):
+    # countmin additionally builds all d sketch rows in ONE corpus pass
+    # (explode to (row, cell) addresses + one combinable groupBy)
+    # instead of one groupBy per row.
+    "countmin_token_estimate",
+    "bigram_pmi_collocations",
+    "bigram_lm_interpolated_score",
+    "market_basket_part_pairs",
+    "kaplan_meier_customer_lifetime",
+    "mad_outlier_prices_by_brand",
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
@@ -92,8 +102,8 @@ _FRONT_PINS = [
 # green and untouched this round); the 7 multimodal pins carry over
 # because this round's ADVICE fixes re-dirty them. Window math at this
 # HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
-# front-50 = 1 new registration + 14 pins + ALL 14 remaining r9 rows +
-# the 21 stalest r10 rows; the oldest driver row OUTSIDE the window is
+# front-50 = 1 new registration + 20 pins + ALL 14 remaining r9 rows +
+# the 17 stalest r10 rows; the oldest driver row OUTSIDE the window is
 # r10 — so after r15's driver run the registry's oldest row anywhere
 # is r10, meeting r14 VERDICT item 4.
 # tools/update_pin_manifest.py enforces that every further r15 code

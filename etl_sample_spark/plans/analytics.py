@@ -1470,7 +1470,17 @@ def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    # localCheckpoint the distinct basket relation (r15 scan audit): op
+    # feeds n_orders, freq, and BOTH sides of the pair self-join —
+    # unpinned, each branch re-scanned lineitem AND re-ran the distinct
+    # shuffle (8 scans / 5 distincts). The distinct is already a full
+    # shuffle, so pinning its two-int output once strictly dominates
+    # recomputing it per branch.
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = op.select(F.countDistinct("o").alias("n"))
     freq = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
     a, b = op.alias("a"), op.alias("b")

@@ -587,15 +587,22 @@ def time_to_convert_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    horizon = orders.agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("hmax")
-    )
-    life = (
+    # localCheckpoint the customer-sized lifetime table (r15 scan
+    # audit): it feeds tot + pts (and the horizon), and unpinned each
+    # branch re-scanned orders — 8 scans in the executed plan. The
+    # horizon now derives FROM the pinned base (global max orderdate ==
+    # max over per-customer maxes), so orders is scanned exactly once.
+    life_base = (
         orders.groupBy("o_custkey")
         .agg(
             F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
             F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
         )
+        .localCheckpoint(eager=False)
+    )
+    horizon = life_base.agg(F.max("last_d").alias("hmax"))
+    life = (
+        life_base
         .crossJoin(F.broadcast(horizon))
         .select(
             F.datediff("last_d", "first_d").alias("t"),

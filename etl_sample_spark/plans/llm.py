@@ -2990,17 +2990,36 @@ def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     hashed = tok.select("t", _token_hash(F.col("t")).alias("h"))
-    cells = None
-    for r, (a, b) in enumerate(_CM_ROWS):
-        part = hashed.groupBy(((F.col("h") * a + b) % _CM_W).alias("cell")).agg(
-            F.count(F.lit(1)).alias("c")
-        ).select(F.lit(r).alias("row_id"), "cell", "c")
-        cells = part if cells is None else cells.unionAll(part)
+    # ONE corpus pass for all d sketch rows (r15 scan audit): explode
+    # each token to its d (row, cell) addresses map-side and run a
+    # single combinable groupBy — the per-row union of groupBys
+    # re-scanned documents once per row (d+2 scans total). Same cell
+    # multiset per row, identical counts; the sketch stays d×W-bounded
+    # and is localCheckpointed for the probe join below.
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row_id"),
+                            ((F.col("h") * a + b) % _CM_W).alias("cell"),
+                        )
+                        for r, (a, b) in enumerate(_CM_ROWS)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.row_id").alias("row_id"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     exact = (
         hashed.groupBy("t")
         .agg(F.min("h").alias("h"), F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "t")
         .limit(20)
+        .localCheckpoint(eager=False)
     )
     # Probe = equi-join: explode each probe token to its d (row, cell)
     # addresses and join the (bounded, broadcastable) sketch table — no
@@ -3301,11 +3320,22 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    uni = docs.select(F.explode(toks).alias("t")).groupBy("t").agg(
-        F.count(F.lit(1)).alias("c")
+    # localCheckpoint the two VOCABULARY-sized count tables (r15 scan
+    # audit): uni feeds tot + u1 + u2 and bic feeds btot + the result —
+    # unpinned, each branch re-scanned documents and re-exploded the
+    # token/bigram stream (8 scans). Pinned: two corpus passes total.
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c").alias("n_uni"))
-    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bic = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     btot = bic.agg(F.sum("c12").alias("n_bi"))
     u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
@@ -3798,10 +3828,25 @@ def bigram_lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     tok = docs.select(F.explode(toks).alias("t"))
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    cu = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint the VOCABULARY-sized count models (r15 scan
+    # audit): c2 feeds the scoring join, c1 a second branch of the same
+    # bigram stream, cu/tot the unigram stream — unpinned, the executed
+    # plan re-scanned documents and re-exploded per branch (10 scans).
+    # c1 and tot now derive FROM the pinned models (same sums); the
+    # corpus is scanned twice (bigram + unigram model builds) plus once
+    # for the scoring join.
+    c2 = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    cu = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cu.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
     p = 0.75 * F.col("c12") / F.col("c1") + 0.25 * F.col("c") / F.col("n")
     return (
         bi.join(c2, ["w1", "w2"])

@@ -999,14 +999,20 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mad_outlier_prices_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
+    # localCheckpoint the BRAND-sized medians (r15 scan audit): med
+    # feeds both the MAD pass and the stats join — unpinned, each
+    # branch re-ran the percentile scan (7 part scans in the executed
+    # plan). Pinned, part is scanned exactly the three algorithmically
+    # necessary times (median, MAD, outlier count).
     med = part.groupBy("p_brand").agg(
         F.expr("percentile(p_retailprice, 0.5)").alias("med")
-    )
+    ).localCheckpoint(eager=False)
     mad = (
         part.join(F.broadcast(med), "p_brand")
         .withColumn("adev", F.abs(F.col("p_retailprice") - F.col("med")))
         .groupBy("p_brand")
         .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+        .localCheckpoint(eager=False)
     )
     # one per-brand stats frame joined back onto the scan ONCE — keeps
     # the lineage single-consumer so the scan and the median percentile
