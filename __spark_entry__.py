@@ -89,6 +89,21 @@ _FRONT_PINS = [
     "market_basket_part_pairs",
     "kaplan_meier_customer_lifetime",
     "mad_outlier_prices_by_brand",
+    # r15 scan-audit batch 3 (fact-table multiplicity filter): same
+    # pattern; revenue_bridge additionally rewritten as a one-pass
+    # conditional pivot (identical row set to the old full-outer join).
+    "abc_pareto_classification",
+    "gini_revenue_concentration",
+    "gapfill_hourly_interpolate",
+    "unigram_logprob_score",
+    "chi2_event_type_by_user_band",
+    "cohort_retention_matrix",
+    "active_users_dau_wau_mau",
+    "new_vs_returning_weekly",
+    "cohort_weekly_retention",
+    "revenue_bridge_customers",
+    "heavy_hitters_tokens",
+    "classifier_decile_lift",
     "multimodal_bmp_decode",
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
@@ -102,10 +117,12 @@ _FRONT_PINS = [
 # green and untouched this round); the 7 multimodal pins carry over
 # because this round's ADVICE fixes re-dirty them. Window math at this
 # HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
-# front-50 = 1 new registration + 20 pins + ALL 14 remaining r9 rows +
-# the 17 stalest r10 rows; the oldest driver row OUTSIDE the window is
-# r10 — so after r15's driver run the registry's oldest row anywhere
-# is r10, meeting r14 VERDICT item 4.
+# front-50 = 1 new registration + 32 pins (ADVICE re-pins + three
+# scan-audit batches) + ALL 14 remaining r9 rows + the 3 stalest r10
+# rows; the oldest driver row OUTSIDE the window is r10 — so after
+# r15's driver run the registry's oldest row anywhere is r10, meeting
+# r14 VERDICT item 4. The scan-audit pins were capped here precisely
+# so every r9 row still fits in the window.
 # tools/update_pin_manifest.py enforces that every further r15 code
 # change either lands here or leaves its queries' fingerprints alone.
 

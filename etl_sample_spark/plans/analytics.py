@@ -1345,7 +1345,14 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.ranks import bucketed_global_rank
 
     li = _t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(F.sum(revenue_dec()).alias("r"))
+    # localCheckpoint (r15 scan audit): the rank operator's grid /
+    # offset / rank branches re-executed this part-sized agg — 6
+    # lineitem scans in the executed plan; pinned, the fact is read once.
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(revenue_dec()).alias("r"))
+        .localCheckpoint(eager=False)
+    )
     ranked = bucketed_global_rank(
         rev.withColumn(
             "__b", F.floor((-F.col("r")).cast("double") / F.lit(4096.0)).cast("bigint")
@@ -1840,18 +1847,26 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_bridge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-
-    def period(year: int) -> DataFrame:
-        return (
-            orders.where(F.year("o_orderdate") == year)
-            .groupBy("o_custkey")
-            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    # Conditional-pivot rewrite (r15 scan audit): the two year slices
+    # previously aggregated in separate branches and met in a
+    # full-outer join — 4 orders scans and two shuffles. One filtered
+    # scan + one conditional groupBy produces the identical row set
+    # (a customer active in either year appears once; the missing
+    # year's SUM over no rows is NULL → coalesce 0, exactly what the
+    # outer join's unmatched side yielded).
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    yr = F.year("o_orderdate")
+    j = (
+        orders.where(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1995, dec)).alias("a_rev"),
+            F.sum(F.when(yr == 1996, dec)).alias("b_rev"),
         )
-
-    a, b = period(1995).alias("a"), period(1996).alias("b")
-    j = a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer").select(
-        F.coalesce(F.col("a.rev"), F.lit(0).cast("decimal(18,2)")).alias("ra"),
-        F.coalesce(F.col("b.rev"), F.lit(0).cast("decimal(18,2)")).alias("rb"),
+        .select(
+            F.coalesce(F.col("a_rev"), F.lit(0).cast("decimal(18,2)")).alias("ra"),
+            F.coalesce(F.col("b_rev"), F.lit(0).cast("decimal(18,2)")).alias("rb"),
+        )
     )
     cls = j.select(
         "ra",
@@ -2089,6 +2104,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+        # localCheckpoint (r15 scan audit): rank-operator branches
+        # re-executed this customer-sized agg — 5 orders scans; pinned,
+        # the fact is read once.
+        .localCheckpoint(eager=False)
     )
     ranked = bucketed_global_rank(
         rev.withColumn(
@@ -2162,9 +2181,13 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chi2_event_type_by_user_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # localCheckpoint the contingency table (r15 scan audit): every
+    # marginal (rows/cols/total) and the cell join derive from obs —
+    # unpinned, each branch re-scanned events (6 scans); pinned, the
+    # fact is read once and the nr×nc table feeds everything.
     obs = ev.groupBy(
         "event_type", (F.col("user_id") % 4).cast("int").alias("band")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False)
     rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("band").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))

@@ -64,7 +64,15 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ev.select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
     )
-    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    # localCheckpoint (r15 scan audit): the user-sized cohort table
+    # feeds the activity join AND the cohort-size agg — unpinned, both
+    # re-scanned events (6 scans); pinned, events is read twice (cohort
+    # build + activity join), firsts once.
+    firsts = (
+        w.groupBy("user_id")
+        .agg(F.min("wk").alias("cohort"))
+        .localCheckpoint(eager=False)
+    )
     m = (
         w.join(firsts, "user_id")
         .groupBy(
@@ -330,7 +338,15 @@ def twap_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def active_users_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    # localCheckpoint (r15 scan audit): the user-day distinct is
+    # already a full shuffle and feeds both the contribution explode
+    # and the day spine — pinning its output beats recomputing the
+    # distinct per branch (4 events scans before; 1 after).
+    ud = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     contrib = ud.select(
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(27))).alias("offset"),
@@ -434,9 +450,12 @@ def yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def new_vs_returning_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # localCheckpoint (r15 scan audit): the user-week distinct is a
+    # full shuffle feeding both the first-week agg and the activity
+    # join — pin its output instead of recomputing it per branch.
     w = ev.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     firsts = w.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
     j = w.join(firsts, "user_id")
     return (

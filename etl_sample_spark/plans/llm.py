@@ -2917,8 +2917,14 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    # localCheckpoint the VOCABULARY-sized counts (r15 scan audit) and
+    # derive the total from them — one corpus pass instead of two.
+    counts = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     return (
         counts.crossJoin(F.broadcast(tot))
         .where(F.col("cnt") * 200 > F.col("n"))
@@ -3083,8 +3089,16 @@ def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    # localCheckpoint the VOCABULARY-sized model (r15 scan audit) and
+    # derive the total from it: unpinned, tot/freq/scoring each
+    # re-scanned documents and re-exploded the token stream (6 scans);
+    # pinned, two corpus passes (model build + scoring join).
+    freq = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = freq.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     return (
         tok.join(freq, "t")
         .crossJoin(F.broadcast(tot))
@@ -4300,11 +4314,16 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
+    # localCheckpoint (r15 scan audit): the narrow scored projection
+    # (id, bool, double — no text) feeds the score grid, the tie-break
+    # window, and the total — unpinned, each branch re-scanned
+    # documents and re-ran the quality-score expression (6 scans);
+    # pinned, one corpus pass.
     scored = docs.select(
         "doc_id",
         (F.col("lang") == "en").alias("pos"),
         _qc_score_col().alias("score"),
-    )
+    ).localCheckpoint(eager=False)
     grid = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
     w_before = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, -1

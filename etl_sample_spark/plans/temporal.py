@@ -262,7 +262,14 @@ def interval_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> Dat
 )
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    # localCheckpoint (r15 scan audit): the user-sized first-activity
+    # table is re-derived by the join branch otherwise (4 events scans;
+    # 2 after — cohort build + activity join).
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .localCheckpoint(eager=False)
+    )
     activity = ev.join(firsts, "user_id").select(
         "user_id",
         F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias("cohort_week"),
