@@ -114,7 +114,11 @@ def test_no_python_row_udfs_anywhere(spark, sf_dir, name):
 _BOUNDED_GLOBAL_WINDOWS = {
     "histogram_quantile_prices": "cumsum over the fixed 1000-bucket histogram",
     "source_mix_report": "share-of-total over the handful of source rows",
-    "hybrid_rrf_rerank": "row_number over the TakeOrdered BM25 top-50",
+    # hybrid_rrf_rerank's bounded global window (row_number over the
+    # TakeOrdered BM25 top-50) moved INSIDE a localCheckpoint subtree in
+    # r15, so the final-plan guard no longer sees it — removed from this
+    # allowlist (the window itself is unchanged and still top-50-bounded;
+    # the checkpoint materialization job runs it).
     "classifier_auc_mann_whitney": "running count over the bounded 1e-6 score grid",
     "classifier_decile_lift": "score-grid offsets + two windows over the 10 decile rows",
     "wow_revenue_growth": "lag over the bounded weekly calendar grid",
