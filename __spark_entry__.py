@@ -44,73 +44,47 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r15 mechanical re-pins — the three r14 ADVICE fixes in
-    # operators/multimodal.py, each result-invariant for the registered
-    # queries (no in-repo producer emits the guarded layouts) but
-    # reachable-code dirty:
-    # - the wave decoder's single-symbol AC path now treats ANY
-    #   size==0 non-ZRL symbol as EOB exactly like the pure decoder
-    #   (T.81 F.1.2.2), instead of desyncing on spec-undefined symbols
-    #   like 0x30;
-    # - the env-var dispatches gate the libjpeg/giflib ctypes hooks on
-    #   their subprocess hazard probes (refuse loudly, never risk an
-    #   in-process exit()/segfault past a failed probe);
-    # - _png_raw_libpng frees the libpng control struct on every
-    #   abandoned-read path (format reject / finish_read failure).
-    # All seven queries reach the shared decoder dispatch, so the
-    # closure fingerprint dirties the whole set.
-    # r15 new registration (VERDICT item 3): the linear-output SimHash
-    # cluster contract — one row per doc, components over the
-    # DISTINCT-signature graph (the 238→239 registry re-open the
-    # verdict authorized).
-    "simhash_cluster_assign",
-    # r15 scan-audit fixes: a registry-wide executed-plan audit counted
-    # parquet scans per query and flagged multi-branch lineages that
-    # re-scan the fact table / re-run expensive maps per branch. These
-    # seven now localCheckpoint their SMALL derived relations (bounded
-    # aggregates — never token-stream-sized), cutting e.g. rfm from 15
-    # orders scans to 1 (isolated sf0.1 median 8.1 -> 4.2 s) and
-    # hybrid_rrf from 21 documents scans to 0 in the final plan.
-    # Results unchanged (strict-sim value-matched at sf0.01 + sf0.1).
+    # r16 mechanical re-pins (r15 VERDICT items 1-2): every
+    # branch-sharing localCheckpoint now routes through ONE helper —
+    # etl_sample_spark/pinning.py's pin() — with a SPARK_GRAFT_NO_PIN
+    # guard bypass (the registry-wide plan guards build pin-free) and a
+    # measured localCheckpoint/persist/reliable mode decision (SCALE.md
+    # r16). Results are mode-invariant (tests/test_pinning.py asserts
+    # it; strict driver-sim re-verified at sf0.01), but the refactor
+    # reaches each pinned query's code closure, so the whole set
+    # re-enters the driver window. The r15 pins that did NOT change
+    # (revenue_bridge one-pass pivot, the seven multimodal decoder
+    # queries) rotate out on their green r15 rows.
+    "abc_pareto_classification",
+    "active_users_dau_wau_mau",
+    "bigram_lm_interpolated_score",
+    "bigram_pmi_collocations",
+    "bm25_score_query",
+    "chi2_event_type_by_user_band",
+    "classifier_decile_lift",
+    "cohort_retention_matrix",
+    "cohort_weekly_retention",
+    "countmin_token_estimate",
+    "dsir_importance_weights",
+    "gapfill_hourly_interpolate",
+    "gini_revenue_concentration",
+    "heavy_hitters_tokens",
+    # reaches the pointer-jumping loop whose truncation comment gained
+    # the "deliberately NOT pinning.pin()" cross-reference (comment-only
+    # for semantics, but the closure fingerprint is source-exact)
+    "hierarchy_rollup_suppliers",
+    "hybrid_rrf_rerank",
+    "kaplan_meier_customer_lifetime",
+    "ks_two_sample_click_vs_purchase",
+    "mad_outlier_prices_by_brand",
+    "market_basket_part_pairs",
+    "minhash_jaccard_estimate_audit",
+    "new_vs_returning_weekly",
     "rfm_customer_scores",
     "scd2_customer_segment_migration",
-    "minhash_jaccard_estimate_audit",
-    "dsir_importance_weights",
-    "ks_two_sample_click_vs_purchase",
-    "bm25_score_query",
-    "hybrid_rrf_rerank",
-    # r15 scan-audit batch 2 (same pattern, same evidence bar):
-    # countmin additionally builds all d sketch rows in ONE corpus pass
-    # (explode to (row, cell) addresses + one combinable groupBy)
-    # instead of one groupBy per row.
-    "countmin_token_estimate",
-    "bigram_pmi_collocations",
-    "bigram_lm_interpolated_score",
-    "market_basket_part_pairs",
-    "kaplan_meier_customer_lifetime",
-    "mad_outlier_prices_by_brand",
-    # r15 scan-audit batch 3 (fact-table multiplicity filter): same
-    # pattern; revenue_bridge additionally rewritten as a one-pass
-    # conditional pivot (identical row set to the old full-outer join).
-    "abc_pareto_classification",
-    "gini_revenue_concentration",
-    "gapfill_hourly_interpolate",
+    "simhash_cluster_assign",
+    "triangle_census_trade_network",
     "unigram_logprob_score",
-    "chi2_event_type_by_user_band",
-    "cohort_retention_matrix",
-    "active_users_dau_wau_mau",
-    "new_vs_returning_weekly",
-    "cohort_weekly_retention",
-    "revenue_bridge_customers",
-    "heavy_hitters_tokens",
-    "classifier_decile_lift",
-    "multimodal_bmp_decode",
-    "multimodal_png_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_jpeg_color_decode",
-    "multimodal_gif_decode",
-    "multimodal_resize_stats",
-    "multimodal_mjpeg_framesample",
 ]
 # r14's 8 pins all landed green rows in CORRECTNESS_r14.json (50/50
 # green) — skewjoin_revenue_by_priority rotates out (its r14 fix is

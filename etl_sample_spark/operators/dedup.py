@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_sample_spark.pinning import pin as _branch_pin
+
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
 # (a, b) parameters of the k=4 universal-hash family used for MinHash.
 MINHASH_COEFFS = ((7, 3), (13, 17), (31, 29), (61, 47))
@@ -409,7 +411,7 @@ def simhash_cluster_assign(
     the corpus is touched map-side only — the shape that survives 1000
     executors.
     """
-    # localCheckpoint both small relations (same technique as
+    # pin both small relations (same technique as
     # neardup_clusters): sig/sv feed MULTIPLE plan branches (band
     # self-join a/b, component attach, representative agg, final join),
     # and without pinning, each branch re-scans the corpus and re-runs
@@ -417,8 +419,8 @@ def simhash_cluster_assign(
     # executed plan. Pinned, the corpus is scanned ONCE; everything
     # downstream reads (id, simhash) rows (n × ~16 bytes) or the
     # ≤ 2^bits distinct-signature set.
-    sig = simhash_df(df, text_col, id_col, bits=bits).localCheckpoint(eager=False)
-    sv = sig.select("simhash").distinct().localCheckpoint(eager=False)
+    sig = _branch_pin(simhash_df(df, text_col, id_col, bits=bits))
+    sv = _branch_pin(sig.select("simhash").distinct())
 
     # Banded pair generation over DISTINCT signatures — identical
     # pigeonhole construction to simhash_near_duplicates, but the join

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
+from etl_sample_spark.pinning import pin
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
 
@@ -505,14 +506,14 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_census_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     edges = _trade_edges(spark, sf_dir)
-    und = (
+    und = pin(
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
-        .distinct()
+        .distinct(),
         # feeds three join legs + the degree count; pin so the fact
         # extraction runs once (same discipline as the PageRank edges)
-        .localCheckpoint(eager=True)
+        eager=True,
     )
     a, b, c = und.alias("a"), und.alias("b"), und.alias("c")
     tri = (
@@ -711,17 +712,17 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.ranks import bucketed_global_rank, ntile_from_rank
 
     orders = _t(spark, sf_dir, "orders")
-    base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+    # pin (r15): base feeds every pass's rank branch AND the grid_from
+    # branches — unpinned, the executed plan re-scanned orders 15 times
+    # (scan-audit); pinned, the fact table is read once and the passes
+    # consume the customer-sized aggregate.
+    base = pin(orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.datediff(F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")).alias(
             "recency_days"
         ),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec2("o_totalprice")).alias("monetary_dec"),
-    # localCheckpoint (r15): base feeds every pass's rank branch AND the
-    # grid_from branches — unpinned, the executed plan re-scanned orders
-    # 15 times (scan-audit); pinned, the fact table is read once and the
-    # passes consume the customer-sized aggregate.
-    ).localCheckpoint(eager=False)
+    ))
     # Recency DESC → negate for a monotone bucket; the day grid is
     # bounded by the fixed date range (~2.5k buckets at any SF).
     # Passes 2-3 compute their GRIDS from `base` (grid_from): the grid
@@ -1169,6 +1170,9 @@ def hierarchy_rollup_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("p.node").alias("node"), F.col("q.anc").alias("anc"))
         )
+        # deliberately NOT pinning.pin(): iterative truncation is
+        # algorithmically load-bearing (lineage doubles per round) and
+        # must not be disabled by the plan-guard bypass.
         new_pairs = pairs.unionByName(hop).distinct().localCheckpoint(eager=True)
         if new_pairs.count() == pairs.count():
             pairs = new_pairs
@@ -1345,13 +1349,12 @@ def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.ranks import bucketed_global_rank
 
     li = _t(spark, sf_dir, "lineitem")
-    # localCheckpoint (r15 scan audit): the rank operator's grid /
-    # offset / rank branches re-executed this part-sized agg — 6
-    # lineitem scans in the executed plan; pinned, the fact is read once.
-    rev = (
+    # pin (r15 scan audit): the rank operator's grid / offset / rank
+    # branches re-executed this part-sized agg — 6 lineitem scans in
+    # the executed plan; pinned, the fact is read once.
+    rev = pin(
         li.groupBy("l_partkey")
         .agg(F.sum(revenue_dec()).alias("r"))
-        .localCheckpoint(eager=False)
     )
     ranked = bucketed_global_rank(
         rev.withColumn(
@@ -1477,16 +1480,15 @@ def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    # localCheckpoint the distinct basket relation (r15 scan audit): op
-    # feeds n_orders, freq, and BOTH sides of the pair self-join —
-    # unpinned, each branch re-scanned lineitem AND re-ran the distinct
-    # shuffle (8 scans / 5 distincts). The distinct is already a full
-    # shuffle, so pinning its two-int output once strictly dominates
-    # recomputing it per branch.
-    op = (
+    # pin the distinct basket relation (r15 scan audit): op feeds
+    # n_orders, freq, and BOTH sides of the pair self-join — unpinned,
+    # each branch re-scanned lineitem AND re-ran the distinct shuffle
+    # (8 scans / 5 distincts). The distinct is already a full shuffle,
+    # so pinning its two-int output once strictly dominates recomputing
+    # it per branch.
+    op = pin(
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n_orders = op.select(F.countDistinct("o").alias("n"))
     freq = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1937,7 +1939,11 @@ def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     ev = _t(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
-    pts = (
+    # pin (r15 scan audit): the rank operator's grid / rank / offset
+    # branches re-executed this agg — 8 scans of events in the executed
+    # plan. Pinned, events is scanned once; the branches read the
+    # value-grid-sized counts.
+    pts = pin(
         ev.select(
             F.col("value").alias("v"),
             F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
@@ -1945,11 +1951,6 @@ def ks_two_sample_click_vs_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .groupBy("v")
         .agg(F.sum("g1").alias("c1"), F.sum("g2").alias("c2"))
-        # localCheckpoint (r15 scan audit): the rank operator's grid /
-        # rank / offset branches re-executed this agg — 8 scans of
-        # events in the executed plan. Pinned, events is scanned once;
-        # the branches read the value-grid-sized counts.
-        .localCheckpoint(eager=False)
     )
     ecdf = bucketed_global_rank(
         pts.withColumn("__b", F.floor(F.col("v") * 4).cast("bigint")),
@@ -2100,14 +2101,13 @@ def ols_price_on_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
 def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.ranks import bucketed_global_rank
 
-    rev = (
+    # pin (r15 scan audit): rank-operator branches re-executed this
+    # customer-sized agg — 5 orders scans; pinned, the fact is read
+    # once.
+    rev = pin(
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
-        # localCheckpoint (r15 scan audit): rank-operator branches
-        # re-executed this customer-sized agg — 5 orders scans; pinned,
-        # the fact is read once.
-        .localCheckpoint(eager=False)
     )
     ranked = bucketed_global_rank(
         rev.withColumn(
@@ -2181,13 +2181,13 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chi2_event_type_by_user_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # localCheckpoint the contingency table (r15 scan audit): every
-    # marginal (rows/cols/total) and the cell join derive from obs —
-    # unpinned, each branch re-scanned events (6 scans); pinned, the
-    # fact is read once and the nr×nc table feeds everything.
-    obs = ev.groupBy(
+    # pin the contingency table (r15 scan audit): every marginal
+    # (rows/cols/total) and the cell join derive from obs — unpinned,
+    # each branch re-scanned events (6 scans); pinned, the fact is read
+    # once and the nr×nc table feeds everything.
+    obs = pin(ev.groupBy(
         "event_type", (F.col("user_id") % 4).cast("int").alias("band")
-    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("o")))
     rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("band").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
+from etl_sample_spark.pinning import pin
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
 
@@ -64,14 +65,13 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = ev.select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
     )
-    # localCheckpoint (r15 scan audit): the user-sized cohort table
-    # feeds the activity join AND the cohort-size agg — unpinned, both
-    # re-scanned events (6 scans); pinned, events is read twice (cohort
-    # build + activity join), firsts once.
-    firsts = (
+    # pin (r15 scan audit): the user-sized cohort table feeds the
+    # activity join AND the cohort-size agg — unpinned, both re-scanned
+    # events (6 scans); pinned, events is read twice (cohort build +
+    # activity join), firsts once.
+    firsts = pin(
         w.groupBy("user_id")
         .agg(F.min("wk").alias("cohort"))
-        .localCheckpoint(eager=False)
     )
     m = (
         w.join(firsts, "user_id")
@@ -338,14 +338,13 @@ def twap_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def active_users_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # localCheckpoint (r15 scan audit): the user-day distinct is
-    # already a full shuffle and feeds both the contribution explode
-    # and the day spine — pinning its output beats recomputing the
-    # distinct per branch (4 events scans before; 1 after).
-    ud = (
+    # pin (r15 scan audit): the user-day distinct is already a full
+    # shuffle and feeds both the contribution explode and the day
+    # spine — pinning its output beats recomputing the distinct per
+    # branch (4 events scans before; 1 after).
+    ud = pin(
         ev.select("user_id", F.col("ts").cast("date").alias("day"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     contrib = ud.select(
         "user_id",
@@ -450,12 +449,12 @@ def yoy_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def new_vs_returning_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # localCheckpoint (r15 scan audit): the user-week distinct is a
-    # full shuffle feeding both the first-week agg and the activity
-    # join — pin its output instead of recomputing it per branch.
-    w = ev.select(
+    # pin (r15 scan audit): the user-week distinct is a full shuffle
+    # feeding both the first-week agg and the activity join — pin its
+    # output instead of recomputing it per branch.
+    w = pin(ev.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct())
     firsts = w.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
     j = w.join(firsts, "user_id")
     return (
@@ -606,18 +605,17 @@ def time_to_convert_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    # localCheckpoint the customer-sized lifetime table (r15 scan
-    # audit): it feeds tot + pts (and the horizon), and unpinned each
-    # branch re-scanned orders — 8 scans in the executed plan. The
-    # horizon now derives FROM the pinned base (global max orderdate ==
-    # max over per-customer maxes), so orders is scanned exactly once.
-    life_base = (
+    # pin the customer-sized lifetime table (r15 scan audit): it feeds
+    # tot + pts (and the horizon), and unpinned each branch re-scanned
+    # orders — 8 scans in the executed plan. The horizon now derives
+    # FROM the pinned base (global max orderdate == max over
+    # per-customer maxes), so orders is scanned exactly once.
+    life_base = pin(
         orders.groupBy("o_custkey")
         .agg(
             F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
             F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
         )
-        .localCheckpoint(eager=False)
     )
     horizon = life_base.agg(F.max("last_d").alias("hmax"))
     life = (

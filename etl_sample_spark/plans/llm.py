@@ -36,6 +36,7 @@ from etl_sample_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from etl_sample_spark.operators.multimodal import attach_fake_media
+from etl_sample_spark.pinning import pin
 from etl_sample_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
@@ -1923,10 +1924,10 @@ def bm25_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, score) for the fixed query — the shared BM25 core.
     Only docs containing ≥1 query term appear (inner-join semantics)."""
-    # localCheckpoint the SMALL derived relations (r15 scan audit): tf
-    # (docs × matched query terms), per-doc lengths (two ints per doc),
-    # and the 1-row stats derived from lengths. Unpinned, every branch
-    # (tf, idf-from-tf, stats, doclen, and each downstream self-join)
+    # pin the SMALL derived relations (r15 scan audit): tf (docs ×
+    # matched query terms), per-doc lengths (two ints per doc), and the
+    # 1-row stats derived from lengths. Unpinned, every branch (tf,
+    # idf-from-tf, stats, doclen, and each downstream self-join)
     # re-scanned the corpus and re-split the text — 10-21 parquet scans
     # in the executed plans. Pinned, the corpus is scanned twice (once
     # per independent derivation), and never materialized token-stream-
@@ -1934,14 +1935,13 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).where(F.col("term").isin(*_BM25_TERMS))
-    tf = (
+    tf = pin(
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
-    doclen = docs.select(
+    doclen = pin(docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl")
-    ).localCheckpoint(eager=False)
+    ))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avg_len"),
@@ -2025,14 +2025,14 @@ def hybrid_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rb")
     )
-    # localCheckpoint (r15 scan audit): q_all feeds the survivor join
-    # AND the strictly-ahead count; btop caps the BM25 core with a
-    # top-50 that the downstream branches would otherwise re-execute.
-    q_all = docs.select(
+    # pin (r15 scan audit): q_all feeds the survivor join AND the
+    # strictly-ahead count; btop caps the BM25 core with a top-50 that
+    # the downstream branches would otherwise re-execute.
+    q_all = pin(docs.select(
         F.col("doc_id").alias("qd"),
         quality_score(F.col("text"), F.col("n_chars")).alias("q"),
-    ).localCheckpoint(eager=False)
-    btop = btop.localCheckpoint(eager=False)
+    ))
+    btop = pin(btop)
     surv = btop.join(
         q_all.select(F.col("qd").alias("doc_id"), F.col("q").alias("sq")), "doc_id"
     )
@@ -2191,15 +2191,23 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # localCheckpoint (r15 scan audit): pairs/sig/dsh each feed 2+ join
-    # branches below (dsh three: the sa/sb intersection self-join and
-    # the per-doc shingle counts) — unpinned, the executed plan scanned
+    # pin (r15 scan audit): pairs/sig/dsh each feed 2+ join branches
+    # below (dsh three: the sa/sb intersection self-join and the
+    # per-doc shingle counts) — unpinned, the executed plan scanned
     # documents 16 times and re-ran the shingle/minhash maps per branch.
-    pairs = minhash_lsh_candidates(docs).select("a_id", "b_id").localCheckpoint(eager=False)
-    sig = minhash_signature_df(docs).localCheckpoint(eager=False)
-    dsh = docs.select(
+    # dsh is the one DELIBERATE exception to the "pin only bounded
+    # aggregates" policy: it is token-stream-sized (doc_id × distinct
+    # shingles), but it feeds THREE branches, two of them inside a
+    # self-join that would otherwise re-run the shingle explode — and
+    # this is an sf-bounded AUDIT query (estimate-vs-exact comparison),
+    # not a corpus-scale production path (the production estimate is
+    # minhash_lsh_candidates/minhash_signature_df, which never
+    # materializes shingle streams).
+    pairs = pin(minhash_lsh_candidates(docs).select("a_id", "b_id"))
+    sig = pin(minhash_signature_df(docs))
+    dsh = pin(docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
-    ).localCheckpoint(eager=False)
+    ))
     nsh = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(dsh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
@@ -2341,14 +2349,13 @@ def decontaminated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.scd import scd2_init, scd2_merge
 
-    # localCheckpoint (r15 scan audit): cust feeds history AND updates,
-    # and scd2_merge's change-detection/closing/union branches re-execute
+    # pin (r15 scan audit): cust feeds history AND updates, and
+    # scd2_merge's change-detection/closing/union branches re-execute
     # both — 19 parquet scans of customer in the executed plan. Pinned,
     # the table is scanned once; every branch reads the 2-column rows.
-    cust = (
+    cust = pin(
         _t(spark, sf_dir, "customer")
         .select("c_custkey", "c_mktsegment")
-        .localCheckpoint(eager=False)
     )
     history = scd2_init(cust, "1995-01-01")
     updates = cust.withColumn(
@@ -2917,12 +2924,11 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
-    # localCheckpoint the VOCABULARY-sized counts (r15 scan audit) and
-    # derive the total from them — one corpus pass instead of two.
-    counts = (
+    # pin the VOCABULARY-sized counts (r15 scan audit) and derive the
+    # total from them — one corpus pass instead of two.
+    counts = pin(
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
     )
     tot = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     return (
@@ -3001,8 +3007,8 @@ def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single combinable groupBy — the per-row union of groupBys
     # re-scanned documents once per row (d+2 scans total). Same cell
     # multiset per row, identical counts; the sketch stays d×W-bounded
-    # and is localCheckpointed for the probe join below.
-    cells = (
+    # and is pinned for the probe join below.
+    cells = pin(
         hashed.select(
             F.explode(
                 F.array(
@@ -3018,14 +3024,12 @@ def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("rc.row_id").alias("row_id"), F.col("rc.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
-    exact = (
+    exact = pin(
         hashed.groupBy("t")
         .agg(F.min("h").alias("h"), F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "t")
         .limit(20)
-        .localCheckpoint(eager=False)
     )
     # Probe = equi-join: explode each probe token to its d (row, cell)
     # addresses and join the (bounded, broadcastable) sketch table — no
@@ -3089,14 +3093,13 @@ def countmin_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    # localCheckpoint the VOCABULARY-sized model (r15 scan audit) and
-    # derive the total from it: unpinned, tot/freq/scoring each
-    # re-scanned documents and re-exploded the token stream (6 scans);
-    # pinned, two corpus passes (model build + scoring join).
-    freq = (
+    # pin the VOCABULARY-sized model (r15 scan audit) and derive the
+    # total from it: unpinned, tot/freq/scoring each re-scanned
+    # documents and re-exploded the token stream (6 scans); pinned,
+    # two corpus passes (model build + scoring join).
+    freq = pin(
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
     )
     tot = freq.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     return (
@@ -3334,21 +3337,19 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    # localCheckpoint the two VOCABULARY-sized count tables (r15 scan
-    # audit): uni feeds tot + u1 + u2 and bic feeds btot + the result —
-    # unpinned, each branch re-scanned documents and re-exploded the
-    # token/bigram stream (8 scans). Pinned: two corpus passes total.
-    uni = (
+    # pin the two VOCABULARY-sized count tables (r15 scan audit): uni
+    # feeds tot + u1 + u2 and bic feeds btot + the result — unpinned,
+    # each branch re-scanned documents and re-exploded the token/bigram
+    # stream (8 scans). Pinned: two corpus passes total.
+    uni = pin(
         docs.select(F.explode(toks).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c").alias("n_uni"))
-    bic = (
+    bic = pin(
         bi.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
     )
     btot = bic.agg(F.sum("c12").alias("n_bi"))
     u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
@@ -3842,23 +3843,21 @@ def bigram_lm_interpolated_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     tok = docs.select(F.explode(toks).alias("t"))
-    # localCheckpoint the VOCABULARY-sized count models (r15 scan
-    # audit): c2 feeds the scoring join, c1 a second branch of the same
-    # bigram stream, cu/tot the unigram stream — unpinned, the executed
-    # plan re-scanned documents and re-exploded per branch (10 scans).
+    # pin the VOCABULARY-sized count models (r15 scan audit): c2 feeds
+    # the scoring join, c1 a second branch of the same bigram stream,
+    # cu/tot the unigram stream — unpinned, the executed plan
+    # re-scanned documents and re-exploded per branch (10 scans).
     # c1 and tot now derive FROM the pinned models (same sums); the
     # corpus is scanned twice (bigram + unigram model builds) plus once
     # for the scoring join.
-    c2 = (
+    c2 = pin(
         bi.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
     )
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    cu = (
+    cu = pin(
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
     )
     tot = cu.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
     p = 0.75 * F.col("c12") / F.col("c1") + 0.25 * F.col("c") / F.col("n")
@@ -4314,16 +4313,15 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    # localCheckpoint (r15 scan audit): the narrow scored projection
-    # (id, bool, double — no text) feeds the score grid, the tie-break
-    # window, and the total — unpinned, each branch re-scanned
-    # documents and re-ran the quality-score expression (6 scans);
-    # pinned, one corpus pass.
-    scored = docs.select(
+    # pin (r15 scan audit): the narrow scored projection (id, bool,
+    # double — no text) feeds the score grid, the tie-break window, and
+    # the total — unpinned, each branch re-scanned documents and re-ran
+    # the quality-score expression (6 scans); pinned, one corpus pass.
+    scored = pin(docs.select(
         "doc_id",
         (F.col("lang") == "en").alias("pos"),
         _qc_score_col().alias("score"),
-    ).localCheckpoint(eager=False)
+    ))
     grid = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
     w_before = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, -1
@@ -4433,24 +4431,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
     )
-    # localCheckpoint the two VOCABULARY-sized models (r15 scan audit)
-    # and derive every scalar from them instead of from tok: vocab =
-    # |raw| (raw groups ALL tokens by term, so its row count IS the
-    # distinct-term count), tgt_n/raw_n = the models' count sums.
-    # Unpinned, the six branches re-scanned documents 12 times and
-    # re-ran the token explode per branch; pinned, the corpus is
-    # scanned twice (target + raw model builds) plus once for the
-    # scoring join, and nothing token-stream-sized is materialized.
-    tgt = (
+    # pin the two VOCABULARY-sized models (r15 scan audit) and derive
+    # every scalar from them instead of from tok: vocab = |raw| (raw
+    # groups ALL tokens by term, so its row count IS the distinct-term
+    # count), tgt_n/raw_n = the models' count sums. Unpinned, the six
+    # branches re-scanned documents 12 times and re-ran the token
+    # explode per branch; pinned, the corpus is scanned twice (target +
+    # raw model builds) plus once for the scoring join, and nothing
+    # token-stream-sized is materialized.
+    tgt = pin(
         tok.where(F.col("lang") == "en")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("tcnt"))
-        .localCheckpoint(eager=False)
     )
-    raw = (
+    raw = pin(
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("rcnt"))
-        .localCheckpoint(eager=False)
     )
     vocab = raw.agg(F.count(F.lit(1)).alias("v"))
     # coalesce: SUM over an empty model is NULL where the old COUNT(*)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
 from etl_sample_spark.functions.money import REV_SQL, SUM2_SQL, dec2, revenue_dec, sum_money
+from etl_sample_spark.pinning import pin
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
 
@@ -999,20 +1000,19 @@ def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mad_outlier_prices_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    # localCheckpoint the BRAND-sized medians (r15 scan audit): med
-    # feeds both the MAD pass and the stats join — unpinned, each
-    # branch re-ran the percentile scan (7 part scans in the executed
-    # plan). Pinned, part is scanned exactly the three algorithmically
-    # necessary times (median, MAD, outlier count).
-    med = part.groupBy("p_brand").agg(
+    # pin the BRAND-sized medians (r15 scan audit): med feeds both the
+    # MAD pass and the stats join — unpinned, each branch re-ran the
+    # percentile scan (7 part scans in the executed plan). Pinned, part
+    # is scanned exactly the three algorithmically necessary times
+    # (median, MAD, outlier count).
+    med = pin(part.groupBy("p_brand").agg(
         F.expr("percentile(p_retailprice, 0.5)").alias("med")
-    ).localCheckpoint(eager=False)
-    mad = (
+    ))
+    mad = pin(
         part.join(F.broadcast(med), "p_brand")
         .withColumn("adev", F.abs(F.col("p_retailprice") - F.col("med")))
         .groupBy("p_brand")
         .agg(F.expr("percentile(adev, 0.5)").alias("mad"))
-        .localCheckpoint(eager=False)
     )
     # one per-brand stats frame joined back onto the scan ONCE — keeps
     # the lineage single-consumer so the scan and the median percentile

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from etl_sample_spark import catalog
 from etl_sample_spark.operators.joins import asof_join
+from etl_sample_spark.pinning import pin
 from etl_sample_spark.plans.registry import register
 from etl_sample_spark.session import tune
 
@@ -262,13 +263,12 @@ def interval_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> Dat
 )
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    # localCheckpoint (r15 scan audit): the user-sized first-activity
-    # table is re-derived by the join branch otherwise (4 events scans;
-    # 2 after — cohort build + activity join).
-    firsts = (
+    # pin (r15 scan audit): the user-sized first-activity table is
+    # re-derived by the join branch otherwise (4 events scans; 2 after
+    # — cohort build + activity join).
+    firsts = pin(
         ev.groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
-        .localCheckpoint(eager=False)
     )
     activity = ev.join(firsts, "user_id").select(
         "user_id",

@@ -25,6 +25,18 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+@pytest.fixture
+def no_pin(monkeypatch):
+    """Build plans with branch-sharing pins disabled (r16, VERDICT item 1).
+
+    A pinned subtree is an opaque LogicalRDD in the final plan, so any
+    registry-WIDE guard that walks the plan must run pin-free or it is
+    blind to everything upstream of the ~25 pins (etl_sample_spark/
+    pinning.py). Pinned-SHAPE tests (e.g. the simhash scan-once pin)
+    keep the default mode — they assert what the pin buys."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_PIN", "1")
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
     plan = plan_of(REGISTRY["q6_forecast_revenue"].spark(spark, sf_dir))
     assert "PushedFilters" in plan
@@ -90,11 +102,12 @@ _UDTF_QUERIES = {"udtf_tokenize_docs"}
 
 
 @pytest.mark.parametrize("name", sorted(n for n, s in REGISTRY.items() if s.oracle is not None))
-def test_no_python_row_udfs_anywhere(spark, sf_dir, name):
+def test_no_python_row_udfs_anywhere(spark, sf_dir, no_pin, name):
     """Every oracle-checked query must stay JVM-side: BatchEvalPython
     (row-at-a-time Python UDF) is banned outright; ArrowEvalPython /
     MapInPandas are reserved for the multimodal codec queries, which are
-    explicitly whitelisted."""
+    explicitly whitelisted. Runs PIN-FREE so a Python eval node upstream
+    of a branch-sharing pin cannot hide inside the pin's LogicalRDD."""
     plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
     if name in _UDTF_QUERIES:
         return  # the sanctioned (bounded) registered-UDTF demo
@@ -114,11 +127,10 @@ def test_no_python_row_udfs_anywhere(spark, sf_dir, name):
 _BOUNDED_GLOBAL_WINDOWS = {
     "histogram_quantile_prices": "cumsum over the fixed 1000-bucket histogram",
     "source_mix_report": "share-of-total over the handful of source rows",
-    # hybrid_rrf_rerank's bounded global window (row_number over the
-    # TakeOrdered BM25 top-50) moved INSIDE a localCheckpoint subtree in
-    # r15, so the final-plan guard no longer sees it — removed from this
-    # allowlist (the window itself is unchanged and still top-50-bounded;
-    # the checkpoint materialization job runs it).
+    # restored r16: the guard now builds pin-free, so the row_number
+    # over the TakeOrdered BM25 top-50 (bounded at 50 rows) is visible
+    # again after hiding inside a localCheckpoint subtree in r15.
+    "hybrid_rrf_rerank": "row_number over the TakeOrdered BM25 top-50",
     "classifier_auc_mann_whitney": "running count over the bounded 1e-6 score grid",
     "classifier_decile_lift": "score-grid offsets + two windows over the 10 decile rows",
     "wow_revenue_growth": "lag over the bounded weekly calendar grid",
@@ -155,13 +167,14 @@ def _unpartitioned_windows(df) -> int:
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_corpus_global_windows(spark, sf_dir, name):
+def test_no_corpus_global_windows(spark, sf_dir, no_pin, name):
     """A Window.orderBy with no partitionBy moves its ENTIRE input to one
     partition — the single worst scale anti-pattern at 100 TB. Allowed
     only over provably bounded inputs, each justified in
     _BOUNDED_GLOBAL_WINDOWS; anything else must be scale-shaped (grid
     pre-aggregation, TakeOrdered, broadcast count-greater — see the r11
-    AUC/decile/RRF rewrites) before it can register."""
+    AUC/decile/RRF rewrites) before it can register. Runs PIN-FREE so a
+    global window upstream of a branch-sharing pin stays visible."""
     n = _unpartitioned_windows(REGISTRY[name].spark(spark, sf_dir))
     if name in _BOUNDED_GLOBAL_WINDOWS:
         assert n > 0, (
@@ -380,10 +393,12 @@ _SCALAR_SUBQUERY = {
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_accidental_cartesian_or_nlj(spark, sf_dir, name):
+def test_no_accidental_cartesian_or_nlj(spark, sf_dir, no_pin, name):
     """Registry-wide scale guard: no CartesianProduct in ANY registered
     query's plan, and no BroadcastNestedLoopJoin outside the intentional
-    non-equi demos and the 1-row scalar-subquery broadcasts."""
+    non-equi demos and the 1-row scalar-subquery broadcasts. Runs
+    PIN-FREE so a cartesian upstream of a branch-sharing pin stays
+    visible."""
     if name in _INTENTIONAL_NON_EQUI:
         return
     plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
