@@ -64,6 +64,16 @@ def pin(df: DataFrame, *, eager: bool = False) -> DataFrame:
     pin materializes its input, so pinning anything corpus-sized trades
     a re-scan for a corpus-sized write to executor storage.
 
+    Know the second cost (measured r16, SCALE.md): a checkpointed
+    relation is a stats-OPAQUE LogicalRDD — Catalyst sees
+    ``defaultSizeInBytes`` for it, so downstream joins against the pin
+    lose their automatic broadcast eligibility and degrade to
+    sort-merge. Pin relations the planner would not have broadcast
+    anyway, or keep an explicit ``F.broadcast`` hint on pinned
+    dimension/one-row frames whose broadcast the plan relies on
+    (pinning the minhash LSH pair list cost 1.4× at sf0.1 through
+    exactly this mechanism before r16 unpinned it).
+
     ``eager=True`` runs the materialization job immediately (useful when
     the caller's very next step is a multi-branch fan-out and deferred
     first-touch cost would land inside a timed region); the default

@@ -506,14 +506,20 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_census_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     edges = _trade_edges(spark, sf_dir)
-    und = pin(
+    # UNPINNED r16 (was an eager localCheckpoint since its r13 form):
+    # all four consumers (three triangle legs + the degree count) read
+    # the IDENTICAL (u, v) projection, so Spark's ReuseExchange
+    # deduplicates the trade-edges shuffle across the branches by
+    # itself — the executed plan computes the 4-way fact join ONCE and
+    # the other branches read ReusedExchange nodes. The pin was paying
+    # a full serial materialization (4.9 s vs 1.5 s at the 10× tier,
+    # interleaved medians — SCALE.md r16) to buy a dedup the engine
+    # already performs when the branch subtrees stay canonical-equal.
+    und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
-        .distinct(),
-        # feeds three join legs + the degree count; pin so the fact
-        # extraction runs once (same discipline as the PageRank edges)
-        eager=True,
+        .distinct()
     )
     a, b, c = und.alias("a"), und.alias("b"), und.alias("c")
     tri = (

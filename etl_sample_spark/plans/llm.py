@@ -2191,23 +2191,22 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # pin (r15 scan audit): pairs/sig/dsh each feed 2+ join branches
-    # below (dsh three: the sa/sb intersection self-join and the
-    # per-doc shingle counts) — unpinned, the executed plan scanned
-    # documents 16 times and re-ran the shingle/minhash maps per branch.
-    # dsh is the one DELIBERATE exception to the "pin only bounded
-    # aggregates" policy: it is token-stream-sized (doc_id × distinct
-    # shingles), but it feeds THREE branches, two of them inside a
-    # self-join that would otherwise re-run the shingle explode — and
-    # this is an sf-bounded AUDIT query (estimate-vs-exact comparison),
-    # not a corpus-scale production path (the production estimate is
-    # minhash_lsh_candidates/minhash_signature_df, which never
-    # materializes shingle streams).
-    pairs = pin(minhash_lsh_candidates(docs).select("a_id", "b_id"))
+    # pin (r15 scan audit, re-measured r16 — SCALE.md r16): of the
+    # three r15 pins only sig survives. A pinned relation is a
+    # stats-opaque LogicalRDD, so every downstream join against it
+    # loses its broadcast eligibility (defaultSizeInBytes ⇒ sort-merge)
+    # — pinning pairs serialized the whole banded-join pipeline AND
+    # degraded its two consumer joins, measured 13.6 s vs 10.0 s
+    # unpinned at sf0.1 (all three pinned: 16.5 s; sig-only: 9.6 s).
+    # dsh is token-stream-sized — materializing it costs more than its
+    # branches' map-side shingle re-explodes save. This re-opens some
+    # documents re-scans by design; the adjudication lives in
+    # SCANAUDIT_r16.json.
+    pairs = minhash_lsh_candidates(docs).select("a_id", "b_id")
     sig = pin(minhash_signature_df(docs))
-    dsh = pin(docs.select(
+    dsh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
-    ))
+    )
     nsh = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(dsh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
@@ -2924,12 +2923,14 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
-    # pin the VOCABULARY-sized counts (r15 scan audit) and derive the
-    # total from them — one corpus pass instead of two.
-    counts = pin(
-        tok.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # UNPINNED r16 (was pinned r15): counts feeds the one-row total
+    # AND the final projection, but the second derivation is a cheap
+    # parallel re-explode while the pin's materialize barrier measured
+    # slower at both tiers (sf0.1 0.45→0.60 s, 10× 0.88→1.17 s,
+    # interleaved medians — SCALE.md r16). The total still derives
+    # FROM counts (vocabulary-sized input), not from a third corpus
+    # pass.
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"))
     return (
         counts.crossJoin(F.broadcast(tot))
