@@ -35,13 +35,39 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema memo: (path, mtime_ns, size) -> StructType (r16 optimization).
+# `spark.read.parquet(path)` runs DataSource schema inference — a footer
+# read + file listing — on EVERY call; measured at ~110-140 ms per call
+# at sf0.1 vs ~22 ms when the reader is handed an explicit schema. Query
+# builders call table() 2-7 times per run, so per-query driver-side
+# planning paid 0.2-0.8 s of repeated footer inference (guide §7.3:
+# planning/listing is single-threaded driver work). This memo is what a
+# real deployment gets from its metastore/manifest layer (guide §6): the
+# schema is METADATA, inferred once per (file identity) per process —
+# never row data, never query results, and the mtime/size key drops the
+# entry the moment a file is rewritten (the 10× synth tiers regenerate
+# in place).
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one table. Column pruning + predicate pushdown are
     Catalyst's job — callers just select/filter declaratively."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # e.g. a directory-less object-store URI: infer fresh
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     # events.ts is TIMESTAMP(NANOS) in the driver's parquet, which Spark's
     # vectorized reader rejects. With spark.sql.legacy.parquet.nanosAsLong
     # (set in session.tune) it surfaces as bigint nanos; normalize back to
