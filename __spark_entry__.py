@@ -79,6 +79,10 @@ _FRONT_PINS = [
     "mad_outlier_prices_by_brand",
     "market_basket_part_pairs",
     "minhash_jaccard_estimate_audit",
+    # r16 optimization: corpus assembly now repartitions by the
+    # grouping key before the collect_list groupBy (normcore.py) —
+    # strict-sim re-verified at sf0.01 AND sf0.1 this round.
+    "normalize_star_rebuild",
     "new_vs_returning_weekly",
     "rfm_customer_scores",
     "scd2_customer_segment_migration",
