@@ -83,6 +83,26 @@ _FRONT_PINS = [
     # grouping key before the collect_list groupBy (normcore.py) —
     # strict-sim re-verified at sf0.01 AND sf0.1 this round.
     "normalize_star_rebuild",
+    # r16 optimization: higher-order-function subtree re-evaluation
+    # fixes (zip-built _shingles, staged simhash votes, staged
+    # line-dedup tokens, hoisted per-vector norms) — every query below
+    # strict-sim re-verified at sf0.01 AND sf0.1 this round.
+    "contamination_3gram_vs_benchmark",
+    "decontaminated_split_audit",
+    "embedding_neardup_clusters",
+    "embedding_neardup_pairs",
+    "incremental_dedup_new_vs_corpus",
+    "line_dedup_boilerplate",
+    "minhash_lsh_candidate_pairs",
+    "minhash_signatures",
+    "neardup_clusters_documents",
+    "ngram_jaccard_sample_pairs",
+    "semantic_dedup_keep_best",
+    "similarity_ivf_indexed_top10",
+    "similarity_ivf_top10",
+    "simhash_neardup_pairs",
+    "simhash_signatures",
+    "text_repetition_ratio",
     "new_vs_returning_weekly",
     "rfm_customer_scores",
     "scd2_customer_segment_migration",

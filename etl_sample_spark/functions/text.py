@@ -40,7 +40,9 @@ def stopword_ratio(text: Column) -> Column:
     return n_stop / F.size(toks)
 
 
-def repetition_ratio(text: Column, n: int = 3) -> Column:
+def repetition_ratio(
+    text: Column, n: int = 3, shingles: Column | None = None
+) -> Column:
     """Gopher-style repetition signal: fraction of n-token shingles that
     are duplicates of an earlier shingle in the SAME document —
     boilerplate/spam text repeats itself, natural text mostly doesn't.
@@ -51,7 +53,13 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     """
     from etl_sample_spark.operators.dedup import _shingles
 
-    sh = _shingles(text, n)
+    # `sh` is referenced three times below; as a bare expression each
+    # reference re-built the whole shingle array (no CSE across
+    # expression branches — r16). Callers that can stage the array as a
+    # real column should pass it via ``shingles=`` (see
+    # text_repetition_ratio); this expression-level form remains for
+    # single-use composition into other map-side gates.
+    sh = _shingles(text, n) if shingles is None else shingles
     return F.when(
         F.size(sh) > 0,
         1 - F.size(F.array_distinct(sh)) / F.size(sh),

@@ -113,11 +113,30 @@ def embedding_near_duplicates(
     Fewer planes than search (6 → 64 buckets) because near-dup recall
     needs collisions to be *likely* for truly-close pairs.
     """
+    # Hoist the per-vector L2 norm out of the pair expression (r16):
+    # cosine_similarity(a, b) inlines THREE interpreted higher-order
+    # chains per candidate pair (dot + both norms — zip_with/aggregate
+    # are CodegenFallback), and the filter-then-project pattern
+    # evaluates the whole thing twice. The norm is a per-VECTOR scalar:
+    # computing it once per row and multiplying the two stored scalars
+    # per pair is the IDENTICAL floating-point operation sequence
+    # (same dot fold, same sqrt, same multiply), so every emitted
+    # cosine is bit-identical — only the per-pair work drops from
+    # 3 array folds to 1. Measured at sf0.1 (2k vectors, ~0.5M
+    # candidate pairs): 37 s → see OPTIMIZATION_r16.md.
+    from etl_sample_spark.functions.vectors import dot, l2_norm
+
     sig = embeddings.select(
-        F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col), dim, n_planes).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        _bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        l2_norm(F.col(vec_col)).alias("__norm"),
     )
     a, b = sig.alias("a"), sig.alias("b")
-    pair_sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    denom = F.col("a.__norm") * F.col("b.__norm")
+    pair_sim = F.when(
+        denom != 0.0, dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / denom
+    )
     return (
         a.join(
             b,
@@ -150,14 +169,32 @@ def ivf_assign_cells(
     partitioned by ``__cell`` so queries scan only their probed cells'
     files (partition pruning does the index lookup).
     """
-    sims = F.array(
-        *[
-            cosine_similarity(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]).cast("array<double>"))
-            for _, c in centroids
-        ]
+    # r16: hoist the row vector's L2 norm out of the per-centroid cosine
+    # — cosine_similarity(v, c) inlined the interpreted l2_norm(v) fold
+    # once PER CENTROID (16× per row), and the argmax referenced the
+    # sims array twice more. The hoisted column performs the IDENTICAL
+    # float sequence (same dot fold, same sqrt, same `l2(v) * l2(c)`
+    # multiply and != 0.0 guard), so every similarity — and therefore
+    # every cell assignment — is bit-identical; only the per-row work
+    # drops from 16 norm folds to 1. The centroid norms are literal
+    # arrays, constant-folded by Catalyst. Staged withColumns stay
+    # materialized: CollapseProject does not inline non-cheap
+    # expressions referenced more than once (SPARK-36718).
+    from etl_sample_spark.functions.vectors import dot, l2_norm
+
+    nv = F.col("__nv")
+    sims = []
+    for _, c in centroids:
+        c_lit = F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        denom = nv * l2_norm(c_lit)
+        sims.append(F.when(denom != 0.0, dot(F.col(vec_col), c_lit) / denom))
+    cell = (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1).cast("int")
+    return (
+        embeddings.withColumn("__nv", l2_norm(F.col(vec_col)))
+        .withColumn("__sims", F.array(*sims))
+        .withColumn("__cell", cell)
+        .drop("__nv", "__sims")
     )
-    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    return embeddings.withColumn("__cell", cell)
 
 
 def ivf_topk(

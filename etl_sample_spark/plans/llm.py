@@ -1543,11 +1543,19 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sample_spark.operators.dedup import _shingles
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(_shingles(F.col("text"))).alias("n_shingles"),
-        repetition_ratio(F.col("text")).alias("repetition"),
-    ).orderBy("doc_id")
+    # Shingle array staged ONCE as a column (r16): n_shingles and both
+    # sides of the repetition ratio previously inlined three separate
+    # shingle builds per row. The multi-referenced alias survives
+    # CollapseProject (SPARK-36718); values unchanged.
+    return (
+        docs.withColumn("__sh", _shingles(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("__sh").alias("n_shingles"),
+            repetition_ratio(F.col("text"), shingles=F.col("__sh")).alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
