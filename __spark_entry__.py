@@ -89,6 +89,7 @@ _FRONT_PINS = [
     # strict-sim re-verified at sf0.01 AND sf0.1 this round.
     "contamination_3gram_vs_benchmark",
     "decontaminated_split_audit",
+    "entity_resolution_part_names",
     "embedding_neardup_clusters",
     "embedding_neardup_pairs",
     "incremental_dedup_new_vs_corpus",

@@ -581,8 +581,23 @@ def neardup_clusters(
         return df.localCheckpoint(eager=True)
 
     edges = _pin(
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        # Both edge directions from ONE evaluation of `pairs` (r16): the
+        # old two-branch union re-ran the whole upstream pair generation
+        # (LSH join + similarity) once per branch — Spark shares no
+        # common subtree across union arms, and the arms' projections
+        # differ so exchange reuse cannot see them. An exploded 2-struct
+        # array emits the same (src, dst) multiset in one pass; measured
+        # at sf0.1 the edges pin drops 11.4 s → ~7 s on the embedding
+        # graph. Values identical (same set, distinct() downstream).
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                    F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         # Materialized once: every round joins against it, and iterating
         # over an unpinned lineage re-derives the pair generation each time.
