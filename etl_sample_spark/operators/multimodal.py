@@ -485,6 +485,30 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
+def _spread_ids(docs: DataFrame, id_col: str) -> DataFrame:
+    """Spread the synthesis input over the cluster's cores before the
+    Python codec stage (guide §2.5 input skew / §6 scan parallelism).
+
+    Every ``attach_*`` synthesizer reads ONE narrow id column but then
+    pays seconds-per-core of Python codec work per million rows in the
+    ``mapInPandas`` that follows — and Spark pipelines that map stage
+    onto the scan's tasks. Locally the documents table is a single
+    parquet file with a single row group, so the scan (and therefore
+    the WHOLE codec stage, encode AND the decode fused above it) ran in
+    ONE task regardless of core count (measured r17: mjpeg synthesis
+    alone is ~21 s single-threaded at sf0.1). Hash-repartitioning the
+    8-byte ids by ``id_col`` costs one tiny exchange and lets the codec
+    stage use every core; ``defaultParallelism`` scales with the
+    cluster instead of hard-coding the local core count, and the
+    explicit partition count keeps AQE from coalescing the
+    deliberately-small shuffle back into one partition (the advisory
+    size targets bytes, not downstream CPU). Results are unchanged:
+    payloads are pure functions of the id, and every consumer re-sorts.
+    """
+    n = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    return docs.select(id_col).repartition(n, F.col(id_col))
+
+
 def attach_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize GENUINE zlib-compressed PNG payloads (same deterministic
     per-id pixel pattern as ``attach_bmp_media``, height ≥ 5 so every
@@ -511,7 +535,7 @@ def attach_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def attach_bmp_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -540,7 +564,7 @@ def attach_bmp_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -724,6 +748,20 @@ def _encode_block(
 ) -> int:
     coef = _fdct_block([s - 128.0 for s in samples])
     quant_zz = [int(round(coef[_ZIGZAG[k]] / qtable_zz[k])) for k in range(64)]
+    return _emit_quant_block(quant_zz, pred, dc, ac, bw)
+
+
+def _emit_quant_block(
+    quant_zz: list[int],
+    pred: int,
+    dc: dict[int, tuple[int, int]],
+    ac: dict[int, tuple[int, int]],
+    bw: _BitWriter,
+) -> int:
+    """Entropy-code one already-quantized zigzag block (DC diff + RLE AC
+    Huffman). Shared VERBATIM by the pure and numpy encoders, so the
+    bit-stream logic has one implementation — the twins differ only in
+    how the quantized coefficients are produced."""
 
     def magnitude(v: int) -> tuple[int, int]:
         s = 0
@@ -758,7 +796,34 @@ def _encode_block(
     return quant_zz[0]
 
 
-def encode_jpeg(
+def _jpeg_headers(
+    width: int, height: int, ncomp: int, qt_zz: list[int], restart_interval: int
+) -> bytearray:
+    """SOI through SOS marker segments — shared verbatim by the pure and
+    numpy encoders."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_zz)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes((ci + 1, 0x11, 0))  # 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tclass, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        body = bytes([tclass << 4]) + bits + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes((ci + 1, 0x00))  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return out
+
+
+def _encode_jpeg_pure(
     width: int,
     height: int,
     pixel: "callable",
@@ -775,8 +840,6 @@ def encode_jpeg(
     reset), the layout real encoders use for error resilience and that
     makes the entropy stream's segments independently decodable — the
     data-parallel path :func:`_decode_jpeg_numpy` vectorizes across."""
-    import struct
-
     qt_zz = qtable or [8] * 64
     dc = _huff_codes(_DC_BITS, _DC_VALS)
     ac = _huff_codes(_AC_BITS, _AC_VALS)
@@ -798,23 +861,7 @@ def encode_jpeg(
                 planes[1][y][x] = min(255, max(0, _round_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)))
                 planes[2][y][x] = min(255, max(0, _round_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt_zz)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for ci in range(ncomp):
-        sof += bytes((ci + 1, 0x11, 0))  # 1x1 sampling, quant table 0
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    for tclass, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
-        body = bytes([tclass << 4]) + bits + vals
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes((ci + 1, 0x00))  # DC table 0, AC table 0
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out = _jpeg_headers(width, height, ncomp, qt_zz, restart_interval)
 
     bw = _BitWriter()
     preds = [0] * ncomp
@@ -835,6 +882,150 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_jpeg_numpy(
+    width: int,
+    height: int,
+    pixel: "callable",
+    gray: bool = True,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Numpy twin of :func:`_encode_jpeg_pure`: identical bytes, the
+    per-block work vectorized across every block of the image.
+
+    Bit-identity argument (mirrors :func:`_jpeg_idct_chunk`): the color
+    matrix and the separable FDCT are replayed with the pure path's
+    exact float op ORDER — each butterfly term is one vectorized
+    multiply accumulated into a zero-initialized array, exactly
+    ``sum()``'s left-to-right accumulation from 0, then one multiply by
+    the same ``c/2`` constant — so every coefficient is the same
+    float64. Quantization is ``round half to even`` in both paths
+    (Python ``round`` on a float and ``np.rint`` are both IEEE
+    roundTiesToEven). The entropy coder is the SAME code
+    (:func:`_emit_quant_block`), fed the same ints. Pinned by
+    tests/test_multimodal_twins.py over dims × gray/color × qtables ×
+    restart intervals."""
+    import numpy as np
+
+    qt_zz = qtable or [8] * 64
+    dc = _huff_codes(_DC_BITS, _DC_VALS)
+    ac = _huff_codes(_AC_BITS, _AC_VALS)
+    ncomp = 1 if gray else 3
+
+    # Source pixels once per (x, y); edge padding replicates the last
+    # row/column exactly like the pure path's clamped (sx, sy) reads.
+    if gray:
+        vals = [int(pixel(x, y)) for y in range(height) for x in range(width)]
+        planes = np.array(vals, dtype=np.int64).reshape(1, height, width)
+    else:
+        vals = [pixel(x, y) for y in range(height) for x in range(width)]
+        rgb = np.array(vals, dtype=np.int64).reshape(height, width, 3)
+        r = rgb[..., 0].astype(np.float64)
+        g = rgb[..., 1].astype(np.float64)
+        b = rgb[..., 2].astype(np.float64)
+        # Same expressions as the pure path (left-associative adds),
+        # floor(v + 0.5) half-up, clamp — elementwise float64 both ways.
+        yv = np.floor((0.299 * r + 0.587 * g + 0.114 * b) + 0.5)
+        cb = np.floor((-0.168736 * r - 0.331264 * g + 0.5 * b + 128) + 0.5)
+        cr = np.floor((0.5 * r - 0.418688 * g - 0.081312 * b + 128) + 0.5)
+        planes = np.clip(np.stack([yv, cb, cr]), 0, 255).astype(np.int64)
+
+    pw, ph = (width + 7) & ~7, (height + 7) & ~7
+    if (pw, ph) != (width, height):
+        iy = np.minimum(np.arange(ph), height - 1)
+        ix = np.minimum(np.arange(pw), width - 1)
+        planes = planes[:, iy[:, None], ix[None, :]]
+
+    # Blockify in MCU order: (ncomp, nby, 8, nbx, 8) → (nby, nbx, ncomp, 8, 8).
+    nby, nbx = ph // 8, pw // 8
+    blocks = (
+        planes.reshape(ncomp, nby, 8, nbx, 8)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(nby * nbx, ncomp, 8, 8)
+        .astype(np.float64)
+    )
+    blocks -= 128.0
+
+    # Separable FDCT, pure op order: stage 1 accumulates the x-terms
+    # from zero (== sum()), then one multiply by c[u]/2; stage 2 the
+    # same over y with c[v]/2.
+    import math
+
+    cos = np.array(_cos_table())  # cos[x][u]
+    c_over2 = np.array([1 / math.sqrt(2)] + [1.0] * 7) / 2
+    tmp = np.zeros_like(blocks)  # [y][u]
+    for x in range(8):
+        tmp += blocks[..., :, x, None] * cos[x, :]
+    tmp *= c_over2
+    coef = np.zeros_like(blocks)  # [v][u]
+    for y in range(8):
+        coef += tmp[..., y, None, :] * cos[y, :][:, None]
+    coef *= c_over2[:, None]
+
+    # Quantize in zigzag order: round half to even, exact int64.
+    zig = list(_ZIGZAG)
+    qt_arr = np.array(qt_zz, dtype=np.float64)
+    quant = np.rint(coef.reshape(nby * nbx, ncomp, 64)[:, :, zig] / qt_arr).astype(np.int64)
+
+    out = _jpeg_headers(width, height, ncomp, qt_zz, restart_interval)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    quant_rows = quant.tolist()
+    for mcu in range(nby * nbx):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()  # pad to byte with 1-bits per spec
+            bw.out += bytes((0xFF, 0xD0 + (mcu // restart_interval - 1) % 8))
+            preds = [0] * ncomp
+        row = quant_rows[mcu]
+        for ci in range(ncomp):
+            preds[ci] = _emit_quant_block(row[ci], preds[ci], dc, ac, bw)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Encoder registry, mirroring _JPEG_IMPLS/_PNG_RAW_IMPLS: "auto" (the
+# default) takes the numpy twin — bit-identical by construction (shared
+# entropy coder, replayed float op order) and test-pinned — and falls
+# back to pure when numpy is unavailable. There is no native encoder
+# tier: synthesis exists to DRIVE the decoders, and the pure encoder
+# stays the executable reference.
+_JPEG_ENC_IMPLS = {
+    "pure": _encode_jpeg_pure,
+    "numpy": _encode_jpeg_numpy,
+}
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixel: "callable",
+    gray: bool = True,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder — dispatches on ``SPARK_GRAFT_JPEG_ENCODER``
+    (``auto``/``pure``/``numpy``; see :func:`_encode_jpeg_pure` for the
+    format contract)."""
+    import os
+
+    choice = os.environ.get("SPARK_GRAFT_JPEG_ENCODER", "auto")
+    if choice == "auto":
+        try:
+            import numpy  # noqa: F401
+        except ImportError:
+            choice = "pure"
+        else:
+            choice = "numpy"
+    if choice not in _JPEG_ENC_IMPLS:
+        raise ValueError(
+            f"SPARK_GRAFT_JPEG_ENCODER={choice!r}: expected one of "
+            f"{sorted(_JPEG_ENC_IMPLS)} or 'auto'"
+        )
+    return _JPEG_ENC_IMPLS[choice](width, height, pixel, gray, qtable, restart_interval)
 
 
 class _BitReader:
@@ -1972,7 +2163,7 @@ def attach_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def attach_jpeg_color_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2009,7 +2200,7 @@ def attach_jpeg_color_media(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
@@ -2075,7 +2266,7 @@ def attach_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def decode_audio(media: DataFrame) -> DataFrame:
@@ -2316,7 +2507,7 @@ def attach_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
@@ -2426,7 +2617,7 @@ def attach_mjpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 def mjpeg_frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
@@ -2807,7 +2998,7 @@ def attach_gif_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return docs.select(id_col).mapInPandas(encode, schema=schema)
+    return _spread_ids(docs, id_col).mapInPandas(encode, schema=schema)
 
 
 # IMA ADPCM step table (standard, from the IMA reference algorithm) and
@@ -3028,7 +3219,7 @@ def _ipdv_pixel(frame: bytes, w: int, h: int, x: int, y: int, c: int) -> int:
     return frame[(y * w + x) * 3 + c]
 
 
-def encode_ipdv(width: int, height: int, frames: list[bytes], gop: int = 4) -> bytes:
+def _encode_ipdv_pure(width: int, height: int, frames: list[bytes], gop: int = 4) -> bytes:
     """Encode BGR24 frames with I/P temporal compression (see module
     comment). Every ``gop``-th frame is an I-frame (random access +
     error containment); P-frames carry per-block motion vectors chosen
@@ -3089,6 +3280,118 @@ def encode_ipdv(width: int, height: int, frames: list[bytes], gop: int = 4) -> b
         out += b"P" + bytes(mvs) + _rle_encode(bytes(residual))
         prev = bytes(recon)  # == cur: residuals are exact mod-256
     return bytes(out)
+
+
+def _encode_ipdv_numpy(width: int, height: int, frames: list[bytes], gop: int = 4) -> bytes:
+    """Numpy twin of :func:`_encode_ipdv_pure`: identical bytes, the
+    per-P-frame motion search vectorized over all 25 candidate shifts
+    and all blocks at once.
+
+    Bit-identity is structural — the codec is all INTEGER arithmetic:
+    the candidate shifts enumerate in the same ascending (dy, dx) order,
+    so ``argmin`` (first minimum) reproduces the pure path's
+    ``(sad, dy, dx)`` tuple tie-break exactly; clamped prediction reads
+    are the same ``np.clip``; residuals are the same mod-256 bytes; the
+    RLE coder and header bytes are the SAME code. The reconstructed
+    P-frame equals the source frame identically ((p + (cur-p) mod 256)
+    mod 256 == cur — the pure path's own "== cur" invariant), so
+    ``prev`` advances to ``cur`` without materializing recon. Pinned by
+    tests/test_multimodal_twins.py across dims × frame-counts × gops."""
+    import struct
+
+    import numpy as np
+
+    if gop < 1 or gop > 255:
+        raise ValueError(f"encode_ipdv: gop must be in [1, 255], got {gop}")
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError(f"encode_ipdv: dims out of range: {width}x{height}")
+    if len(frames) > 65535:
+        raise ValueError(f"encode_ipdv: too many frames ({len(frames)} > 65535)")
+    if any(len(f) != width * height * 3 for f in frames):
+        raise ValueError("encode_ipdv: frame size mismatch")
+    head = _IPDV_MAGIC + bytes([_IPDV_VERSION]) + struct.pack(
+        "<HHHB", width, height, len(frames), gop
+    )
+    out = bytearray(head)
+
+    shifts = [
+        (dy, dx)
+        for dy in range(-_IPDV_RANGE, _IPDV_RANGE + 1)
+        for dx in range(-_IPDV_RANGE, _IPDV_RANGE + 1)
+    ]
+    dys = np.array([s[0] for s in shifts])
+    dxs = np.array([s[1] for s in shifts])
+    ys = np.arange(height)
+    xs = np.arange(width)
+    by_idx = np.arange(0, height, _IPDV_BLOCK)
+    bx_idx = np.arange(0, width, _IPDV_BLOCK)
+
+    prev_arr: "np.ndarray | None" = None
+    for fi, cur in enumerate(frames):
+        cur_arr = np.frombuffer(cur, dtype=np.uint8).reshape(height, width, 3)
+        if fi % gop == 0 or prev_arr is None:
+            out += b"I" + _rle_encode(cur)
+            prev_arr = cur_arr
+            continue
+        p16 = prev_arr.astype(np.int16)
+        c16 = cur_arr.astype(np.int16)
+        # One gather for all 25 clamped candidate predictions.
+        iy = np.clip(ys[None, :] + dys[:, None], 0, height - 1)  # (25, h)
+        ix = np.clip(xs[None, :] + dxs[:, None], 0, width - 1)  # (25, w)
+        pred = p16[iy[:, :, None], ix[:, None, :], :]  # (25, h, w, 3)
+        ad = np.abs(c16[None] - pred).sum(axis=3)  # (25, h, w)
+        sad = np.add.reduceat(np.add.reduceat(ad, by_idx, axis=1), bx_idx, axis=2)
+        best = sad.argmin(axis=0)  # (nby, nbx); first min == (sad, dy, dx) order
+        mvs = (
+            ((dxs[best] + _IPDV_RANGE) << 4) | (dys[best] + _IPDV_RANGE)
+        ).astype(np.uint8)
+        # Per-pixel prediction under each block's winning vector: expand
+        # the per-block (dy, dx) grids to pixel resolution (ragged tail
+        # blocks just truncate), then one clamped gather.
+        dyg = np.repeat(np.repeat(dys[best], _IPDV_BLOCK, axis=0), _IPDV_BLOCK, axis=1)[
+            :height, :width
+        ]
+        dxg = np.repeat(np.repeat(dxs[best], _IPDV_BLOCK, axis=0), _IPDV_BLOCK, axis=1)[
+            :height, :width
+        ]
+        giy = np.clip(ys[:, None] + dyg, 0, height - 1)
+        gix = np.clip(xs[None, :] + dxg, 0, width - 1)
+        pred_best = p16[giy, gix, :]  # (h, w, 3)
+        residual = ((c16 - pred_best) & 0xFF).astype(np.uint8)
+        out += b"P" + mvs.tobytes() + _rle_encode(residual.tobytes())
+        prev_arr = cur_arr  # recon == cur: residuals are exact mod-256
+    return bytes(out)
+
+
+# Encoder registry, mirroring _JPEG_ENC_IMPLS: "auto" takes the numpy
+# twin (all-integer arithmetic, structurally bit-identical, test-pinned)
+# and falls back to pure when numpy is unavailable.
+_IPDV_ENC_IMPLS = {
+    "pure": _encode_ipdv_pure,
+    "numpy": _encode_ipdv_numpy,
+}
+
+
+def encode_ipdv(width: int, height: int, frames: list[bytes], gop: int = 4) -> bytes:
+    """I/P temporal compression — dispatches on
+    ``SPARK_GRAFT_IPDV_ENCODER`` (``auto``/``pure``/``numpy``; see
+    :func:`_encode_ipdv_pure` for the codec contract)."""
+    import os
+
+    choice = os.environ.get("SPARK_GRAFT_IPDV_ENCODER", "auto")
+    if choice == "auto":
+        try:
+            import numpy  # noqa: F401
+        except ImportError:
+            choice = "pure"
+        else:
+            choice = "numpy"
+    if choice not in _IPDV_ENC_IMPLS:
+        raise ValueError(
+            f"SPARK_GRAFT_IPDV_ENCODER={choice!r}: expected one of "
+            f"{sorted(_IPDV_ENC_IMPLS)} or 'auto'"
+        )
+    return _IPDV_ENC_IMPLS[choice](width, height, frames, gop)
 
 
 def decode_ipdv(data: bytes) -> tuple[int, int, list[bytes]]:

@@ -2367,3 +2367,110 @@ def test_asof_join_tied_right_row_is_picked_atomically(spark):
     early = spark.createDataFrame([Row(k=1, lts=1, tag="E")])
     got = asof_join(early, spark.createDataFrame(rows), "k", "lts", "rts", ["a", "b"]).collect()
     assert (got[0]["a_asof"], got[0]["b_asof"]) == (None, None)
+
+
+def test_jpeg_encoder_twins_bit_identical_and_env_selectable(monkeypatch):
+    """r17: the synthesis side of the codec tier was the DOMINANT cost of
+    the multimodal sweep (encode ~6x the decode — OPTIMIZATION_r17.md),
+    so encode_jpeg gained the same twin structure as _decode_jpeg: a
+    numpy path that replays the pure path's exact float op order (color
+    matrix, separable FDCT term accumulation, round-half-even
+    quantization) and funnels into the SAME _emit_quant_block entropy
+    coder. This pins payload bytes across gray/color, non-multiple-of-8
+    dims, random pixels (dense AC), constant blocks (DC-only), custom
+    quant tables, and restart intervals (DRI + RSTn layout)."""
+    import random
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    rng = random.Random(11)
+
+    def gray_rand(x, y, cache={}):
+        return cache.setdefault((x, y), rng.randrange(256))
+
+    def color_rand(x, y, cache={}):
+        return cache.setdefault(
+            (x, y), (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        )
+
+    cases = [
+        (1, 1, (lambda x, y: 7), True, None, 0),
+        (13, 9, gray_rand, True, None, 0),
+        (16, 24, (lambda x, y: ((x // 8) * 11 + (y // 8) * 23) % 256), True, None, 2),
+        (17, 11, color_rand, False, None, 0),
+        (
+            24,
+            16,
+            (lambda x, y: ((x * 11) % 256, (y * 13) % 256, (x * y) % 256)),
+            False,
+            [16, 11, 10, 16, 24, 40, 51, 61] * 8,
+            1,
+        ),
+        (8, 16, (lambda x, y: ((x * 3) % 256, (y * 5) % 256, 99)), False, None, 3),
+    ]
+    for w, h, px, gray, qt, ri in cases:
+        pure = mm._encode_jpeg_pure(w, h, px, gray, qt, ri)
+        fast = mm._encode_jpeg_numpy(w, h, px, gray, qt, ri)
+        assert fast == pure, (w, h, gray, qt is not None, ri)
+        # and the payloads stay decodable by both decoder twins
+        assert mm._decode_jpeg_numpy(fast) == mm._decode_jpeg_pure(fast)
+
+    w, h, px, gray, qt, ri = cases[3]
+    want = mm._encode_jpeg_pure(w, h, px, gray, qt, ri)
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_ENCODER", "pure")
+    assert mm.encode_jpeg(w, h, px, gray, qt, ri) == want
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_ENCODER", "numpy")
+    assert mm.encode_jpeg(w, h, px, gray, qt, ri) == want
+    monkeypatch.setenv("SPARK_GRAFT_JPEG_ENCODER", "libjpeg")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_JPEG_ENCODER"):
+        mm.encode_jpeg(w, h, px, gray, qt, ri)
+
+
+def test_ipdv_encoder_twins_bit_identical_and_env_selectable(monkeypatch):
+    """r17 twin of the encoder-twin test above for the IPDV video codec:
+    the motion search is all-integer, so the numpy path is structurally
+    bit-identical — candidate shifts enumerate in the pure path's
+    ascending (dy, dx) order (argmin == the (sad, dy, dx) tie-break),
+    prediction reads clamp identically, residuals are the same mod-256
+    bytes, and the RLE/header code is shared. Pinned across dims
+    (including non-multiples of the 4px block), frame counts, gops, and
+    random + structured content; every payload must replay-decode to
+    the source frames exactly (the codec's drift-free invariant)."""
+    import random
+
+    from etl_sample_spark.operators import multimodal as mm
+
+    rng = random.Random(23)
+    cases = []
+    for doc_id in (0, 3, 7, 11):
+        w, h, nf = 4 + doc_id % 3, 3 + doc_id % 3, 2 + doc_id % 5
+        frames = [
+            bytes(
+                (doc_id * 31 + x * 7 + y * 13 + f * 17 + c * 97) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            for f in range(nf)
+        ]
+        cases.append((w, h, frames, 4))
+    for _ in range(6):
+        w, h, nf = rng.randint(1, 13), rng.randint(1, 11), rng.randint(1, 6)
+        frames = [bytes(rng.getrandbits(8) for _ in range(w * h * 3)) for _ in range(nf)]
+        cases.append((w, h, frames, rng.choice([1, 2, 3, 4])))
+
+    for w, h, frames, gop in cases:
+        pure = mm._encode_ipdv_pure(w, h, frames, gop)
+        fast = mm._encode_ipdv_numpy(w, h, frames, gop)
+        assert fast == pure, (w, h, len(frames), gop)
+        assert mm.decode_ipdv(fast) == (w, h, frames)
+
+    w, h, frames, gop = cases[0]
+    want = mm._encode_ipdv_pure(w, h, frames, gop)
+    monkeypatch.setenv("SPARK_GRAFT_IPDV_ENCODER", "pure")
+    assert mm.encode_ipdv(w, h, frames, gop) == want
+    monkeypatch.setenv("SPARK_GRAFT_IPDV_ENCODER", "numpy")
+    assert mm.encode_ipdv(w, h, frames, gop) == want
+    monkeypatch.setenv("SPARK_GRAFT_IPDV_ENCODER", "ffmpeg")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_IPDV_ENCODER"):
+        mm.encode_ipdv(w, h, frames, gop)
