@@ -379,31 +379,40 @@ def main() -> None:
         f"steal over suite {steal_pct}%",
         file=sys.stderr,
     )
+    # r17 (r16 VERDICT item 5 / next-round item 2): the stdout contract
+    # line is COMPACT — total + per-query medians + the host-calibration
+    # scalars, ~1.7k chars. The previous single line also embedded
+    # per-query spreads, shuffle bytes and streaming detail, grew past
+    # the driver's captured-output tail, and was truncated mid-JSON in
+    # r15 (BENCH_r15.json parsed: null), costing that round its entire
+    # round-over-round comparison. The full detail still exists — it
+    # moves into the BENCH_full artifact file written below; the timed
+    # regions and every reported number are unchanged.
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "sf": sf,
+        # host-speed calibration (r12 VERDICT item 1): fixed-work
+        # single-thread sha256 probe, best-of-3, measured immediately
+        # before/after the suite; normalize cross-round wall clocks
+        # by (min(before, after) / cpu_probe_ref_sec).
+        "cpu_probe_sec": {"before": probe_before, "after": probe_after},
+        "steal_pct": steal_pct,
+        "value_probe_normalized": round(total * _PROBE_REF_SEC / probe, 3),
+    }
     line = json.dumps(
         {
-            "metric": "headline_suite_seconds",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
+            **compact,
             "spread": spread,
             "shuffle_bytes": shuffle_bytes,
-            "reps": reps,
-            "sf": sf,
-            # host-speed calibration (r12 VERDICT item 1): fixed-work
-            # single-thread sha256 probe, best-of-3, measured immediately
-            # before/after the suite; normalize cross-round wall clocks
-            # by (min(before, after) / cpu_probe_ref_sec).
-            "cpu_probe_sec": {"before": probe_before, "after": probe_after},
             # r15: the multi-core twin — median per-process time of the
             # same fixed work in 32 concurrent subprocesses, run once
             # after the suite. Steal scales with active vCPUs, so THIS
             # is the factor that applies to 32-thread Spark stages.
             "cpu_probe_parallel_sec": probe_parallel,
-            # r16 (r15 VERDICT item 6): fraction of CPU ticks the
-            # hypervisor stole across the whole timed suite, from
-            # /proc/stat — the per-artifact form of the idle-steal
-            # measurement that previously lived in VERIFY prose.
-            "steal_pct": steal_pct,
             # r16 (r15 VERDICT item 5): the streaming leg's per-rep
             # trigger sums + the per-rep source-corpus read probe (cold
             # page cache ⇒ seconds, warm ⇒ ms) so a 10x-run outlier is
@@ -414,49 +423,47 @@ def main() -> None:
             },
             "cpu_probe_iters": _PROBE_ITERS,
             "cpu_probe_ref_sec": _PROBE_REF_SEC,
-            "value_probe_normalized": round(
-                total * _PROBE_REF_SEC / probe, 3
-            ),
         }
     )
-    print(line)
     # The driver's BENCH_rN.json keeps only a 2,000-char output tail, which
     # truncates the early-query medians out of the historical record (r7
-    # VERDICT item 6). Persist the FULL line in-repo, named for the round
-    # the driver is about to record (= 1 + latest BENCH_rN present).
+    # VERDICT item 6). Persist the FULL detail in-repo, named for the round
+    # the driver is about to record (= 1 + latest BENCH_rN present). The
+    # artifact is written BEFORE the stdout contract line so the compact
+    # JSON is the LAST line of output, whatever the artifact path prints.
     here = os.path.dirname(os.path.abspath(__file__))
-    if sf != 0.1:
-        # Off-SF runs (e.g. the 10x sfsynth sweep) must not clobber the
-        # round's canonical sf0.1 record — the operator saves those
-        # manually (BENCH_sf1_rNN.json).
-        return
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(here)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
-    ]
-    stem = f"BENCH_full_r{max(rounds, default=0) + 1:02d}"
-    # Loaded-host guard (r13: an ad-hoc run under a 32-core pytest suite
-    # overwrote the round's quiet-host record and a bulk git add
-    # committed it). If the pre-suite probe says the host is >15% off
-    # the quiet reference, the canonical record is left alone and the
-    # run lands beside it as .contended.json — still persisted, never
-    # authoritative. The stdout line (the driver contract) is unchanged.
-    if probe > 1.15 * _PROBE_REF_SEC and os.path.exists(
-        os.path.join(here, stem + ".json")
-    ):
-        print(
-            f"[bench] host probe {probe:.3f}s > 1.15x ref {_PROBE_REF_SEC}s: "
-            f"keeping existing {stem}.json, writing {stem}.contended.json",
-            file=sys.stderr,
-        )
-        stem += ".contended"
-    full = os.path.join(here, stem + ".json")
-    try:
-        with open(full, "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass  # read-only checkout: the stdout line is still the contract
+    if sf == 0.1:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        stem = f"BENCH_full_r{max(rounds, default=0) + 1:02d}"
+        # Loaded-host guard (r13: an ad-hoc run under a 32-core pytest suite
+        # overwrote the round's quiet-host record and a bulk git add
+        # committed it). If the pre-suite probe says the host is >15% off
+        # the quiet reference, the canonical record is left alone and the
+        # run lands beside it as .contended.json — still persisted, never
+        # authoritative. The stdout line (the driver contract) is unchanged.
+        if probe > 1.15 * _PROBE_REF_SEC and os.path.exists(
+            os.path.join(here, stem + ".json")
+        ):
+            print(
+                f"[bench] host probe {probe:.3f}s > 1.15x ref {_PROBE_REF_SEC}s: "
+                f"keeping existing {stem}.json, writing {stem}.contended.json",
+                file=sys.stderr,
+            )
+            stem += ".contended"
+        full = os.path.join(here, stem + ".json")
+        try:
+            with open(full, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass  # read-only checkout: the stdout line is still the contract
+    # else: off-SF runs (e.g. the 10x sfsynth sweep) must not clobber the
+    # round's canonical sf0.1 record — the operator saves those manually
+    # (BENCH_sf1_rNN.json).
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
