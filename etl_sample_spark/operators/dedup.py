@@ -607,6 +607,40 @@ def neardup_clusters(
         .groupBy("node")
         .agg(F.min("label").alias("label"))
     )
+
+    # Convergence check (r17, r16 VERDICT item 6): labels are MONOTONE
+    # non-increasing — propagation takes a min that includes the node's
+    # own previous label, and the pointer jump adopts label(label),
+    # which induction bounds by the label itself (every node's label ≤
+    # its id, starting from label = id). So for INTEGRAL ids "no label
+    # changed" ⟺ "Σ labels unchanged" (strictly smaller anywhere ⇒
+    # strictly smaller sum), and the fixpoint test is ONE aggregate over
+    # the already-pinned frame instead of a self-join + limit + count
+    # per round (~0.2 s of fixed job overhead × rounds × 3 cluster
+    # queries at sf0.1). Decimal(38,0) keeps the sum exact far past any
+    # bigint id range × row count. Non-integral label types (the
+    # entity-resolution caller clusters on STRING keys) have no exact
+    # sum, so they keep the join-based check. Fixpoint results are
+    # identical either way: the loop still returns the first new_labels
+    # that equals its predecessor row-for-row.
+    integral_labels = dict(labels.dtypes)["label"] in {
+        "tinyint", "smallint", "int", "bigint"
+    }
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("label").cast("decimal(38,0)"))).head()[0]
+
+    def _changed_join(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev_sum = _label_sum(labels) if integral_labels else None
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -639,15 +673,14 @@ def neardup_clusters(
                 F.coalesce("ll_label", "label").alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if integral_labels:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = not _changed_join(new_labels, labels)
         labels = new_labels
-        if changed == 0:
+        if converged:
             return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     raise RuntimeError(f"neardup_clusters did not converge in {max_iters} rounds")
 
