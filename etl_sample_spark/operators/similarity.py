@@ -515,32 +515,48 @@ def pq_assign_codes(
     ``__code0..__code{m-1}``; at 100 TB the persisted output is the
     index: m small ints per vector instead of the vector."""
     v = F.col(vec_col).cast("array<double>")
-    out = embeddings
     m = len(codebooks)
     ds = len(codebooks[0][0])
+    if "__pq_cb" in embeddings.columns:
+        raise ValueError("pq_assign_codes reserved column __pq_cb already on embeddings")
+    # The codebook rides in the DATA plane — a one-row broadcast frame
+    # holding the m×ksub×ds nested array — instead of m nested array
+    # LITERALS (r17; the r8 form had already collapsed ksub folds into
+    # one transform per subspace). Two reasons, same arithmetic:
+    # 1. Catalyst re-analyzed/optimized the ~m·ksub·ds-literal trees on
+    #    every call (training assigns + final encode per query ⇒ ~2-4 s
+    #    of fixed driver time per PQ query at any scale);
+    # 2. the one-row build side broadcast-nested-loop-joins for free.
+    # Per-row float work is IDENTICAL: the same zip_with/aggregate fold
+    # over the same doubles, now read via element_at from the joined
+    # column rather than a Literal — codes are bit-identical.
+    spark = embeddings.sparkSession
+    cb_df = spark.createDataFrame(
+        [([[ [float(x) for x in cen] for cen in book] for book in codebooks],)],
+        schema="__pq_cb ARRAY<ARRAY<ARRAY<DOUBLE>>>",
+    )
+    code_cols = []
     for j in range(m):
         sub = F.slice(v, j * ds + 1, ds)
-        # ONE higher-order transform over the codebook as a nested array
-        # literal, instead of ksub separate fold expressions: identical
-        # arithmetic (same zip_with/aggregate fold per centroid), but the
-        # lambda is analyzed/codegen'd once — m*ksub independent fold
-        # trees made Catalyst analysis the dominant cost (~8s fixed
-        # overhead regardless of row count).
-        cb = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cen]) for cen in codebooks[j]]
-        )
         dists = F.transform(
-            cb,
+            F.element_at(F.col("__pq_cb"), j + 1),
             lambda cen: F.aggregate(
                 F.zip_with(sub, cen, lambda x, c: (x - c) * (x - c)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ),
         )
-        out = out.withColumn(
-            f"__code{j}", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"__code{j}")
         )
-    return out
+    # ONE select adds every code column (m chained withColumns would
+    # re-analyze the growing plan m times).
+    return (
+        embeddings.crossJoin(F.broadcast(cb_df))
+        .select(*[F.col(c) for c in embeddings.columns], *code_cols)
+    )
 
 
 def _pq_adc_scored(
