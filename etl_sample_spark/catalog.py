@@ -46,7 +46,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # schema is METADATA, inferred once per (file identity) per process —
 # never row data, never query results, and the mtime/size key drops the
 # entry the moment a file is rewritten (the 10× synth tiers regenerate
-# in place).
+# in place). Directory-layout datasets key on the newest direct entry's
+# mtime + entry count (r16 ADVICE: an in-place part rewrite does not
+# touch the directory inode). KNOWN LIMIT, also from that ADVICE: the
+# key ignores session confs that alter INFERRED types (e.g.
+# spark.sql.legacy.parquet.nanosAsLong) — the memo is per-process, and
+# this repo runs one session config per process (get_spark or the
+# driver's vanilla session); mixing differently-configured sessions in
+# one process would need the relevant confs in the key.
 _SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 
 
@@ -58,7 +65,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # Directory-layout dataset (r17, r16 ADVICE): a part file
+            # rewritten IN PLACE changes neither the directory's mtime
+            # nor its size, so key on the newest direct entry's mtime +
+            # the entry count instead. One scandir per table() call is
+            # ~the cost of the os.stat above; nested partition dirs
+            # bubble up because overwriting a partition updates its
+            # directory entry's mtime.
+            newest = st.st_mtime_ns
+            n = 0
+            with os.scandir(path) as it:
+                for e in it:
+                    n += 1
+                    newest = max(newest, e.stat().st_mtime_ns)
+            key = (path, newest, n)
+        else:
+            key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None  # e.g. a directory-less object-store URI: infer fresh
     schema = _SCHEMA_CACHE.get(key) if key is not None else None

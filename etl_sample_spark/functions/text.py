@@ -50,6 +50,12 @@ def repetition_ratio(
     Entirely map-side (array higher-order functions; no explode, no
     shuffle): at 100 TB this is a free gate in the same pass as the
     other quality signals. Docs with < n tokens score 0.0.
+
+    INVARIANT (r16 ADVICE): a caller-supplied ``shingles`` column must
+    have been built by ``_shingles(text, n)`` with the SAME ``n`` —
+    this function cannot verify it, and a mismatched pair produces a
+    wrong-but-plausible ratio. When ``shingles`` is passed, ``n`` is
+    unused by construction.
     """
     from etl_sample_spark.operators.dedup import _shingles
 

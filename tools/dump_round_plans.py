@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    if len(sys.argv) < 3:  # r16 ADVICE: usage, not a bare IndexError
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
     rnd, tag = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
 

@@ -50,7 +50,22 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = only if only is not None else list(REGISTRY)
+    # Validate --only up front (r16 ADVICE): a typo'd name would
+    # otherwise KeyError mid-sweep and lose every prior sample.
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     results: dict[str, dict] = {}
+
+    def _flush() -> str:
+        ranked = dict(sorted(results.items(), key=lambda kv: -(kv[1]["sec"] or 0)))
+        line = json.dumps({"sf_dir": sf_dir, "reps": reps, "queries": ranked})
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write(line + "\n")
+        return line
+
     for i, name in enumerate(names):
         spec = REGISTRY[name]
         spark.sparkContext.setJobDescription(f"time_registry: {name}")
@@ -76,15 +91,11 @@ def main() -> int:
             print(f"[{i + 1}/{len(names)}] {name}: ERR {e}", file=sys.stderr)
         finally:
             spark.sparkContext.setJobDescription(None)
+            # Incremental flush (r16 ADVICE): a multi-hour sweep killed
+            # near the end keeps every completed row on disk.
+            _flush()
 
-    ranked = dict(
-        sorted(results.items(), key=lambda kv: -(kv[1]["sec"] or 0))
-    )
-    line = json.dumps({"sf_dir": sf_dir, "reps": reps, "queries": ranked})
-    print(line)
-    if out_path:
-        with open(out_path, "w") as f:
-            f.write(line + "\n")
+    print(_flush())
     return 0
 
 
