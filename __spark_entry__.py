@@ -44,85 +44,56 @@ def entry(spark: SparkSession) -> DataFrame:
 #      registry's driver evidence converges to recent rounds instead of
 #      37 queries sitting on their r1 rows forever.
 _FRONT_PINS = [
-    # r16 mechanical re-pins (r15 VERDICT items 1-2): every
-    # branch-sharing localCheckpoint now routes through ONE helper —
-    # etl_sample_spark/pinning.py's pin() — with a SPARK_GRAFT_NO_PIN
-    # guard bypass (the registry-wide plan guards build pin-free) and a
-    # measured localCheckpoint/persist/reliable mode decision (SCALE.md
-    # r16). Results are mode-invariant (tests/test_pinning.py asserts
-    # it; strict driver-sim re-verified at sf0.01), but the refactor
-    # reaches each pinned query's code closure, so the whole set
-    # re-enters the driver window. The r15 pins that did NOT change
-    # (revenue_bridge one-pass pivot, the seven multimodal decoder
-    # queries) rotate out on their green r15 rows.
-    "abc_pareto_classification",
-    "active_users_dau_wau_mau",
-    "bigram_lm_interpolated_score",
-    "bigram_pmi_collocations",
-    "bm25_score_query",
-    "chi2_event_type_by_user_band",
-    "classifier_decile_lift",
-    "cohort_retention_matrix",
-    "cohort_weekly_retention",
-    "countmin_token_estimate",
-    "dsir_importance_weights",
-    "gapfill_hourly_interpolate",
-    "gini_revenue_concentration",
-    "heavy_hitters_tokens",
-    # reaches the pointer-jumping loop whose truncation comment gained
-    # the "deliberately NOT pinning.pin()" cross-reference (comment-only
-    # for semantics, but the closure fingerprint is source-exact)
-    "hierarchy_rollup_suppliers",
-    "hybrid_rrf_rerank",
-    "kaplan_meier_customer_lifetime",
-    "ks_two_sample_click_vs_purchase",
-    "mad_outlier_prices_by_brand",
-    "market_basket_part_pairs",
-    "minhash_jaccard_estimate_audit",
-    # r16 optimization: corpus assembly now repartitions by the
-    # grouping key before the collect_list groupBy (normcore.py) —
-    # strict-sim re-verified at sf0.01 AND sf0.1 this round.
-    "normalize_star_rebuild",
-    # r16 optimization: higher-order-function subtree re-evaluation
-    # fixes (zip-built _shingles, staged simhash votes, staged
-    # line-dedup tokens, hoisted per-vector norms) — every query below
-    # strict-sim re-verified at sf0.01 AND sf0.1 this round.
-    "contamination_3gram_vs_benchmark",
-    "decontaminated_split_audit",
-    "entity_resolution_part_names",
+    # r17 optimization round: every query whose code closure changed.
+    #
+    # Multimodal codec tier (operators/multimodal.py): synthesis inputs
+    # now hash-repartition across cores before the mapInPandas codec
+    # stage (_spread_ids), and the JPEG + IPDV ENCODERS gained numpy
+    # twins (auto-dispatched, bit-identical payloads — shared entropy/
+    # RLE coder, replayed float op order; pinned in
+    # test_operators.py::test_{jpeg,ipdv}_encoder_twins_*). Every query
+    # below strict-sim re-verified at sf0.01 AND sf0.1 this round.
+    "multimodal_bmp_decode",
+    "multimodal_gif_decode",
+    "multimodal_image_features",
+    "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_mjpeg_framesample",
+    "multimodal_png_decode",
+    "multimodal_resize_stats",
+    "multimodal_video_delta_decode",
+    "multimodal_video_framesample",
+    "multimodal_wav_decode",
+    # Label-propagation fixpoint (operators/dedup.py): the per-round
+    # convergence check is now a monotone-sum aggregate for integral
+    # ids (join-based check retained for string labels) — fixpoint
+    # results identical, strict-sim re-verified.
     "embedding_neardup_clusters",
-    "embedding_neardup_pairs",
-    "incremental_dedup_new_vs_corpus",
-    "line_dedup_boilerplate",
-    "minhash_lsh_candidate_pairs",
-    "minhash_signatures",
+    "entity_resolution_part_names",
     "neardup_clusters_documents",
-    "ngram_jaccard_sample_pairs",
     "semantic_dedup_keep_best",
-    "similarity_ivf_indexed_top10",
-    "similarity_ivf_top10",
-    "simhash_neardup_pairs",
-    "simhash_signatures",
-    "text_repetition_ratio",
-    "new_vs_returning_weekly",
-    "rfm_customer_scores",
-    "scd2_customer_segment_migration",
+    # dedup.py module-source neighbors whose closure fingerprint moved
+    # with the file edit (no behavior change in their own operators):
     "simhash_cluster_assign",
-    "triangle_census_trade_network",
-    "unigram_logprob_score",
+    # PQ codebooks (operators/similarity.py) moved from literal
+    # expression trees into a one-row broadcast relation; codes are
+    # bit-identical (same fold over the same doubles) — strict-sim
+    # re-verified.
+    "similarity_pq_adc_top10",
+    "similarity_pq_rerank_top10",
+    # functions/text.py docstring gained the shingles/n invariant note
+    # (comment-only, but closure fingerprints are source-exact):
+    "text_repetition_ratio",
 ]
-# r14's 8 pins all landed green rows in CORRECTNESS_r14.json (50/50
-# green) — skewjoin_revenue_by_priority rotates out (its r14 fix is
-# green and untouched this round); the 7 multimodal pins carry over
-# because this round's ADVICE fixes re-dirty them. Window math at this
-# HEAD, recomputed from _ordered() + the CORRECTNESS artifacts:
-# front-50 = 1 new registration + 32 pins (ADVICE re-pins + three
-# scan-audit batches) + ALL 14 remaining r9 rows + the 3 stalest r10
-# rows; the oldest driver row OUTSIDE the window is r10 — so after
-# r15's driver run the registry's oldest row anywhere is r10, meeting
-# r14 VERDICT item 4. The scan-audit pins were capped here precisely
-# so every r9 row still fits in the window.
-# tools/update_pin_manifest.py enforces that every further r15 code
+# The r16 pins all landed green rows in CORRECTNESS_r16.json (50/50)
+# and rotate out; the 19 r17 pins above leave ~31 window slots for the
+# stalest driver rows (_ordered() fills them oldest-first). The r17
+# catalog.py schema-memo key hardening (directory-layout mtime) reaches
+# ALL 239 closures — the same uniform-infrastructure situation as the
+# r16 schema memo itself: the manifest was force-updated and the FULL
+# registry re-verified this session under DRIVE_STRICT=1 (bit-level
+# floats, vanilla session, DuckDB oracle) as the substitute evidence.
+# tools/update_pin_manifest.py enforces that every further r17 code
 # change either lands here or leaves its queries' fingerprints alone.
 
 
