@@ -84,6 +84,14 @@ _FRONT_PINS = [
     # functions/text.py docstring gained the shingles/n invariant note
     # (comment-only, but closure fingerprints are source-exact):
     "text_repetition_ratio",
+    # operators/ranks.py: the occupied-bucket grid is now pinned (it
+    # feeds the prefix and totals branches; unpinned it re-aggregated
+    # per branch). Ranks/tiles identical (test_ranks.py equivalences +
+    # strict-sim); gini -32% / abc -22% at 5-rep A/B.
+    "abc_pareto_classification",
+    "gini_revenue_concentration",
+    "ks_two_sample_click_vs_purchase",
+    "rfm_customer_scores",
 ]
 # The r16 pins all landed green rows in CORRECTNESS_r16.json (50/50)
 # and rotate out; the 19 r17 pins above leave ~31 window slots for the

@@ -134,9 +134,21 @@ def bucketed_global_rank(
     grid_src = work if grid_from is None else _prep(grid_from)
 
     # 1. Grid: one row per occupied bucket — counts + value sums.
-    grid = grid_src.groupBy("__sb", *bucket_cols).agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        *[F.sum(f"__v_{k}").alias(f"__s_{k}") for k in cum_sums],
+    # Pinned (r17): the grid feeds the within-super-bucket prefix AND
+    # the super-bucket totals (plus the grand totals with with_totals) —
+    # unpinned, Spark re-executed the full rows→grid aggregation once
+    # per branch (visible as repeated agg-Exchange chains in
+    # plans/r17/*_before.txt). The grid is bounded by contract
+    # (≤ ~hundreds of thousands of rows), i.e. exactly pinning.pin()'s
+    # sanctioned shape; downstream joins keep their explicit
+    # F.broadcast hints, so the stats-opaque pin costs no join strategy.
+    from etl_sample_spark.pinning import pin
+
+    grid = pin(
+        grid_src.groupBy("__sb", *bucket_cols).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[F.sum(f"__v_{k}").alias(f"__s_{k}") for k in cum_sums],
+        )
     )
 
     # 2a. Within-super-bucket EXCLUSIVE prefix: inclusive minus own
