@@ -64,6 +64,11 @@ _FRONT_PINS = [
     "multimodal_video_delta_decode",
     "multimodal_video_framesample",
     "multimodal_wav_decode",
+    # operators/similarity.py embedding_near_duplicates: the threshold
+    # predicate now rides LAST in the explicit join condition (the
+    # pushed-filter form ran the pair fold before the cheap id<
+    # conjunct — on ~2× the pairs); strict-sim green at sf0.01+sf0.1.
+    "embedding_neardup_pairs",
     # Label-propagation fixpoint (operators/dedup.py): the per-round
     # convergence check is now a monotone-sum aggregate for integral
     # ids (join-based check retained for string labels) — fixpoint
