@@ -382,6 +382,13 @@ _SCALAR_SUBQUERY = {
     "bigram_lm_interpolated_score",  # one-row token-total broadcast
     "kmv_distinct_sketch_custkeys",  # two one-row sketches (kth-min, exact)
     "temperature_mix_weights",  # one-row sqrt-mass normalizer broadcast
+    # r17: the PQ codebook rides in a ONE-ROW broadcast relation
+    # (m·ksub·ds doubles) cross-joined to the corpus instead of a
+    # megabyte literal expression tree Catalyst re-analyzed per call —
+    # the same sanctioned one-row-scalar broadcast shape as the totals
+    # entries above (operators/similarity.py::pq_assign_codes).
+    "similarity_pq_adc_top10",
+    "similarity_pq_rerank_top10",
     # 5 quantile literals x <=1000 histogram buckets, both sides
     # constant-bounded regardless of corpus size: the non-equi probe IS
     # the sketch answer step, and it never touches fact-table rows
